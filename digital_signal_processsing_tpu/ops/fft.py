@@ -1,0 +1,48 @@
+"""FFT stage: thin, typed wrappers over XLA's TPU FFT + a streaming STFT.
+
+XLA ships tuned TPU FFT lowerings; wrapping (rather than hand-kerneling)
+is the right TPU-native call — the win is in layout discipline (time on the
+minor axis, batch on sublanes) and in the sharded variants (parallel/),
+not in re-deriving radix butterflies.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+fft = jax.jit(jnp.fft.fft)
+ifft = jax.jit(jnp.fft.ifft)
+rfft = jax.jit(jnp.fft.rfft)
+irfft = jax.jit(jnp.fft.irfft)
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+def stft(
+    x: jax.Array, *, nfft: int = 1024, hop: int = 256, window: str = "hann"
+) -> jax.Array:
+    """Short-time FT of (channels, time) -> (channels, frames, nfft//2+1)."""
+    xp = x if x.ndim == 2 else x[None, :]
+    c, t = xp.shape
+    nframes = max(0, (t - nfft) // hop + 1)
+    idx = np.arange(nframes)[:, None] * hop + np.arange(nfft)[None, :]
+    segs = xp[:, idx].astype(jnp.float32)
+    if window == "hann":
+        w = jnp.asarray(np.hanning(nfft).astype(np.float32))
+    elif window == "rect":
+        w = jnp.ones((nfft,), jnp.float32)
+    else:
+        raise ValueError(f"unknown window {window!r}")
+    out = jnp.fft.rfft(segs * w, axis=-1)
+    return out if x.ndim == 2 else out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("nfft",))
+def power_spectrum(x: jax.Array, *, nfft: int = 1024) -> jax.Array:
+    """Mean periodogram over whole frames of the signal."""
+    s = stft(x, nfft=nfft, hop=nfft, window="rect")
+    return jnp.mean(jnp.abs(s) ** 2, axis=-2)

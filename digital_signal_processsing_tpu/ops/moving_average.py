@@ -1,0 +1,91 @@
+"""Public moving-average API: one function, the whole variant zoo behind it.
+
+The reference ships nine binaries, one per implementation strategy
+(SURVEY.md §0); a framework ships one op with a ``method`` switch and an
+``auto`` policy that encodes the regime split its README documents
+(README.md:10-12: small windows memory-bound -> direct; large windows
+compute-bound -> scan).
+
+Methods:
+- ``auto``            regime-split dispatch (default)
+- ``scan``            fused Pallas scan + windowed diff (Blelloch in-tile)
+- ``scan_hillis``     same, literal stride-doubling in-tile scan
+- ``direct``          Pallas k-shifted-adds kernel (small windows)
+- ``xla_scan``        jnp.cumsum anchor (no Pallas)
+- ``xla_direct``      lax.reduce_window anchor (no Pallas)
+- ``golden``          NumPy oracle (host; for tests/debugging)
+
+All are bit-exact against the golden model for window <= 65535.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..golden import moving_average_golden
+from ..utils.numerics import MAX_EXACT_WINDOW
+from .direct_xla import moving_average_reduce_window
+from .pallas_direct import MAX_DIRECT_WINDOW, direct_averager_pallas
+from .pallas_scan import scan_averager_pallas
+from .scan_xla import moving_average_xla
+
+# Below this window the O(k) direct kernel's passes are cheaper than the
+# scan's ~9 fixed passes (measured crossover on v5e is ~8-12 frames).
+_AUTO_DIRECT_MAX = 8
+
+METHODS = (
+    "auto",
+    "scan",
+    "scan_hillis",
+    "direct",
+    "xla_scan",
+    "xla_direct",
+    "golden",
+)
+
+
+def moving_average(
+    x,
+    window: int,
+    channels: int = 1,
+    *,
+    method: str = "auto",
+) -> jax.Array | np.ndarray:
+    """Causal multi-channel moving average of a flat interleaved int16 stream.
+
+    out[f, c] = trunc(sum(x[max(f-window+1,0)..f, c]) / window), frames
+    interleaved as in the source stream. Semantics are bit-exact with the
+    reference CPU model (profilable_moving_averager.cpp:14-37) for
+    window <= 65535.
+    """
+    if method == "auto":
+        from .pallas_scan import supports_channels
+
+        if not supports_channels(channels):
+            method = "xla_scan"  # lane layout needs channels | 128
+        elif window <= _AUTO_DIRECT_MAX:
+            method = "direct"
+        else:
+            method = "scan"
+    if method == "golden":
+        return moving_average_golden(np.asarray(x), window, channels)
+    if method == "scan":
+        return scan_averager_pallas(x, window, channels, variant="blelloch")
+    if method == "scan_hillis":
+        return scan_averager_pallas(x, window, channels, variant="hillis_steele")
+    if method == "direct":
+        if window > MAX_DIRECT_WINDOW:
+            raise ValueError(
+                f"direct method supports window <= {MAX_DIRECT_WINDOW}; "
+                f"use method='scan' for window={window}"
+            )
+        return direct_averager_pallas(x, window, channels)
+    if method == "xla_scan":
+        return moving_average_xla(x, window, channels)
+    if method == "xla_direct":
+        return moving_average_reduce_window(x, window, channels)
+    raise ValueError(f"unknown method {method!r}; options {METHODS}")
+
+
+__all__ = ["moving_average", "METHODS", "MAX_EXACT_WINDOW"]

@@ -1,0 +1,325 @@
+"""Fused Pallas scan averagers — the flagship single-chip kernels.
+
+TPU-native redesign of the reference's scan family (C13-C16 in SURVEY.md §2:
+hillis_steele_averager.cu, blelloch_scan_averager.cu and their vectorized
+variants). The CUDA architecture — per-block shared-memory scans, block
+totals written to an aux array, a host-driven recursive re-launch tree over
+carry levels, then a separate windowed-difference kernel — collapses on TPU
+into ONE kernel invocation:
+
+- a CUDA thread block's smem tile  →  a VMEM tile of (tile_rows, 128) lanes;
+- int2/int4 vectorized loads       →  the (sublane, lane) register layout
+  (vectorization is the default; the ladder disappears);
+- the recursive aux-carry tree     →  a per-channel carry row in VMEM
+  scratch, threaded through the *sequential* Pallas grid (TPU grid steps of
+  one core run in order, unlike CUDA blocks — the property the reference
+  spent three files and a host recursion working around);
+- the separate window-diff kernel  →  fused into the same pass: the previous
+  tile's global cumsum is kept in VMEM scratch, so ``cum[i - k*C]`` is
+  on-chip and the kernel streams int16 in / int16 out at HBM speed-of-light;
+- int64 accumulators               →  int32 modular arithmetic, bit-exact for
+  windows <= 65535 (utils/numerics.py).
+
+Channel handling is the reference's own trick, vectorized: the scan's
+doubling stride STARTS at ``channels`` (hillis_steele_averager.cu:48), which
+makes the interleaved-stream scan a per-channel segmented cumsum with zero
+deinterleaving. On TPU this requires the channel phase to be row-invariant,
+i.e. ``channels | 128``; other channel counts take the planar XLA path
+(ops/scan_xla.py) via the public dispatcher.
+
+Two in-tile scan variants keep the reference's algorithm ladder honest:
+
+- ``blelloch``: work-efficient two-level scan — segmented per-row lane
+  cumsum (log2(128/C) masked roll-adds), a tiny (tile_rows, C) scan of
+  per-channel row totals, one broadcast add. ~9 full-tile VPU passes.
+- ``hillis_steele``: the literal stride-doubling inclusive scan over the
+  flat tile (log2(tile_rows*128/C) masked shifted adds). ~4x more VPU work —
+  the same work-inefficiency the reference measured between its two
+  families, reproduced for the benchmark ladder.
+
+Reference anchors: segmented-scan stride trick hillis_steele_averager.cu:48,
+fused windowed diff :87-100, recursive carry tree :69-84, work-efficient
+up/downsweep blelloch_scan_averager.cu:72-114.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import layout
+from ..utils.numerics import MAX_EXACT_WINDOW
+
+LANES = layout.LANES
+# Scratch = 2 tiles of int32 + in/out tiles; 2048 rows -> 2*2048*128*4 = 2 MiB
+# concat scratch, well inside 16 MiB VMEM with double-buffered I/O tiles.
+MAX_TILE_ROWS = 2048
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def supports_channels(channels: int) -> bool:
+    """Kernel path needs a row-invariant channel phase: channels | 128."""
+    return channels >= 1 and LANES % channels == 0
+
+
+def _masked_roll(v, shift, axis):
+    """v shifted by `shift` along axis with zero fill (non-circular)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    return jnp.where(idx >= shift, pltpu.roll(v, shift, axis=axis), 0)
+
+
+def _cumsum_rows(v):
+    """Inclusive prefix sum down the rows (axis 0), log-depth roll-adds."""
+    n = v.shape[0]
+    s = 1
+    while s < n:
+        v = v + _masked_roll(v, s, 0)
+        s *= 2
+    return v
+
+
+def _tail_mask(v, c: int):
+    """Zero all but the last C lanes (where per-channel row totals live)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(col >= LANES - c, v, 0)
+
+
+def _fill_from_tail(w, c: int):
+    """Broadcast per-channel values from the last C lanes to every lane.
+
+    Input is full-width with nonzeros only in lanes [128-C, 128); output has
+    lane l = input lane 128-C + (l % C). All ops stay 128 lanes wide —
+    Mosaic rejects the narrow-slice + pad/concat spelling (layout offset
+    mismatch), so the fill is a circular roll into lanes [0, C) followed by
+    doubling: each masked roll-add doubles the filled region exactly once
+    (the region being copied into is still zero), so every lane ends with
+    exactly one copy. Needs C | 128.
+    """
+    out = pltpu.roll(w, c, axis=1)  # tail -> lanes [0, C); rest stays zero
+    s = c
+    while s < LANES:
+        out = out + _masked_roll(out, s, 1)
+        s *= 2
+    return out
+
+
+def _shift_flat(v, s: int, rows: int):
+    """v[g - s] in row-major flat order, zero-filled below 0 (s static >= 0)."""
+    if s == 0:
+        return v
+    sr, sl = divmod(s, LANES)
+    if sl == 0:
+        return _masked_roll(v, sr, 0) if sr else v
+    a = _masked_roll(v, sr, 0) if sr else v
+    b = _masked_roll(v, sr + 1, 0) if sr + 1 <= rows else jnp.zeros_like(v)
+    col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(col >= sl, pltpu.roll(a, sl, axis=1), pltpu.roll(b, sl, axis=1))
+
+
+def _tile_cumsum_blelloch(xi, channels: int):
+    """Work-efficient segmented (stride-C) cumsum of a (rows, 128) int32 tile."""
+    v = xi
+    s = channels
+    while s < LANES:  # per-row segmented lane cumsum
+        v = v + _masked_roll(v, s, 1)
+        s *= 2
+    rt = _tail_mask(v, channels)  # per-channel row totals, tail lanes
+    rp = _cumsum_rows(rt) - rt  # exclusive per-channel row prefix
+    return v + _fill_from_tail(rp, channels)
+
+
+def _tile_cumsum_hillis_steele(xi, channels: int):
+    """Literal stride-doubling segmented scan over the flat tile (O(n log n))."""
+    rows = xi.shape[0]
+    n = rows * LANES
+    v = xi
+    s = channels
+    while s < n:
+        v = v + _shift_flat(v, s, rows)
+        s *= 2
+    return v
+
+
+_TILE_SCANS = {
+    "blelloch": _tile_cumsum_blelloch,
+    "hillis_steele": _tile_cumsum_hillis_steele,
+}
+
+
+def _shift_from_concat(concat_ref, h: int, rows: int):
+    """Cumsum shifted h elements back, for the current tile.
+
+    ``concat_ref`` rows [0, rows) hold the previous tile's global cumsum
+    (zeros for tile 0 — the reference's zeroed halo prefix,
+    gpu_utils.h:112-114), rows [rows, 2*rows) the current tile's.
+    Requires h <= rows*128 so the window never reaches past one tile back.
+    """
+    hr, hl = divmod(h, LANES)
+    t1 = concat_ref[rows - hr : 2 * rows - hr, :]
+    if hl == 0:
+        return t1
+    t2 = concat_ref[rows - hr - 1 : 2 * rows - hr - 1, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, t1.shape, 1)
+    return jnp.where(
+        col >= hl, pltpu.roll(t1, hl, axis=1), pltpu.roll(t2, hl, axis=1)
+    )
+
+
+def _trunc_div_cast(wsum, window: int):
+    """trunc(wsum / window) -> int16; |wsum| <= 65535*32768 < 2^31 so abs is safe."""
+    q = jnp.abs(wsum) // window
+    return jnp.where(wsum < 0, -q, q).astype(jnp.int16)
+
+
+def _scan_averager_kernel(
+    x_ref, o_ref, concat_ref, carry_ref, *, window, channels, rows, variant
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        carry_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+        concat_ref[0:rows, :] = jnp.zeros((rows, LANES), jnp.int32)
+
+    xi = x_ref[:].astype(jnp.int32)
+    # carry row: lane l holds the running per-channel cumsum of channel l%C
+    cum = _TILE_SCANS[variant](xi, channels) + carry_ref[:]
+    concat_ref[rows : 2 * rows, :] = cum
+    carry_ref[:] = _fill_from_tail(_tail_mask(cum[rows - 1 :, :], channels), channels)
+    shifted = _shift_from_concat(concat_ref, window * channels, rows)
+    o_ref[:] = _trunc_div_cast(cum - shifted, window)
+    concat_ref[0:rows, :] = cum  # rotate: current becomes previous
+
+
+def _pick_tile_rows(halo: int, tile_rows: int | None) -> int:
+    if tile_rows is None:
+        tile_rows = max(layout.DEFAULT_TILE_ROWS, layout.round_up(halo, LANES) // LANES)
+        tile_rows = layout.round_up(tile_rows, 16)
+    if tile_rows % 16 != 0:
+        raise ValueError(f"tile_rows must be a multiple of 16, got {tile_rows}")
+    if halo > tile_rows * LANES:
+        raise ValueError(
+            f"window*channels = {halo} exceeds one tile ({tile_rows * LANES}); "
+            f"raise tile_rows (max {MAX_TILE_ROWS})"
+        )
+    if tile_rows > MAX_TILE_ROWS:
+        raise ValueError(f"tile_rows {tile_rows} exceeds VMEM budget ({MAX_TILE_ROWS})")
+    return tile_rows
+
+
+def _check_variant_channels(variant: str, channels: int) -> None:
+    if variant not in _TILE_SCANS:
+        raise ValueError(f"unknown variant {variant!r}; options {sorted(_TILE_SCANS)}")
+    if not supports_channels(channels):
+        raise ValueError(
+            f"Pallas scan kernels need channels | 128, got {channels}; "
+            "use the planar XLA path (method='xla_scan') for other layouts"
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "channels", "variant", "tile_rows")
+)
+def scan_averager_pallas(
+    x: jax.Array,
+    window: int,
+    channels: int = 1,
+    *,
+    variant: str = "blelloch",
+    tile_rows: int | None = None,
+) -> jax.Array:
+    """Causal moving average of a flat interleaved int16 stream, one fused pass.
+
+    Bit-exact against the golden model for ``window <= 65535`` and
+    ``window*channels <= MAX_TILE_ROWS*128`` (= 262144). Streams int16 in /
+    int16 out; the prefix sum, per-channel carry chain and windowed
+    difference never leave VMEM.
+    """
+    _check_variant_channels(variant, channels)
+    layout.validate_window(window, MAX_EXACT_WINDOW)
+    halo = window * channels
+    rows = _pick_tile_rows(halo, tile_rows)
+
+    x2d, n = layout.pad_flat_to_tiles(x, rows)
+    grid = (x2d.shape[0] // rows,)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _scan_averager_kernel,
+            window=window,
+            channels=channels,
+            rows=rows,
+            variant=variant,
+        ),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.int16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * rows, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # carry chain: must run in order
+        ),
+        interpret=_interpret(),
+    )(x2d)
+    return layout.unpad_flat(out, n)
+
+
+def _cumsum_kernel(x_ref, o_ref, carry_ref, *, channels, rows, variant):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        carry_ref[:] = jnp.zeros((1, LANES), jnp.int32)
+
+    cum = _TILE_SCANS[variant](x_ref[:].astype(jnp.int32), channels) + carry_ref[:]
+    o_ref[:] = cum
+    carry_ref[:] = _fill_from_tail(_tail_mask(cum[rows - 1 :, :], channels), channels)
+
+
+@functools.partial(jax.jit, static_argnames=("channels", "variant", "tile_rows"))
+def cumsum_pallas(
+    x: jax.Array,
+    channels: int = 1,
+    *,
+    variant: str = "blelloch",
+    tile_rows: int | None = None,
+) -> jax.Array:
+    """Per-channel int32 modular inclusive prefix sum of an interleaved stream.
+
+    The unfused building block (the reference's scan kernels before the
+    windowed diff): used by the two-pass fallback for windows whose halo
+    exceeds one tile, by the sharded scan (parallel/), and by the scan-GB/s
+    roofline benchmark row.
+    """
+    _check_variant_channels(variant, channels)
+    rows = tile_rows or layout.DEFAULT_TILE_ROWS
+    x2d, n = layout.pad_flat_to_tiles(x, rows)
+    out = pl.pallas_call(
+        functools.partial(_cumsum_kernel, channels=channels, rows=rows, variant=variant),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.int32),
+        grid=(x2d.shape[0] // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(x2d)
+    return layout.unpad_flat(out, n)

@@ -1,0 +1,140 @@
+"""Time-block-sharded scan averager: the reference's carry tree over ICI.
+
+The reference splits the sequence across thread blocks and propagates
+carries through a recursive aux-scan + uniform_add relaunch tree
+(hillis_steele_averager.cu:69-84, blelloch_scan_averager.cu:134-167). Across
+chips the same decomposition needs exactly ONE collective round:
+
+  1. each device scans its contiguous time block locally (the fused Pallas
+     kernel or the XLA anchor — both per-channel segmented, int32 modular);
+  2. per-channel block totals are all-gathered over the time axis and each
+     device adds the exclusive prefix of its predecessors — the cross-chip
+     ``uniform_add``;
+  3. the windowed difference needs ``cum[i - k*C]`` which may live on the
+     left neighbor: one ``ppermute`` pushes each device's cumsum tail one
+     step right (device 0 receives the zeros ppermute defines — the
+     reference's zeroed halo, gpu_utils.h:112-114, falling out of collective
+     semantics).
+
+All collectives ride the mesh's time axis (ICI on hardware); payloads are
+C + k*C int32 words per device — independent of the stream length.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils.numerics import MAX_EXACT_WINDOW, trunc_div
+from ..utils import layout
+from .mesh import TIME_AXIS
+
+
+def _local_cumsum(xs: jax.Array, channels: int, use_pallas: bool) -> jax.Array:
+    if use_pallas:
+        from ..ops.pallas_scan import cumsum_pallas
+
+        return cumsum_pallas(xs, channels)
+    frames = xs.shape[0] // channels
+    return jnp.cumsum(
+        xs.reshape(frames, channels).astype(jnp.int32), axis=0
+    ).reshape(-1)
+
+
+def _shard_body(
+    xs: jax.Array, *, window: int, channels: int, axis: str, use_pallas: bool
+) -> jax.Array:
+    n_loc = xs.shape[0]
+    halo = window * channels
+    cum = _local_cumsum(xs, channels, use_pallas)
+
+    # cross-chip uniform_add: exclusive prefix of per-device channel totals
+    totals = cum[n_loc - channels :]  # (C,) last frame's per-channel cumsum
+    gathered = jax.lax.all_gather(totals, axis)  # (D, C)
+    my = jax.lax.axis_index(axis)
+    ndev = jax.lax.axis_size(axis)
+    dev_ids = jnp.arange(ndev)[:, None]
+    carry = jnp.sum(jnp.where(dev_ids < my, gathered, 0), axis=0)  # (C,)
+    cum = (cum.reshape(-1, channels) + carry[None, :]).reshape(-1)
+
+    # halo exchange: last `halo` cumsum values -> right neighbor
+    tail = cum[n_loc - halo :]
+    left_tail = jax.lax.ppermute(
+        tail, axis, perm=[(d, d + 1) for d in range(ndev - 1)]
+    )  # device 0 gets zeros: the causal zero halo
+    ext = jnp.concatenate([left_tail, cum])  # (halo + n_loc,)
+    shifted = ext[:n_loc]  # shifted[i] = cum_global[i - halo]
+    wsum = cum - shifted
+    return trunc_div(wsum, window).astype(jnp.int16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "channels", "mesh", "use_pallas")
+)
+def sharded_moving_average(
+    x: jax.Array,
+    window: int,
+    channels: int = 1,
+    *,
+    mesh: Mesh,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Causal moving average of a time-block-sharded interleaved stream.
+
+    ``x`` length must divide evenly into mesh-time-axis shards of whole
+    frames, and ``window*channels`` must fit in one shard (single-hop halo).
+    Bit-exact against the golden model for window <= 65535.
+    """
+    layout.validate_window(window, MAX_EXACT_WINDOW)
+    ndev = mesh.shape[TIME_AXIS]
+    n = x.shape[0]
+    if n % (ndev * channels) != 0:
+        raise ValueError(
+            f"stream length {n} must divide into {ndev} shards of whole "
+            f"frames of {channels} channels"
+        )
+    if window * channels > n // ndev:
+        raise ValueError(
+            f"window*channels = {window * channels} exceeds one shard "
+            f"({n // ndev}); halo exchange is single-hop"
+        )
+    spec = P(TIME_AXIS)
+    fn = jax.shard_map(
+        functools.partial(
+            _shard_body,
+            window=window,
+            channels=channels,
+            axis=TIME_AXIS,
+            use_pallas=use_pallas,
+        ),
+        mesh=mesh,
+        in_specs=spec,
+        out_specs=spec,
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+    )
+    return fn(x)
+
+
+@functools.partial(jax.jit, static_argnames=("channels", "mesh", "use_pallas"))
+def sharded_cumsum(
+    x: jax.Array, channels: int = 1, *, mesh: Mesh, use_pallas: bool = True
+) -> jax.Array:
+    """Per-channel int32 modular cumsum of a time-block-sharded stream."""
+
+    def body(xs):
+        n_loc = xs.shape[0]
+        cum = _local_cumsum(xs, channels, use_pallas)
+        totals = cum[n_loc - channels :]
+        gathered = jax.lax.all_gather(totals, TIME_AXIS)
+        my = jax.lax.axis_index(TIME_AXIS)
+        dev_ids = jnp.arange(jax.lax.axis_size(TIME_AXIS))[:, None]
+        carry = jnp.sum(jnp.where(dev_ids < my, gathered, 0), axis=0)
+        return (cum.reshape(-1, channels) + carry[None, :]).reshape(-1)
+
+    spec = P(TIME_AXIS)
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
+    )(x)

@@ -16,6 +16,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Keep test compiles fast and deterministic.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# The axon sitecustomize registers the TPU backend at interpreter startup,
+# so the env var alone doesn't stick; force the platform through the config.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.devices()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,73 @@
+"""FIR: direct vs overlap-save vs NumPy convolution reference."""
+
+import numpy as np
+import pytest
+
+from digital_signal_processsing_tpu.ops.fir import (
+    box_taps,
+    design_lowpass,
+    fir_direct,
+    fir_filter,
+    fir_overlap_save,
+)
+
+
+def np_causal_fir(x, h):
+    """y[t] = sum_j h[j] x[t-j], zeros before t=0 (float64 reference)."""
+    full = np.convolve(x.astype(np.float64), h.astype(np.float64))
+    return full[: x.shape[0]]
+
+
+@pytest.fixture
+def sig(rng):
+    return rng.normal(size=5000).astype(np.float32)
+
+
+@pytest.mark.parametrize("k", [1, 3, 33, 128, 301])
+def test_direct_matches_numpy(sig, rng, k):
+    h = rng.normal(size=k).astype(np.float32)
+    got = np.asarray(fir_direct(sig, h))
+    np.testing.assert_allclose(got, np_causal_fir(sig, h), rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("k", [3, 65, 301, 1024])
+def test_overlap_save_matches_numpy(sig, rng, k):
+    h = rng.normal(size=k).astype(np.float32)
+    got = np.asarray(fir_overlap_save(sig, h))
+    np.testing.assert_allclose(got, np_causal_fir(sig, h), rtol=1e-3, atol=1e-2)
+
+
+def test_overlap_save_matches_direct_multichannel(rng):
+    x = rng.normal(size=(4, 3000)).astype(np.float32)
+    h = design_lowpass(129, 0.25)
+    a = np.asarray(fir_direct(x, h))
+    b = np.asarray(fir_overlap_save(x, h))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_auto_crossover(sig, rng):
+    for k in (16, 200):
+        h = rng.normal(size=k).astype(np.float32)
+        got = np.asarray(fir_filter(sig, h))
+        np.testing.assert_allclose(got, np_causal_fir(sig, h), rtol=1e-3, atol=1e-2)
+
+
+def test_box_taps_equals_moving_average_float(rng):
+    # The two API families tie out: box FIR == moving average (float, no quant).
+    x = rng.normal(size=2000).astype(np.float32) * 1000
+    k = 16
+    got = np.asarray(fir_direct(x, box_taps(k)))
+    want = np_causal_fir(x, np.full(k, 1.0 / k))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+def test_lowpass_design_properties():
+    h = design_lowpass(101, 0.25)
+    assert abs(h.sum() - 1.0) < 1e-6  # unity DC gain
+    # attenuation: response at 0.75 Nyquist should be tiny vs DC
+    w = np.fft.rfft(h, 4096)
+    f = np.linspace(0, 1, len(w))
+    hi = np.abs(w[f > 0.6]).max()
+    assert hi < 1e-2
+    with pytest.raises(ValueError):
+        design_lowpass(11, 1.5)

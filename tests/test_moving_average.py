@@ -1,0 +1,133 @@
+"""Kernel parity: every method bit-exact against the golden oracle.
+
+The test strategy the reference lacks (SURVEY.md §4): all variants are
+checked against the CPU golden model, not against each other, across the
+regime envelope (window 1..big, channels 1/2/4, lengths that don't divide
+tiles evenly, full int16 dynamic range including INT16_MIN).
+"""
+
+import numpy as np
+import pytest
+
+from digital_signal_processsing_tpu.golden import (
+    cumsum_per_channel_golden,
+    moving_average_golden,
+)
+from digital_signal_processsing_tpu.ops import moving_average
+from digital_signal_processsing_tpu.ops.pallas_scan import (
+    cumsum_pallas,
+    scan_averager_pallas,
+)
+from tests.conftest import make_interleaved
+
+KERNEL_METHODS = ["scan", "scan_hillis", "direct", "xla_scan", "xla_direct"]
+
+
+@pytest.mark.parametrize("method", KERNEL_METHODS)
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("window", [1, 3, 16])
+def test_parity_small(rng, method, channels, window):
+    x = make_interleaved(rng, 1000, channels)
+    want = moving_average_golden(x, window, channels)
+    got = np.asarray(moving_average(x, window, channels, method=method))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("method", ["scan", "xla_scan"])
+@pytest.mark.parametrize("window", [500, 5000])
+def test_parity_large_window(rng, method, window):
+    x = make_interleaved(rng, 8000, 2)
+    want = moving_average_golden(x, window, 2)
+    got = np.asarray(moving_average(x, window, 2, method=method))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n", [1, 7, 127, 128, 129, 32768, 32769, 70000])
+def test_parity_awkward_lengths(rng, n):
+    # Lengths around lane and tile boundaries (tile = 256*128 = 32768).
+    x = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    want = moving_average_golden(x, 4, 1)
+    got = np.asarray(moving_average(x, 4, 1, method="scan"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_parity_multi_tile_carry(rng):
+    # > 3 tiles so the SMEM carry chain and scratch rotation both cycle.
+    x = make_interleaved(rng, 60000, 2)  # 120k samples ~ 3.7 tiles
+    want = moving_average_golden(x, 700, 2)
+    got = np.asarray(moving_average(x, 700, 2, method="scan"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_parity_halo_spans_tile_boundary(rng):
+    # window*channels just below one tile: diff reaches maximally far back.
+    x = make_interleaved(rng, 40000, 2)
+    want = moving_average_golden(x, 16000, 2)  # halo 32000 < 32768
+    got = np.asarray(scan_averager_pallas(x, 16000, 2))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int16_min_saturation_regime():
+    x = np.full(50000, -32768, dtype=np.int16)
+    want = moving_average_golden(x, 1024, 1)
+    got = np.asarray(moving_average(x, 1024, 1, method="scan"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_auto_dispatch(rng):
+    x = make_interleaved(rng, 2000, 2)
+    for w in (2, 64):
+        np.testing.assert_array_equal(
+            np.asarray(moving_average(x, w, 2, method="auto")),
+            moving_average_golden(x, w, 2),
+        )
+
+
+def test_direct_rejects_big_window(rng):
+    x = make_interleaved(rng, 100, 1)
+    with pytest.raises(ValueError, match="direct"):
+        moving_average(x, 1000, 1, method="direct")
+
+
+def test_window_beyond_exact_bound_rejected(rng):
+    x = make_interleaved(rng, 100, 1)
+    with pytest.raises(ValueError, match="65535"):
+        moving_average(x, 70000, 1, method="scan")
+
+
+def test_unknown_method(rng):
+    with pytest.raises(ValueError, match="unknown method"):
+        moving_average(make_interleaved(rng, 10, 1), 2, 1, method="warp")
+
+
+@pytest.mark.parametrize("variant", ["blelloch", "hillis_steele"])
+def test_cumsum_pallas_property(rng, variant):
+    # Inclusive scan == int32 modular cumsum, multi-tile, awkward length.
+    x = rng.integers(-32768, 32768, size=100001, dtype=np.int16)
+    got = np.asarray(cumsum_pallas(x, variant=variant))
+    want = np.cumsum(x.astype(np.int64)).astype(np.int32)  # modular reference
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("variant", ["blelloch", "hillis_steele"])
+@pytest.mark.parametrize("channels", [2, 4, 128])
+def test_cumsum_pallas_segmented(rng, variant, channels):
+    # Interleaved segmented scan == per-channel golden cumsum (mod 2^32) —
+    # the stride-starts-at-C trick (hillis_steele_averager.cu:48) on lanes.
+    x = make_interleaved(rng, 700, channels)
+    got = np.asarray(cumsum_pallas(x, channels, variant=variant))
+    want = cumsum_per_channel_golden(x, channels).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_scan_rejects_non_divisor_channels(rng):
+    x = make_interleaved(rng, 30, 3)
+    with pytest.raises(ValueError, match="channels"):
+        cumsum_pallas(x, 3)
+
+
+def test_auto_falls_back_for_odd_channels(rng):
+    # channels=3 doesn't divide 128: auto must route to the planar XLA path.
+    x = make_interleaved(rng, 999, 3)
+    got = np.asarray(moving_average(x, 10, 3, method="auto"))
+    np.testing.assert_array_equal(got, moving_average_golden(x, 10, 3))

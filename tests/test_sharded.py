@@ -1,0 +1,96 @@
+"""Multi-device tests on the 8-device virtual CPU mesh.
+
+The fake-distributed backend the reference never had (SURVEY.md §4):
+time-block sharding with carry/halo collectives must be bit-exact against
+the single-device golden model.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from digital_signal_processsing_tpu.golden import moving_average_golden
+from digital_signal_processsing_tpu.ops.fir import design_lowpass, fir_direct
+from digital_signal_processsing_tpu.parallel import (
+    make_mesh,
+    sharded_cumsum,
+    sharded_fir_filter,
+    sharded_moving_average,
+    time_sharding,
+)
+from tests.conftest import make_interleaved
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh()  # all 8 virtual devices on the time axis
+
+
+@pytest.fixture(scope="module")
+def mesh_2x4():
+    return make_mesh(n_time=4, n_channel=2)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.parametrize("window,channels", [(16, 2), (257, 2), (1000, 1)])
+def test_sharded_average_parity(rng, mesh8, use_pallas, window, channels):
+    x = make_interleaved(rng, 40960 // channels, channels)
+    want = moving_average_golden(x, window, channels)
+    xd = jax.device_put(x, time_sharding(mesh8))
+    got = np.asarray(
+        sharded_moving_average(
+            xd, window, channels, mesh=mesh8, use_pallas=use_pallas
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_average_unsharded_input(rng, mesh8):
+    # works without pre-sharded input (jit re-shards)
+    x = make_interleaved(rng, 8192, 2)
+    want = moving_average_golden(x, 64, 2)
+    got = np.asarray(sharded_moving_average(x, 64, 2, mesh=mesh8, use_pallas=False))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_cumsum_parity(rng, mesh8):
+    x = make_interleaved(rng, 20480, 2)
+    got = np.asarray(sharded_cumsum(x, 2, mesh=mesh8, use_pallas=False))
+    want = np.cumsum(x.reshape(-1, 2).astype(np.int64), axis=0).astype(
+        np.int32
+    ).reshape(-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_halo_too_big_rejected(rng, mesh8):
+    x = make_interleaved(rng, 4096, 2)
+    with pytest.raises(ValueError, match="halo|shard"):
+        sharded_moving_average(x, 4000, 2, mesh=mesh8, use_pallas=False)
+
+
+def test_sharded_fir_parity(rng, mesh8):
+    x = rng.normal(size=(1, 16384)).astype(np.float32)
+    taps = design_lowpass(129, 0.2)
+    want = np.asarray(fir_direct(x, taps))
+    got = np.asarray(sharded_fir_filter(x, taps, mesh=mesh8, method="direct"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_fir_channels_and_time(rng, mesh_2x4):
+    # 2-D mesh: 4 channels over ch-axis of 2, time over 4
+    x = rng.normal(size=(4, 8192)).astype(np.float32)
+    taps = design_lowpass(65, 0.3)
+    want = np.asarray(fir_direct(x, taps))
+    got = np.asarray(
+        sharded_fir_filter(x, taps, mesh=mesh_2x4, method="overlap_save")
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_weak_scaling_shapes(rng, mesh8):
+    # the sharded path must produce shard-local outputs with no re-gather:
+    # output sharding matches input sharding
+    x = make_interleaved(rng, 8192, 2)
+    xd = jax.device_put(x, time_sharding(mesh8))
+    out = sharded_moving_average(xd, 16, 2, mesh=mesh8, use_pallas=False)
+    assert out.sharding.spec == time_sharding(mesh8).spec
