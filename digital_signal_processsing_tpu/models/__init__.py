@@ -1,0 +1,13 @@
+from .averager_zoo import AVERAGER_ZOO, run_variant  # noqa: F401
+from .chain import ChainConfig, DspChain  # noqa: F401
+from .adaptive import AdaptiveFir, lms_train_step, make_sharded_train_step  # noqa: F401
+
+__all__ = [
+    "AVERAGER_ZOO",
+    "run_variant",
+    "ChainConfig",
+    "DspChain",
+    "AdaptiveFir",
+    "lms_train_step",
+    "make_sharded_train_step",
+]

@@ -1,0 +1,115 @@
+"""Adaptive FIR (system identification / equalization) — the trainable model.
+
+The framework's gradient path: learn FIR taps theta minimizing
+``mean((fir(x, theta) - d)^2)`` — classic block-LMS, spelled as jax.grad +
+optax so the same code runs single-chip or sharded. The sharded train step
+shards independent streams over the mesh ``ch`` axis (data parallel) and
+time over ``t`` (sequence parallel); gradients are combined with ``psum``
+over both axes — exactly the collective layout a production TPU training
+step uses, applied to DSP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import CHANNEL_AXIS, TIME_AXIS
+
+
+@dataclasses.dataclass
+class AdaptiveFir:
+    """Learnable causal FIR taps + optimizer state."""
+
+    taps: jax.Array
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation
+
+    @staticmethod
+    def create(num_taps: int, learning_rate: float = 1e-2) -> "AdaptiveFir":
+        taps = jnp.zeros((num_taps,), jnp.float32)
+        tx = optax.adam(learning_rate)
+        return AdaptiveFir(taps=taps, opt_state=tx.init(taps), tx=tx)
+
+
+def _fir_batched(x: jax.Array, taps: jax.Array) -> jax.Array:
+    """Causal FIR of (streams, time) via conv (grad-friendly spelling)."""
+    k = taps.shape[0]
+    lhs = x[:, None, :]
+    rhs = taps[::-1][None, None, :]
+    return jax.lax.conv_general_dilated(
+        lhs, rhs, (1,), ((k - 1, 0),), dimension_numbers=("NCW", "OIW", "NCW")
+    )[:, 0, :]
+
+
+def lms_loss(taps: jax.Array, x: jax.Array, d: jax.Array) -> jax.Array:
+    y = _fir_batched(x, taps)
+    return jnp.mean((y - d) ** 2)
+
+
+@functools.partial(jax.jit, static_argnames=("tx",), donate_argnums=(0, 1))
+def lms_train_step(taps, opt_state, x, d, *, tx):
+    """One block-LMS step on (streams, time) float32 batches."""
+    loss, grads = jax.value_and_grad(lms_loss)(taps, x, d)
+    updates, opt_state = tx.update(grads, opt_state, taps)
+    return optax.apply_updates(taps, updates), opt_state, loss
+
+
+def make_sharded_train_step(mesh, tx: optax.GradientTransformation):
+    """Train step with (dp=streams over ch, sp=time over t) sharding.
+
+    Parameters are replicated; batch is sharded (ch, t); XLA inserts the
+    conv halo exchange on the time axis, and the loss/grad reduction becomes
+    a psum over both mesh axes. Returns a jitted (taps, opt_state, x, d) ->
+    (taps, opt_state, loss) function.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(CHANNEL_AXIS, TIME_AXIS))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(replicated, replicated, batch_sh, batch_sh),
+        out_shardings=(replicated, replicated, replicated),
+    )
+    def step(taps, opt_state, x, d):
+        loss, grads = jax.value_and_grad(lms_loss)(taps, x, d)
+        updates, opt_state = tx.update(grads, opt_state, taps)
+        return optax.apply_updates(taps, updates), opt_state, loss
+
+    return step
+
+
+def identify_system(
+    true_taps: np.ndarray,
+    *,
+    num_taps: int | None = None,
+    steps: int = 200,
+    batch: tuple[int, int] = (8, 4096),
+    lr: float = 5e-2,
+    seed: int = 0,
+    train_step=None,
+    tx: optax.GradientTransformation | None = None,
+) -> tuple[np.ndarray, float]:
+    """Fit taps to match an unknown FIR from input/output pairs (test driver)."""
+    rng = np.random.default_rng(seed)
+    k = num_taps or true_taps.shape[0]
+    tx = tx or optax.adam(lr)
+    taps = jnp.zeros((k,), jnp.float32)
+    opt_state = tx.init(taps)
+    ht = jnp.asarray(true_taps, jnp.float32)
+    loss = np.inf
+    for _ in range(steps):
+        x = jnp.asarray(rng.normal(size=batch), jnp.float32)
+        d = _fir_batched(x, ht)
+        if train_step is not None:
+            taps, opt_state, loss = train_step(taps, opt_state, x, d)
+        else:
+            taps, opt_state, loss = lms_train_step(taps, opt_state, x, d, tx=tx)
+    return np.asarray(taps), float(loss)

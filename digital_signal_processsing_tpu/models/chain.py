@@ -1,0 +1,83 @@
+"""The flagship model: a multi-channel FM receiver chain.
+
+BASELINE.json's north-star pipeline ("full chain: overlap-save FIR +
+polyphase decimate + FM demod, 16 channels sharded across hosts"): complex
+baseband in, per-channel audio out —
+
+    IQ (C, T) complex64
+      -> frequency translate (per-channel LO)
+      -> channel-select FIR lowpass (overlap-save)
+      -> polyphase decimate by D
+      -> FM quadrature discriminator
+      -> audio FIR lowpass
+
+Everything is jit-compatible and shape-static; the sharded path shards
+channels over the mesh's ``ch`` axis and time over ``t`` (GSPMD inserts the
+conv halo exchanges; the hand-written collective version of the scan stage
+lives in parallel/sharded_scan.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.demod import fm_demodulate, frequency_translate
+from ..ops.fir import design_lowpass, fir_overlap_save, fir_direct
+from ..ops.resample import decimate
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainConfig:
+    channels: int = 16
+    decimation: int = 8
+    channel_taps: int = 257  # channel-select lowpass (overlap-save regime)
+    audio_taps: int = 63  # post-demod audio lowpass (direct regime)
+    fm_gain: float = 1.0
+
+    def lo_frequencies(self) -> np.ndarray:
+        """Default LO comb: evenly spaced channels in (-0.4, 0.4) cyc/sample."""
+        return np.linspace(-0.4, 0.4, self.channels, dtype=np.float32)
+
+
+class DspChain:
+    """Stateless receiver chain; taps designed once at construction."""
+
+    def __init__(self, config: ChainConfig = ChainConfig()):
+        self.config = config
+        c = config
+        self.channel_taps = jnp.asarray(
+            design_lowpass(c.channel_taps, 0.8 / c.decimation)
+        )
+        self.audio_taps = jnp.asarray(design_lowpass(c.audio_taps, 0.5))
+        self.lo = jnp.asarray(c.lo_frequencies())
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def __call__(self, iq: jax.Array) -> jax.Array:
+        """(channels, T) complex64 -> (channels, T // decimation) float32."""
+        c = self.config
+        # per-channel LO mix (lo broadcasts over time)
+        t = iq.shape[-1]
+        n = jnp.arange(t, dtype=jnp.float32)
+        lo = jnp.exp(-2j * jnp.pi * self.lo[:, None] * n[None, :])
+        mixed = iq.astype(jnp.complex64) * lo.astype(jnp.complex64)
+        # channel-select lowpass: overlap-save on I and Q planes
+        fi = fir_overlap_save(jnp.real(mixed), self.channel_taps)
+        fq = fir_overlap_save(jnp.imag(mixed), self.channel_taps)
+        # polyphase decimate both planes (own anti-alias taps)
+        di = decimate(fi, c.decimation)
+        dq = decimate(fq, c.decimation)
+        # FM discriminator + audio lowpass
+        audio = fm_demodulate(di + 1j * dq, gain=c.fm_gain)
+        return fir_direct(audio, self.audio_taps)
+
+    def example_input(self, t: int = 1 << 16, seed: int = 0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        shape = (self.config.channels, t)
+        return (
+            rng.normal(size=shape) + 1j * rng.normal(size=shape)
+        ).astype(np.complex64)

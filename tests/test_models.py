@@ -1,0 +1,108 @@
+"""Models: zoo registry, flagship chain, adaptive FIR training."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from digital_signal_processsing_tpu.models import (
+    AVERAGER_ZOO,
+    ChainConfig,
+    DspChain,
+    make_sharded_train_step,
+    run_variant,
+)
+from digital_signal_processsing_tpu.models.adaptive import identify_system
+from digital_signal_processsing_tpu.golden import moving_average_golden
+from digital_signal_processsing_tpu.ops.demod import fm_modulate
+from digital_signal_processsing_tpu.parallel import make_mesh
+from tests.conftest import make_interleaved
+
+
+def test_zoo_covers_all_reference_binaries():
+    files = {f for v in AVERAGER_ZOO.values() for f in v.reference_files}
+    # all nine reference executables accounted for (SURVEY.md §0)
+    assert files == {
+        "basics/profilable_moving_averager.cpp",
+        "basics/profilable_parallel_averager.cu",
+        "basics/profilable_sm_averager.cu",
+        "basics/profilable_sm_vload2.cu",
+        "basics/profilable_sm_vload4.cu",
+        "basics/hillis_steele_averager.cu",
+        "basics/hillis_steele_vloaded_averager.cu",
+        "basics/blelloch_scan_averager.cu",
+        "basics/blelloch_scan_vloaded_averager.cu",
+    }
+
+
+def test_run_variant_parity(rng):
+    x = make_interleaved(rng, 3000, 2)
+    want = moving_average_golden(x, 16, 2)
+    for key in ("scan", "direct", "xla_scan"):
+        np.testing.assert_array_equal(
+            np.asarray(run_variant(key, x, 16, 2)), want
+        )
+    with pytest.raises(KeyError):
+        run_variant("nope", x, 16, 2)
+
+
+def test_chain_shapes_and_recovery():
+    cfg = ChainConfig(channels=4, decimation=4, channel_taps=65, audio_taps=33)
+    chain = DspChain(cfg)
+    t = 1 << 14
+    # put a real FM tone on channel 2's LO frequency
+    msg_f = 0.002
+    n = np.arange(t)
+    msg = np.sin(2 * np.pi * msg_f * n).astype(np.float32)
+    iq_base = np.asarray(fm_modulate(msg, deviation=0.05))
+    lo = cfg.lo_frequencies()
+    rng = np.random.default_rng(0)
+    iq = (0.01 * (rng.normal(size=(4, t)) + 1j * rng.normal(size=(4, t)))).astype(
+        np.complex64
+    )
+    iq[2] += iq_base * np.exp(2j * np.pi * lo[2] * n)
+    out = np.asarray(chain(iq))
+    assert out.shape == (4, t // 4)
+    # channel 2 should contain the tone at msg_f * decimation cyc/sample
+    seg = out[2, 200:]
+    spec = np.abs(np.fft.rfft(seg - seg.mean()))
+    peak = np.argmax(spec)
+    expected = msg_f * 4 * seg.shape[0]
+    assert abs(peak - expected) < 3
+    # the tone must stand far above channel 2's own noise floor
+    floor = np.median(spec)
+    assert spec[peak] > 20 * floor
+    # other channels demodulate noise: flat spectra, no peak at the tone bin
+    for ch in (0, 1, 3):
+        s2 = np.abs(np.fft.rfft(out[ch, 200:] - out[ch, 200:].mean()))
+        assert abs(int(np.argmax(s2)) - peak) > 3
+
+
+def test_chain_jit_stability():
+    chain = DspChain(ChainConfig(channels=2, decimation=2, channel_taps=33, audio_taps=17))
+    x = chain.example_input(t=4096)
+    a = np.asarray(chain(x))
+    b = np.asarray(chain(x))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_adaptive_fir_identifies_system():
+    true = np.array([0.5, -0.3, 0.2, 0.1, -0.05], np.float32)
+    taps, loss = identify_system(true, steps=300, batch=(4, 2048), lr=2e-2)
+    assert loss < 1e-4
+    np.testing.assert_allclose(taps, true, atol=2e-2)
+
+
+def test_sharded_train_step_matches_single_device():
+    mesh = make_mesh(n_time=4, n_channel=2)
+    tx = optax.adam(2e-2)
+    step = make_sharded_train_step(mesh, tx)
+    true = np.array([0.8, -0.4, 0.1], np.float32)
+    taps_sh, loss_sh = identify_system(
+        true, steps=60, batch=(8, 4096), train_step=step, tx=tx, seed=5
+    )
+    taps_1d, loss_1d = identify_system(
+        true, steps=60, batch=(8, 4096), lr=2e-2, seed=5, tx=optax.adam(2e-2)
+    )
+    # same data order, same optimizer: sharded == single-device (float tol)
+    np.testing.assert_allclose(taps_sh, taps_1d, atol=1e-5)
