@@ -1,0 +1,158 @@
+"""ctypes bindings to the native host runtime (native/dsp_native.cpp).
+
+Provides the fast WAV codec and the C++ serial averager baseline (the
+reference's profilable_moving_averager.cpp equivalent) for honest CPU-vs-TPU
+benchmark rows. Auto-builds with make on first use if a toolchain is
+present; every entry point has the pure-NumPy fallback in io/wav.py and
+golden/reference.py, so the framework works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libdsp_native.so"
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        return r.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def load(auto_build: bool = True):
+    """Load (building if needed) the native library; raises NativeUnavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and (not auto_build or not _build()):
+        raise NativeUnavailable(f"{_LIB_PATH} missing and build failed")
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.dsp_wav_info.restype = ctypes.c_int
+    lib.dsp_wav_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.dsp_wav_read.restype = ctypes.c_int64
+    lib.dsp_wav_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int64,
+    ]
+    lib.dsp_wav_write.restype = ctypes.c_int
+    lib.dsp_wav_write.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.dsp_moving_average.restype = None
+    lib.dsp_moving_average.argtypes = [
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.dsp_bench_moving_average.restype = ctypes.c_double
+    lib.dsp_bench_moving_average.argtypes = [
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def _i16ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+
+def read_wav_native(path) -> tuple[int, int, np.ndarray]:
+    """(channels, sample_rate, samples) via the C++ codec."""
+    lib = load()
+    ch = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    n = ctypes.c_int64()
+    rc = lib.dsp_wav_info(str(path).encode(), ch, rate, n)
+    if rc != 0:
+        raise ValueError(f"{path}: native WAV parse failed (rc={rc})")
+    out = np.empty(n.value, dtype=np.int16)
+    got = lib.dsp_wav_read(str(path).encode(), _i16ptr(out), n.value)
+    if got < 0:
+        raise ValueError(f"{path}: native WAV read failed (rc={got})")
+    return ch.value, rate.value, out[: int(got)]
+
+
+def write_wav_native(path, samples: np.ndarray, sample_rate: int, channels: int):
+    lib = load()
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    rc = lib.dsp_wav_write(
+        str(path).encode(), _i16ptr(samples), samples.size, sample_rate, channels
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: native WAV write failed (rc={rc})")
+
+
+def moving_average_native(
+    samples: np.ndarray, window: int, channels: int = 1
+) -> np.ndarray:
+    """C++ serial sliding-sum averager (golden-equivalent, native speed)."""
+    lib = load()
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    out = np.empty_like(samples)
+    lib.dsp_moving_average(
+        _i16ptr(samples), _i16ptr(out), samples.size, channels, window
+    )
+    return out
+
+
+def bench_moving_average_native(
+    samples: np.ndarray,
+    window: int,
+    channels: int = 1,
+    warmup: int = 5,
+    rounds: int = 10,
+) -> float:
+    """Mean milliseconds per round of the native averager (CPU baseline row)."""
+    lib = load()
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    out = np.empty_like(samples)
+    return float(
+        lib.dsp_bench_moving_average(
+            _i16ptr(samples), _i16ptr(out), samples.size, channels, window,
+            warmup, rounds,
+        )
+    )

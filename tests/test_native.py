@@ -1,0 +1,76 @@
+"""Native C++ runtime: codec parity with the Python codec, averager parity
+with the golden model, CLI contract."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from digital_signal_processsing_tpu.golden import moving_average_golden
+from digital_signal_processsing_tpu.io import read_wav, write_wav
+from digital_signal_processsing_tpu.io import native
+from tests.conftest import make_interleaved
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def test_native_wav_roundtrip(tmp_path, rng):
+    x = make_interleaved(rng, 5000, 2)
+    p = tmp_path / "n.wav"
+    native.write_wav_native(p, x, 44100, 2)
+    ch, rate, got = native.read_wav_native(p)
+    assert (ch, rate) == (2, 44100)
+    np.testing.assert_array_equal(got, x)
+
+
+def test_native_vs_python_codec(tmp_path, rng):
+    x = make_interleaved(rng, 3000, 2)
+    p1, p2 = tmp_path / "py.wav", tmp_path / "na.wav"
+    write_wav(p1, x, 22050, 2)
+    native.write_wav_native(p2, x, 22050, 2)
+    assert p1.read_bytes() == p2.read_bytes()  # byte-identical files
+    _, _, got = native.read_wav_native(p1)
+    np.testing.assert_array_equal(got, x)
+    info, got2 = read_wav(p2)
+    np.testing.assert_array_equal(got2, x)
+
+
+@pytest.mark.parametrize("window,channels", [(1, 1), (16, 2), (1000, 2)])
+def test_native_averager_parity(rng, window, channels):
+    x = make_interleaved(rng, 5000, channels)
+    got = native.moving_average_native(x, window, channels)
+    np.testing.assert_array_equal(got, moving_average_golden(x, window, channels))
+
+
+def test_native_averager_negative_truncation():
+    x = np.array([-3, 0, 0], dtype=np.int16)
+    got = native.moving_average_native(x, 2, 1)
+    np.testing.assert_array_equal(got, [-1, -1, 0])
+
+
+def test_native_bench_returns_time(rng):
+    x = make_interleaved(rng, 100_000, 2)
+    ms = native.bench_moving_average_native(x, 16, 2, warmup=1, rounds=2)
+    assert ms > 0
+
+
+def test_cli_binary(tmp_path, rng):
+    bench = Path(native._NATIVE_DIR) / "dsp_cpu_bench"
+    if not bench.exists():
+        subprocess.run(["make", "-C", str(native._NATIVE_DIR)], check=True)
+    x = make_interleaved(rng, 10_000, 2)
+    wav = tmp_path / "c.wav"
+    write_wav(wav, x, 44100, 2)
+    r = subprocess.run(
+        [str(bench), str(wav), "16", "256"], capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stderr
+    assert "MSamples/s" in r.stdout
+    # argv contract: bad block size rejected (reference binaries' check)
+    r2 = subprocess.run(
+        [str(bench), str(wav), "16", "33"], capture_output=True, text=True
+    )
+    assert r2.returncode == 1
