@@ -57,13 +57,25 @@ class DspChain:
         self.lo = jnp.asarray(c.lo_frequencies())
 
     @functools.partial(jax.jit, static_argnums=0)
-    def __call__(self, iq: jax.Array) -> jax.Array:
-        """(channels, T) complex64 -> (channels, T // decimation) float32."""
+    def __call__(
+        self,
+        iq: jax.Array,
+        t0: jax.Array | int = 0,
+        lo_freqs: jax.Array | None = None,
+    ) -> jax.Array:
+        """(channels, T) complex64 -> (channels, T // decimation) float32.
+
+        ``t0`` is the global index of the first sample — the LO phase must be
+        absolute so time-sharded shards (parallel/pipeline.py) mix coherently.
+        ``lo_freqs`` overrides the per-channel LO comb (a channel-sharded run
+        passes only its shard's rows).
+        """
         c = self.config
         # per-channel LO mix (lo broadcasts over time)
         t = iq.shape[-1]
-        n = jnp.arange(t, dtype=jnp.float32)
-        lo = jnp.exp(-2j * jnp.pi * self.lo[:, None] * n[None, :])
+        lo_f = self.lo if lo_freqs is None else lo_freqs
+        n = jnp.asarray(t0, jnp.float32) + jnp.arange(t, dtype=jnp.float32)
+        lo = jnp.exp(-2j * jnp.pi * lo_f[:, None] * n[None, :])
         mixed = iq.astype(jnp.complex64) * lo.astype(jnp.complex64)
         # channel-select lowpass: overlap-save on I and Q planes
         fi = fir_overlap_save(jnp.real(mixed), self.channel_taps)

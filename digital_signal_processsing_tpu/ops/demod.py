@@ -19,10 +19,12 @@ def fm_demodulate(iq: jax.Array, gain: float = 1.0) -> jax.Array:
     """Quadrature discriminator: angle(z[n] * conj(z[n-1])) * gain.
 
     The instantaneous frequency of the complex baseband, in radians/sample;
-    the first output sample is 0 (causal: no previous sample).
+    the first output sample is 0 (prev is zero-padded: angle(z*conj(0)) =
+    atan2(0,0) = 0 — the same zero-history convention as every causal stage,
+    which keeps time-sharded halos consistent with the unsharded chain).
     """
     z = iq.astype(jnp.complex64)
-    prev = jnp.pad(z[..., :-1], [(0, 0)] * (z.ndim - 1) + [(1, 0)], constant_values=1)
+    prev = jnp.pad(z[..., :-1], [(0, 0)] * (z.ndim - 1) + [(1, 0)])
     d = z * jnp.conj(prev)
     return jnp.arctan2(jnp.imag(d), jnp.real(d)).astype(jnp.float32) * gain
 

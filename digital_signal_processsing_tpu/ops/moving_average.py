@@ -70,10 +70,13 @@ def moving_average(
             method = "scan"
     if method == "golden":
         return moving_average_golden(np.asarray(x), window, channels)
-    if method == "scan":
-        return scan_averager_pallas(x, window, channels, variant="blelloch")
-    if method == "scan_hillis":
-        return scan_averager_pallas(x, window, channels, variant="hillis_steele")
+    if method in ("scan", "scan_hillis"):
+        variant = "blelloch" if method == "scan" else "hillis_steele"
+        from .pallas_scan import MAX_TILE_ROWS, moving_average_two_pass
+
+        if window * channels > MAX_TILE_ROWS * 128:
+            return moving_average_two_pass(x, window, channels, variant=variant)
+        return scan_averager_pallas(x, window, channels, variant=variant)
     if method == "direct":
         if window > MAX_DIRECT_WINDOW:
             raise ValueError(

@@ -278,6 +278,28 @@ def scan_averager_pallas(
     return layout.unpad_flat(out, n)
 
 
+@functools.partial(jax.jit, static_argnames=("window", "channels", "variant"))
+def moving_average_two_pass(
+    x: jax.Array, window: int, channels: int = 1, *, variant: str = "blelloch"
+) -> jax.Array:
+    """Scan averager for halos too large to keep in one tile's VMEM ring.
+
+    Pass 1: fused Pallas segmented cumsum (int32 modular). Pass 2: the
+    windowed difference + truncating division in XLA, reading the cumsum at
+    two offsets (the reference's standalone averager_kernel,
+    hillis_steele_averager.cu:87-100, as a fused elementwise consumer).
+    Costs one extra int32 round-trip through HBM vs the fused kernel —
+    only used when window*channels > MAX_TILE_ROWS*128.
+    """
+    layout.validate_window(window, MAX_EXACT_WINDOW)
+    halo = window * channels
+    cum = cumsum_pallas(x, channels, variant=variant)
+    shifted = jnp.pad(cum, (halo, 0))[: cum.shape[0]]
+    wsum = cum - shifted
+    q = jnp.abs(wsum) // window
+    return jnp.where(wsum < 0, -q, q).astype(jnp.int16)
+
+
 def _cumsum_kernel(x_ref, o_ref, carry_ref, *, channels, rows, variant):
     t = pl.program_id(0)
 

@@ -131,3 +131,16 @@ def test_auto_falls_back_for_odd_channels(rng):
     x = make_interleaved(rng, 999, 3)
     got = np.asarray(moving_average(x, 10, 3, method="auto"))
     np.testing.assert_array_equal(got, moving_average_golden(x, 10, 3))
+
+
+def test_two_pass_fallback_large_halo(rng):
+    # window*channels > MAX_TILE_ROWS*128 must route through the two-pass
+    # path and stay bit-exact (128 channels, window 4096 -> halo 524288).
+    from digital_signal_processsing_tpu.ops.pallas_scan import MAX_TILE_ROWS
+
+    channels, window = 128, 4096
+    assert window * channels > MAX_TILE_ROWS * 128
+    x = make_interleaved(rng, 6000, channels)
+    want = moving_average_golden(x, window, channels)
+    got = np.asarray(moving_average(x, window, channels, method="scan"))
+    np.testing.assert_array_equal(got, want)

@@ -94,3 +94,52 @@ def test_weak_scaling_shapes(rng, mesh8):
     xd = jax.device_put(x, time_sharding(mesh8))
     out = sharded_moving_average(xd, 16, 2, mesh=mesh8, use_pallas=False)
     assert out.sharding.spec == time_sharding(mesh8).spec
+
+
+def test_sharded_chain_matches_single_device(rng, mesh_2x4):
+    from digital_signal_processsing_tpu.models import ChainConfig, DspChain
+    from digital_signal_processsing_tpu.parallel.pipeline import sharded_chain
+
+    cfg = ChainConfig(channels=4, decimation=4, channel_taps=65, audio_taps=33)
+    chain = DspChain(cfg)
+    t = 1 << 14
+    iq = (
+        rng.normal(size=(4, t)) + 1j * rng.normal(size=(4, t))
+    ).astype(np.complex64)
+    want = np.asarray(chain(iq))
+    got = np.asarray(sharded_chain(chain, iq, mesh_2x4))
+    assert got.shape == want.shape
+    # skip the filter ramp-up: near-zero FM phasors there make angle()
+    # amplify float jitter unboundedly (not a sharding artifact)
+    ramp = (cfg.channel_taps + 8 * cfg.decimation) // cfg.decimation + cfg.audio_taps
+    np.testing.assert_allclose(got[:, ramp:], want[:, ramp:], rtol=1e-3, atol=1e-4)
+    # startup region: identical to single-device within float noise of the
+    # demod inputs (compare energy, not angles)
+    assert np.abs(got[:, :ramp] - want[:, :ramp]).mean() < 0.5
+
+
+def test_sharded_chain_16_channels(rng, mesh8):
+    # BASELINE config 5 shape: 16 channels, time sharded over all devices
+    from digital_signal_processsing_tpu.models import ChainConfig, DspChain
+    from digital_signal_processsing_tpu.parallel.pipeline import sharded_chain
+
+    cfg = ChainConfig(channels=16, decimation=8, channel_taps=129, audio_taps=33)
+    chain = DspChain(cfg)
+    t = 1 << 15
+    iq = (
+        rng.normal(size=(16, t)) + 1j * rng.normal(size=(16, t))
+    ).astype(np.complex64)
+    want = np.asarray(chain(iq))
+    got = np.asarray(sharded_chain(chain, iq, mesh8))
+    ramp = (cfg.channel_taps + 8 * cfg.decimation) // cfg.decimation + cfg.audio_taps
+    np.testing.assert_allclose(got[:, ramp:], want[:, ramp:], rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_chain_validation(rng, mesh8):
+    from digital_signal_processsing_tpu.models import ChainConfig, DspChain
+    from digital_signal_processsing_tpu.parallel.pipeline import sharded_chain
+
+    chain = DspChain(ChainConfig(channels=2, decimation=4, channel_taps=33, audio_taps=17))
+    iq = np.zeros((2, 512), np.complex64)  # 64-sample shards < 132 halo
+    with pytest.raises(ValueError, match="halo|shard|divide"):
+        sharded_chain(chain, iq, mesh8)
