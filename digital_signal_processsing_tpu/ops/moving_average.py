@@ -31,8 +31,9 @@ from .pallas_scan import scan_averager_pallas
 from .scan_xla import moving_average_xla
 
 # Below this window the O(k) direct kernel's passes are cheaper than the
-# scan's ~9 fixed passes (measured crossover on v5e is ~8-12 frames).
-_AUTO_DIRECT_MAX = 8
+# scan's fixed pass count. Measured on v5e, 64M samples: direct w=4
+# 1.96 ms, w=8 2.90 ms vs fused scan 2.55 ms -> crossover between 4 and 8.
+_AUTO_DIRECT_MAX = 4
 
 METHODS = (
     "auto",

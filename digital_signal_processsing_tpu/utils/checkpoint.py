@@ -1,0 +1,51 @@
+"""Checkpoint / resume for long-running work.
+
+The reference's only resume mechanism is the append-mode CSV
+(gpu_utils.h:188) — kept in harness/csvlog.py. This module adds what a
+framework needs beyond that: atomic save/restore of adaptive-filter training
+state (taps + optimizer state + step counter) so interrupted runs resume
+exactly. Plain ``.npz`` with atomic rename — no service dependencies; the
+tree layout is orbax-compatible if a deployment later swaps it in.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def save_training_state(path, taps, opt_state, step: int) -> None:
+    """Atomically persist (taps, optimizer state pytree, step)."""
+    path = Path(path)
+    leaves, treedef = jax.tree.flatten(opt_state)
+    payload = {
+        "taps": np.asarray(taps),
+        "step": np.asarray(step, np.int64),
+        "num_leaves": np.asarray(len(leaves), np.int64),
+        "treedef": np.frombuffer(repr(treedef).encode(), dtype=np.uint8),
+    }
+    for i, leaf in enumerate(leaves):
+        payload[f"leaf_{i}"] = np.asarray(leaf)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+def load_training_state(path, opt_state_template):
+    """Restore (taps, opt_state, step); template supplies the tree structure."""
+    with np.load(Path(path)) as z:
+        taps = z["taps"]
+        step = int(z["step"])
+        n = int(z["num_leaves"])
+        leaves = [z[f"leaf_{i}"] for i in range(n)]
+    _, treedef = jax.tree.flatten(opt_state_template)
+    if treedef.num_leaves != n:
+        raise ValueError(
+            f"checkpoint has {n} leaves, template has {treedef.num_leaves} — "
+            "optimizer mismatch"
+        )
+    return taps, jax.tree.unflatten(treedef, leaves), step

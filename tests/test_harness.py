@@ -89,3 +89,44 @@ def test_generate_wav_roundtrip(tmp_path):
     info, got = read_wav(tmp_path / "g.wav")
     assert info.num_samples == 10_000
     np.testing.assert_array_equal(got, data)
+
+
+def test_checkpoint_resume_training(tmp_path):
+    import jax.numpy as jnp
+    import optax
+
+    from digital_signal_processsing_tpu.models.adaptive import lms_train_step
+    from digital_signal_processsing_tpu.utils.checkpoint import (
+        load_training_state,
+        save_training_state,
+    )
+
+    rng = np.random.default_rng(3)
+    tx = optax.adam(1e-2)
+    taps = jnp.zeros((4,), jnp.float32)
+    opt_state = tx.init(taps)
+    x = jnp.asarray(rng.normal(size=(2, 512)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(2, 512)), jnp.float32)
+
+    # run 3 steps, checkpoint, run 2 more
+    for step in range(3):
+        taps, opt_state, _ = lms_train_step(taps, opt_state, x, d, tx=tx)
+    ckpt = tmp_path / "state.npz"
+    save_training_state(ckpt, taps, opt_state, 3)
+    taps_cont, opt_cont = taps, opt_state
+    for _ in range(2):
+        taps_cont, opt_cont, _ = lms_train_step(taps_cont, opt_cont, x, d, tx=tx)
+
+    # restore and replay the same 2 steps: must match exactly
+    t2, o2, step2 = load_training_state(ckpt, tx.init(jnp.zeros((4,), jnp.float32)))
+    assert step2 == 3
+    t2 = jnp.asarray(t2)
+    for _ in range(2):
+        t2, o2, _ = lms_train_step(t2, o2, x, d, tx=tx)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(taps_cont))
+
+    # mismatched optimizer template rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="leaves"):
+        load_training_state(ckpt, optax.sgd(1e-2).init(jnp.zeros((4,), jnp.float32)))
