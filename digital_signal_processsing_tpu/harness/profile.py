@@ -104,11 +104,18 @@ def time_phases(
     warmup: int = WARMUP_ROUNDS,
     rounds: int = MEASUREMENT_ROUNDS,
     sharding=None,
+    resident: bool = False,
 ) -> ProfileResult:
     """Warmup-then-average phase-split benchmark (benchmark.h:116-132 analog).
 
     Measures init (first h2d + first compiled call) once, then per round:
     h2d staging, compute (block_until_ready), d2h fetch.
+
+    ``resident`` is the TPU analog of the reference's Standard/Unified
+    memory A-B (gpu_utils.h:26-65): ``False`` stages the host buffer every
+    round (Standard/cudaMemcpy analog); ``True`` keeps the input resident on
+    device and re-times only compute+fetch (the serving steady state the
+    Unified zero-copy mode approximated).
     """
     res = ProfileResult()
 
@@ -123,13 +130,15 @@ def time_phases(
     res.initialization_ms = (time.perf_counter() - t0) * 1e3
 
     for _ in range(warmup):
-        dev = put(host_input)
+        if not resident:
+            dev = put(host_input)
         out = jax.block_until_ready(fn(dev))
         np.asarray(out)
 
     for _ in range(rounds):
         t0 = time.perf_counter()
-        dev = jax.block_until_ready(put(host_input))
+        if not resident:
+            dev = jax.block_until_ready(put(host_input))
         t1 = time.perf_counter()
         out = jax.block_until_ready(fn(dev))
         t2 = time.perf_counter()

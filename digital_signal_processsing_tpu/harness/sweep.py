@@ -115,8 +115,12 @@ def run_config(
             moving_average, window=grade, channels=channels, method=variant
         )
 
+    # the reference benchmarks both memory modes back-to-back
+    # (e.g. profilable_sm_averager.cu:76-129): staged then resident
     res = time_phases(fn, samples, warmup=warmup, rounds=rounds)
-    logger.log(variant, "device_put", n, grade, tile_rows or 0, res, 2)
+    logger.log(variant, "staged", n, grade, tile_rows or 0, res, 2)
+    res_r = time_phases(fn, samples, warmup=warmup, rounds=rounds, resident=True)
+    logger.log(variant, "resident", n, grade, tile_rows or 0, res_r, 2)
 
 
 def run_suite(

@@ -75,8 +75,11 @@ class DspChain:
         t = iq.shape[-1]
         lo_f = self.lo if lo_freqs is None else lo_freqs
         n = jnp.asarray(t0, jnp.float32) + jnp.arange(t, dtype=jnp.float32)
-        lo = jnp.exp(-2j * jnp.pi * lo_f[:, None] * n[None, :])
-        mixed = iq.astype(jnp.complex64) * lo.astype(jnp.complex64)
+        # complex constants (1j) and f->c converts are unimplemented on some
+        # PJRT backends; build complex values with lax.complex throughout
+        theta = -2.0 * jnp.pi * lo_f[:, None] * n[None, :]
+        lo = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+        mixed = iq * lo
         # channel-select lowpass: overlap-save on I and Q planes
         fi = fir_overlap_save(jnp.real(mixed), self.channel_taps)
         fq = fir_overlap_save(jnp.imag(mixed), self.channel_taps)
@@ -84,8 +87,29 @@ class DspChain:
         di = decimate(fi, c.decimation)
         dq = decimate(fq, c.decimation)
         # FM discriminator + audio lowpass
-        audio = fm_demodulate(di + 1j * dq, gain=c.fm_gain)
+        audio = fm_demodulate(jax.lax.complex(di, dq), gain=c.fm_gain)
         return fir_direct(audio, self.audio_taps)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def forward_planar(
+        self,
+        i: jax.Array,
+        q: jax.Array,
+        t0: jax.Array | int = 0,
+        lo_freqs: jax.Array | None = None,
+    ) -> jax.Array:
+        """Forward from separate I/Q float32 planes.
+
+        Host<->device transfer of complex64 is not implemented on some PJRT
+        backends (e.g. the axon tunnel); staging the two real planes and
+        forming the complex baseband on device sidesteps that while keeping
+        the on-device math identical.
+        """
+        return self(
+            jax.lax.complex(i.astype(jnp.float32), q.astype(jnp.float32)),
+            t0=t0,
+            lo_freqs=lo_freqs,
+        )
 
     def example_input(self, t: int = 1 << 16, seed: int = 0) -> np.ndarray:
         rng = np.random.default_rng(seed)
@@ -93,3 +117,13 @@ class DspChain:
         return (
             rng.normal(size=shape) + 1j * rng.normal(size=shape)
         ).astype(np.complex64)
+
+    def example_planar_input(
+        self, t: int = 1 << 16, seed: int = 0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        rng = np.random.default_rng(seed)
+        shape = (self.config.channels, t)
+        return (
+            rng.normal(size=shape).astype(np.float32),
+            rng.normal(size=shape).astype(np.float32),
+        )

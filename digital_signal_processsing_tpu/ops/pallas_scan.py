@@ -147,9 +147,69 @@ def _tile_cumsum_hillis_steele(xi, channels: int):
     return v
 
 
+_MXU_BLOCK = 128  # rows per MXU scan block; 128*32768 = 2^22 < 2^24 (f32-exact)
+
+
+def _tile_cumsum_mxu(xi, channels: int):
+    """MXU-offloaded segmented cumsum — the speed-of-light variant.
+
+    The insight: block-local prefix sums of raw int16 samples are bounded by
+    128 * 32768 = 2^22 < 2^24, so f32 MXU matmuls against 0/1 triangular
+    matrices compute them EXACTLY. Per 128-row block B of the tile:
+
+        Y = B @ U_C     per-row segmented lane-cumsum
+                        (U_C[i,j] = 1 iff j>=i and (j-i)%C==0 — the
+                         stride-starts-at-C trick as a matrix)
+        P = L' @ B      strict column prefix down the rows
+        S = circfold(P) per-channel row-prefix broadcast to every lane:
+                        folding P by circular rolls of 64,32,...,C lanes
+                        leaves each lane with the sum over its channel's
+                        congruence class — no masks, no separate broadcast
+        cum = Y + S + running block carry
+
+    The two heavy O(log n)-pass VPU scans of the blelloch variant become two
+    MXU matmuls (128 MACs/element each); the VPU keeps only the 6-pass fold
+    and the combine. Bit-identical output to the other variants.
+    """
+    rows = xi.shape[0]
+    assert rows % _MXU_BLOCK == 0
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (_MXU_BLOCK, _MXU_BLOCK), 0)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (_MXU_BLOCK, _MXU_BLOCK), 1)
+    u_c = ((r2 >= r1) & ((r2 - r1) % channels == 0)).astype(jnp.float32)
+    l_strict = (r2 < r1).astype(jnp.float32)
+
+    out = []
+    carry = jnp.zeros((1, LANES), jnp.int32)
+    for b in range(rows // _MXU_BLOCK):
+        blk = xi[b * _MXU_BLOCK : (b + 1) * _MXU_BLOCK, :].astype(jnp.float32)
+        y = jnp.dot(blk, u_c, preferred_element_type=jnp.float32).astype(jnp.int32)
+        p = jnp.dot(l_strict, blk, preferred_element_type=jnp.float32).astype(
+            jnp.int32
+        )
+        s = p
+        f = LANES // 2
+        while f >= channels:  # circular fold: lane l accumulates its class
+            s = s + pltpu.roll(s, f, axis=1)
+            f //= 2
+        cum = y + s + carry
+        # block carry: every lane already holds its channel's running total
+        # in the last row's fold... no — the fold of P excludes the last
+        # row's own values; the true carry is the last row of cum broadcast
+        # per channel, which circfold of the tail-masked last row provides.
+        last = _tail_mask(cum[_MXU_BLOCK - 1 :, :], channels)
+        f = LANES // 2
+        while f >= channels:
+            last = last + pltpu.roll(last, f, axis=1)
+            f //= 2
+        carry = last
+        out.append(cum)
+    return jnp.concatenate(out, axis=0)
+
+
 _TILE_SCANS = {
     "blelloch": _tile_cumsum_blelloch,
     "hillis_steele": _tile_cumsum_hillis_steele,
+    "mxu": _tile_cumsum_mxu,
 }
 
 

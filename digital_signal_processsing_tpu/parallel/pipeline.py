@@ -89,3 +89,20 @@ def sharded_chain(
         check_vma=False,
     )
     return fn(iq, chain.lo)
+
+
+def sharded_chain_planar(
+    chain: DspChain, i: jax.Array, q: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """sharded_chain from separate I/Q float32 planes (transfer-safe: some
+    PJRT backends can't stage complex64 host<->device)."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(i, q):
+        return sharded_chain(
+            chain,
+            jax.lax.complex(i.astype(jnp.float32), q.astype(jnp.float32)),
+            mesh,
+        )
+
+    return run(i, q)

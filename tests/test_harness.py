@@ -77,9 +77,12 @@ def test_smoke_sweep(tmp_path):
     )
     assert fails == 0
     lines = out.read_text().strip().split("\n")
-    assert len(lines) == 4  # header + 3 variants
+    # header + 2 device variants x 2 memory modes + golden_cpu
+    assert len(lines) == 6
     algos = {l.split(",")[0] for l in lines[1:]}
     assert algos == {"xla_scan", "scan", "golden_cpu"}
+    modes = {l.split(",")[1] for l in lines[1:]}
+    assert modes == {"staged", "resident", "RAM"}
 
 
 def test_generate_wav_roundtrip(tmp_path):
