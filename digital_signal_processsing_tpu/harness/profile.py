@@ -161,3 +161,17 @@ def benchmark(
     for _ in range(rounds):
         fn()
     return (time.perf_counter() - t0) * 1e3 / rounds
+
+
+def trace(fn: Callable[[], object], trace_dir: str, *, warmup: int = 1) -> None:
+    """Capture a jax.profiler trace of one execution of ``fn``.
+
+    The deep-profiling path (the reference pointed users at Nsight Systems,
+    README.md:10; on TPU the equivalent is a profiler trace viewed in
+    XProf/TensorBoard). Warms up first so the trace shows steady-state
+    execution, not compilation.
+    """
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    with jax.profiler.trace(trace_dir):
+        jax.block_until_ready(fn())

@@ -10,6 +10,7 @@ Methods:
 - ``auto``            regime-split dispatch (default)
 - ``scan``            fused Pallas scan + windowed diff (Blelloch in-tile)
 - ``scan_hillis``     same, literal stride-doubling in-tile scan
+- ``scan_mxu``        same, exact bf16-limb MXU-matmul in-tile scan
 - ``direct``          Pallas k-shifted-adds kernel (small windows)
 - ``xla_scan``        jnp.cumsum anchor (no Pallas)
 - ``xla_direct``      lax.reduce_window anchor (no Pallas)
@@ -39,6 +40,7 @@ METHODS = (
     "auto",
     "scan",
     "scan_hillis",
+    "scan_mxu",
     "direct",
     "xla_scan",
     "xla_direct",
@@ -71,8 +73,9 @@ def moving_average(
             method = "scan"
     if method == "golden":
         return moving_average_golden(np.asarray(x), window, channels)
-    if method in ("scan", "scan_hillis"):
-        variant = "blelloch" if method == "scan" else "hillis_steele"
+    if method in ("scan", "scan_hillis", "scan_mxu"):
+        variant = {"scan": "blelloch", "scan_hillis": "hillis_steele",
+                   "scan_mxu": "mxu"}[method]
         from .pallas_scan import MAX_TILE_ROWS, moving_average_two_pass
 
         if window * channels > MAX_TILE_ROWS * 128:

@@ -151,11 +151,12 @@ _MXU_BLOCK = 128  # rows per MXU scan block; 128*32768 = 2^22 < 2^24 (f32-exact)
 
 
 def _tile_cumsum_mxu(xi, channels: int):
-    """MXU-offloaded segmented cumsum — the speed-of-light variant.
+    """MXU-offloaded segmented cumsum (exact bf16 8-bit-limb matmuls).
 
-    The insight: block-local prefix sums of raw int16 samples are bounded by
-    128 * 32768 = 2^22 < 2^24, so f32 MXU matmuls against 0/1 triangular
-    matrices compute them EXACTLY. Per 128-row block B of the tile:
+    Samples split into exact 8-bit limbs (x = hi*256 + lo, both exact in
+    bfloat16; f32 accumulation of <=128 terms of |v|<=255 is exact), so
+    full-rate bf16 MXU matmuls against 0/1 triangular matrices compute
+    block-local prefix sums EXACTLY. Per 128-row block B of the tile:
 
         Y = B @ U_C     per-row segmented lane-cumsum
                         (U_C[i,j] = 1 iff j>=i and (j-i)%C==0 — the
@@ -167,23 +168,36 @@ def _tile_cumsum_mxu(xi, channels: int):
                         congruence class — no masks, no separate broadcast
         cum = Y + S + running block carry
 
-    The two heavy O(log n)-pass VPU scans of the blelloch variant become two
-    MXU matmuls (128 MACs/element each); the VPU keeps only the 6-pass fold
-    and the combine. Bit-identical output to the other variants.
+    The two heavy O(log n)-pass VPU scans of the blelloch variant become
+    four bf16 matmuls (128 MACs/element each); the VPU keeps the limb
+    split/recombine, the 6-pass fold and the combine. Bit-identical output
+    to the other variants. Measured on v5e (64M samples, k=1024): 19.8 GS/s
+    — the 128x128 matmuls underutilize the MXU, so the VPU ``blelloch``
+    variant (25.1 GS/s) remains the default; kept as the exact-MXU-scan
+    reference implementation.
     """
     rows = xi.shape[0]
     assert rows % _MXU_BLOCK == 0
     r1 = jax.lax.broadcasted_iota(jnp.int32, (_MXU_BLOCK, _MXU_BLOCK), 0)
     r2 = jax.lax.broadcasted_iota(jnp.int32, (_MXU_BLOCK, _MXU_BLOCK), 1)
-    u_c = ((r2 >= r1) & ((r2 - r1) % channels == 0)).astype(jnp.float32)
-    l_strict = (r2 < r1).astype(jnp.float32)
+    u_c = ((r2 >= r1) & ((r2 - r1) % channels == 0)).astype(jnp.bfloat16)
+    l_strict = (r2 < r1).astype(jnp.bfloat16)
+
+    def mm(a, b):
+        # bf16 x bf16 -> f32 runs the MXU at full rate; inputs are 8-bit
+        # limbs (|v| <= 255, exact in bf16) and accumulation is exact in f32
+        # (sums <= 128*255 < 2^24), so the result is an exact integer.
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     out = []
     carry = jnp.zeros((1, LANES), jnp.int32)
     for b in range(rows // _MXU_BLOCK):
-        blk = xi[b * _MXU_BLOCK : (b + 1) * _MXU_BLOCK, :].astype(jnp.float32)
-        y = jnp.dot(blk, u_c, preferred_element_type=jnp.float32).astype(jnp.int32)
-        p = jnp.dot(l_strict, blk, preferred_element_type=jnp.float32).astype(
+        blk = xi[b * _MXU_BLOCK : (b + 1) * _MXU_BLOCK, :]
+        # exact 8-bit limb split: x = hi*256 + lo, hi in [-128,127], lo in [0,255]
+        hi = jnp.right_shift(blk, 8).astype(jnp.bfloat16)
+        lo = jnp.bitwise_and(blk, 255).astype(jnp.bfloat16)
+        y = mm(hi, u_c).astype(jnp.int32) * 256 + mm(lo, u_c).astype(jnp.int32)
+        p = mm(l_strict, hi).astype(jnp.int32) * 256 + mm(l_strict, lo).astype(
             jnp.int32
         )
         s = p

@@ -1,0 +1,96 @@
+"""Stateful streaming: process unbounded streams chunk-by-chunk, exactly.
+
+The reference processes one whole WAV per run; a production deployment
+filters an unbounded stream in chunks. These ops carry explicit state
+across chunks so the chunked output is bit-exact with processing the
+concatenated stream in one shot — the same carry/halo math as the
+multi-device layer (parallel/), applied across time instead of across chips.
+
+All state is a pytree of arrays, so the step functions jit cleanly and can
+be scanned (`jax.lax.scan`) over pre-chunked batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.numerics import MAX_EXACT_WINDOW, trunc_div
+from ..utils import layout
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MovingAverageState:
+    """Carry for the streaming averager: the last window*channels raw
+    samples (the causal halo) — zeros at stream start (gpu_utils.h:112-114's
+    zeroed prefix, carried through time)."""
+
+    tail: jax.Array  # (window*channels,) int16
+
+
+def moving_average_init(window: int, channels: int = 1) -> MovingAverageState:
+    layout.validate_window(window, MAX_EXACT_WINDOW)
+    return MovingAverageState(tail=jnp.zeros((window * channels,), jnp.int16))
+
+
+@functools.partial(jax.jit, static_argnames=("window", "channels"))
+def moving_average_chunk(
+    state: MovingAverageState,
+    x: jax.Array,
+    window: int,
+    channels: int = 1,
+) -> tuple[MovingAverageState, jax.Array]:
+    """One chunk of the causal moving average (any whole-frame chunk length).
+
+    Bit-exact with the one-shot op on the concatenated stream."""
+    halo = window * channels
+    n = x.shape[0]
+    ext = jnp.concatenate([state.tail, x])
+    # sliding recurrence: window sums are the per-channel cumsum of the
+    # difference signal d[i] = x[i] - x[i-halo], plus the carry-in sums
+    d = (ext[halo:].astype(jnp.int32) - ext[:-halo].astype(jnp.int32)).reshape(
+        -1, channels
+    )
+    # carry-in window sums: sums over the tail's last `window` frames
+    tail_f = state.tail.astype(jnp.int32).reshape(-1, channels)
+    wsum0 = jnp.sum(tail_f, axis=0)  # (C,): window sum just before chunk
+    wsum = jnp.cumsum(d, axis=0) + wsum0[None, :]
+    out = trunc_div(wsum, window).astype(jnp.int16).reshape(-1)
+    new_tail = ext[n:]  # last halo samples of the extended stream
+    return MovingAverageState(tail=new_tail), out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FirState:
+    """Carry for streaming FIR: the last taps-1 input samples per channel."""
+
+    tail: jax.Array  # (channels, taps-1) float32
+
+
+def fir_init(num_taps: int, channels: int = 1) -> FirState:
+    return FirState(tail=jnp.zeros((channels, max(num_taps - 1, 0)), jnp.float32))
+
+
+@jax.jit
+def fir_chunk(
+    state: FirState, x: jax.Array, taps: jax.Array
+) -> tuple[FirState, jax.Array]:
+    """One chunk of a causal FIR over (channels, chunk_len) float32."""
+    from .fir import fir_direct
+
+    k = taps.shape[0]
+    squeeze = x.ndim == 1
+    xp = x[None, :] if squeeze else x
+    if k > 1:
+        ext = jnp.concatenate([state.tail, xp.astype(jnp.float32)], axis=-1)
+        y = fir_direct(ext, taps)[..., k - 1 :]
+        new_tail = ext[..., ext.shape[-1] - (k - 1) :]
+    else:
+        y = fir_direct(xp, taps)
+        new_tail = state.tail
+    return FirState(tail=new_tail), (y[0] if squeeze else y)

@@ -143,3 +143,23 @@ def test_sharded_chain_validation(rng, mesh8):
     iq = np.zeros((2, 512), np.complex64)  # 64-sample shards < 132 halo
     with pytest.raises(ValueError, match="halo|shard|divide"):
         sharded_chain(chain, iq, mesh8)
+
+
+def test_pipelined_fir_cascade(rng, mesh8):
+    # PP: 8 FIR stages, one per device, GPipe microbatch schedule; result
+    # equals the sequential cascade over the unchunked stream.
+    from digital_signal_processsing_tpu.parallel.pipeline_parallel import (
+        pipelined_fir_cascade,
+    )
+
+    s, k, c, m, L = 8, 17, 2, 6, 512
+    stage_taps = rng.normal(size=(s, k)).astype(np.float32) * 0.3
+    x = rng.normal(size=(c, m * L)).astype(np.float32)
+    want = x
+    for i in range(s):
+        want = np.asarray(fir_direct(want, stage_taps[i]))
+    got = np.asarray(
+        pipelined_fir_cascade(x.reshape(c, m, L).transpose(1, 0, 2), stage_taps, mesh=mesh8)
+    )
+    got_stream = got.transpose(1, 0, 2).reshape(c, m * L)
+    np.testing.assert_allclose(got_stream, want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,60 @@
+"""Streaming ops: chunked processing == one-shot processing, bit-exact."""
+
+import numpy as np
+import pytest
+
+from digital_signal_processsing_tpu.golden import moving_average_golden
+from digital_signal_processsing_tpu.ops.fir import design_lowpass, fir_direct
+from digital_signal_processsing_tpu.ops.streaming import (
+    fir_chunk,
+    fir_init,
+    moving_average_chunk,
+    moving_average_init,
+)
+from tests.conftest import make_interleaved
+
+
+@pytest.mark.parametrize("window,channels", [(16, 2), (300, 2), (7, 1)])
+def test_streaming_average_matches_one_shot(rng, window, channels):
+    x = make_interleaved(rng, 5000, channels)
+    want = moving_average_golden(x, window, channels)
+    state = moving_average_init(window, channels)
+    outs = []
+    # uneven chunk sizes, including one smaller than the halo
+    bounds = [0, 100 * channels, 700 * channels, 1500 * channels, x.size]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        state, y = moving_average_chunk(state, x[a:b], window, channels)
+        outs.append(np.asarray(y))
+    np.testing.assert_array_equal(np.concatenate(outs), want)
+
+
+def test_streaming_average_scan_compatible(rng):
+    # state threads through jax.lax.scan over equal chunks
+    import jax
+    import jax.numpy as jnp
+
+    window, channels = 32, 2
+    x = make_interleaved(rng, 4096, channels)
+    chunks = jnp.asarray(x.reshape(8, -1))
+
+    def step(state, chunk):
+        state, y = moving_average_chunk(state, chunk, window, channels)
+        return state, y
+
+    _, ys = jax.lax.scan(step, moving_average_init(window, channels), chunks)
+    got = np.asarray(ys).reshape(-1)
+    np.testing.assert_array_equal(got, moving_average_golden(x, window, channels))
+
+
+@pytest.mark.parametrize("k", [1, 33, 129])
+def test_streaming_fir_matches_one_shot(rng, k):
+    x = rng.normal(size=(3, 4000)).astype(np.float32)
+    taps = design_lowpass(k, 0.3) if k > 1 else np.ones(1, np.float32)
+    want = np.asarray(fir_direct(x, taps))
+    state = fir_init(k, 3)
+    outs = []
+    for a, b in [(0, 500), (500, 2100), (2100, 4000)]:
+        state, y = fir_chunk(state, x[:, a:b], taps)
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
