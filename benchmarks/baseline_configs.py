@@ -141,8 +141,9 @@ def config4_sharded_scan(n=64_000_000):
     per = _diff_time(
         lambda y: sharded_moving_average(y, 1024, 2, mesh=mesh, use_pallas=use_pallas),
         xd,
-        k1=2,
-        k2=6,
+        k1=4,
+        k2=16,
+        repeats=5,
     )
     return {
         "config": "sharded_scan_64M_k1024",

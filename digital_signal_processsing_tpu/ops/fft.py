@@ -29,8 +29,9 @@ def stft(
     xp = x if x.ndim == 2 else x[None, :]
     c, t = xp.shape
     nframes = max(0, (t - nfft) // hop + 1)
-    idx = np.arange(nframes)[:, None] * hop + np.arange(nfft)[None, :]
-    segs = xp[:, idx].astype(jnp.float32)
+    from ..utils.layout import overlapping_frames
+
+    segs = overlapping_frames(xp.astype(jnp.float32), nframes, hop, nfft)
     if window == "hann":
         w = jnp.asarray(np.hanning(nfft).astype(np.float32))
     elif window == "rect":

@@ -76,10 +76,11 @@ def fir_overlap_save(x: jax.Array, taps: jax.Array, *, block: int | None = None)
     # left halo of k-1 zeros + right pad to whole blocks
     pad_r = nblocks * L - t
     xpad = jnp.pad(xp.astype(jnp.float32), ((0, 0), (k - 1, pad_r + (nfft - L - (k - 1)))))
-    # segment i covers [i*L, i*L + nfft) of the padded stream
-    starts = np.arange(nblocks) * L
-    idx = starts[:, None] + np.arange(nfft)[None, :]
-    segs = xpad[:, idx]  # (c, nblocks, nfft)
+    # segment i covers [i*L, i*L + nfft) of the padded stream — built from
+    # shifted reshapes, never a gather (utils.layout.overlapping_frames)
+    from ..utils.layout import overlapping_frames
+
+    segs = overlapping_frames(xpad, nblocks, L, nfft)  # (c, nblocks, nfft)
     H = jnp.fft.rfft(taps.astype(jnp.float32), n=nfft)
     Y = jnp.fft.irfft(jnp.fft.rfft(segs, axis=-1) * H, n=nfft, axis=-1)
     y = Y[:, :, k - 1 : k - 1 + L].reshape(c, nblocks * L)[:, :t]

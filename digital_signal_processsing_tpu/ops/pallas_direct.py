@@ -86,6 +86,12 @@ def direct_averager_pallas(
     """Causal moving average via k shifted adds (small-window fast path)."""
     layout.validate_window(window, MAX_DIRECT_WINDOW)
     halo = window * channels
+    if tile_rows is None:
+        # O(k) unrolled shifted adds: on big tiles the Mosaic compiler blows
+        # up on the unrolled slice chain (observed: w=64 at 1024 rows fails
+        # to compile); 256 rows compiles across the whole window range and
+        # measured fastest for the small windows this kernel serves.
+        tile_rows = max(256, layout.round_up(halo, 16 * layout.LANES) // layout.LANES)
     rows = _pick_tile_rows(halo, tile_rows)
     x2d, n = layout.pad_flat_to_tiles(x, rows)
 
