@@ -15,10 +15,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-fft = jax.jit(jnp.fft.fft)
-ifft = jax.jit(jnp.fft.ifft)
-rfft = jax.jit(jnp.fft.rfft)
-irfft = jax.jit(jnp.fft.irfft)
+@functools.partial(jax.jit, static_argnames=("n", "axis"))
+def fft(a, n=None, axis=-1):
+    return jnp.fft.fft(a, n=n, axis=axis)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "axis"))
+def ifft(a, n=None, axis=-1):
+    return jnp.fft.ifft(a, n=n, axis=axis)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "axis"))
+def rfft(a, n=None, axis=-1):
+    return jnp.fft.rfft(a, n=n, axis=axis)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "axis"))
+def irfft(a, n=None, axis=-1):
+    return jnp.fft.irfft(a, n=n, axis=axis)
 
 
 @functools.partial(jax.jit, static_argnames=("nfft", "hop", "window"))

@@ -58,10 +58,15 @@ def _shard_body(
     return out[:, halo // d :]
 
 
+@functools.partial(jax.jit, static_argnames=("chain", "mesh"))
 def sharded_chain(
     chain: DspChain, iq: jax.Array, mesh: Mesh
 ) -> jax.Array:
-    """Run the flagship chain with channels over ``ch`` and time over ``t``."""
+    """Run the flagship chain with channels over ``ch`` and time over ``t``.
+
+    ``chain`` and ``mesh`` are static (hashed by identity): reuse the same
+    objects across calls or every call re-traces.
+    """
     c = chain.config
     ndev_t = mesh.shape[TIME_AXIS]
     ndev_c = mesh.shape[CHANNEL_AXIS]
@@ -91,18 +96,15 @@ def sharded_chain(
     return fn(iq, chain.lo)
 
 
+@functools.partial(jax.jit, static_argnames=("chain", "mesh"))
 def sharded_chain_planar(
     chain: DspChain, i: jax.Array, q: jax.Array, mesh: Mesh
 ) -> jax.Array:
     """sharded_chain from separate I/Q float32 planes (transfer-safe: some
-    PJRT backends can't stage complex64 host<->device)."""
-
-    @functools.partial(jax.jit, static_argnums=())
-    def run(i, q):
-        return sharded_chain(
-            chain,
-            jax.lax.complex(i.astype(jnp.float32), q.astype(jnp.float32)),
-            mesh,
-        )
-
-    return run(i, q)
+    PJRT backends can't stage complex64 host<->device). ``chain``/``mesh``
+    are static — reuse the same objects across calls."""
+    return sharded_chain(
+        chain,
+        jax.lax.complex(i.astype(jnp.float32), q.astype(jnp.float32)),
+        mesh,
+    )
