@@ -38,6 +38,11 @@ class ChainConfig:
     channel_taps: int = 257  # channel-select lowpass (overlap-save regime)
     audio_taps: int = 63  # post-demod audio lowpass (direct regime)
     fm_gain: float = 1.0
+    # fuse channel-select + anti-alias + downsample into ONE polyphase
+    # decimating FIR (the classic channelizer frontend): halves filter work
+    # at identical selectivity. False keeps the explicit two-stage pipeline
+    # (BASELINE.json names both stages, so that is the reference shape).
+    fused_frontend: bool = False
 
     def lo_frequencies(self) -> np.ndarray:
         """Default LO comb: evenly spaced channels in (-0.4, 0.4) cyc/sample."""
@@ -80,12 +85,17 @@ class DspChain:
         theta = -2.0 * jnp.pi * lo_f[:, None] * n[None, :]
         lo = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
         mixed = iq * lo
-        # channel-select lowpass: overlap-save on I and Q planes
-        fi = fir_overlap_save(jnp.real(mixed), self.channel_taps)
-        fq = fir_overlap_save(jnp.imag(mixed), self.channel_taps)
-        # polyphase decimate both planes (own anti-alias taps)
-        di = decimate(fi, c.decimation)
-        dq = decimate(fq, c.decimation)
+        if c.fused_frontend:
+            # one polyphase decimating FIR does select + anti-alias + drop
+            di = decimate(jnp.real(mixed), c.decimation, taps=self.channel_taps)
+            dq = decimate(jnp.imag(mixed), c.decimation, taps=self.channel_taps)
+        else:
+            # channel-select lowpass: overlap-save on I and Q planes
+            fi = fir_overlap_save(jnp.real(mixed), self.channel_taps)
+            fq = fir_overlap_save(jnp.imag(mixed), self.channel_taps)
+            # polyphase decimate both planes (own anti-alias taps)
+            di = decimate(fi, c.decimation)
+            dq = decimate(fq, c.decimation)
         # FM discriminator + audio lowpass
         audio = fm_demodulate(jax.lax.complex(di, dq), gain=c.fm_gain)
         return fir_direct(audio, self.audio_taps)

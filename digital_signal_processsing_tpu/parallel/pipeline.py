@@ -33,9 +33,12 @@ def chain_halo(chain: DspChain) -> int:
     grid (so every shard's polyphase phase matches the unsharded run)."""
     c = chain.config
     k_chan = int(chain.channel_taps.shape[0])
-    k_dec = 8 * c.decimation  # decimate()'s default taps_per_phase * D
     k_audio = int(chain.audio_taps.shape[0])
-    h = (k_chan - 1) + (k_dec - 1) + c.decimation + (k_audio - 1) * c.decimation
+    if c.fused_frontend:
+        h = (k_chan - 1) + c.decimation + (k_audio - 1) * c.decimation
+    else:
+        k_dec = 8 * c.decimation  # decimate()'s default taps_per_phase * D
+        h = (k_chan - 1) + (k_dec - 1) + c.decimation + (k_audio - 1) * c.decimation
     return round_up(h, c.decimation)
 
 

@@ -106,3 +106,46 @@ def test_sharded_train_step_matches_single_device():
     )
     # same data order, same optimizer: sharded == single-device (float tol)
     np.testing.assert_allclose(taps_sh, taps_1d, atol=1e-5)
+
+
+def test_fused_frontend_chain():
+    # same tone-recovery behavior with the fused polyphase channelizer
+    cfg = ChainConfig(
+        channels=4, decimation=4, channel_taps=64, audio_taps=33,
+        fused_frontend=True,
+    )
+    chain = DspChain(cfg)
+    t = 1 << 14
+    msg_f = 0.002
+    n = np.arange(t)
+    msg = np.sin(2 * np.pi * msg_f * n).astype(np.float32)
+    iq_base = np.asarray(fm_modulate(msg, deviation=0.05))
+    lo = cfg.lo_frequencies()
+    rng = np.random.default_rng(0)
+    iq = (0.01 * (rng.normal(size=(4, t)) + 1j * rng.normal(size=(4, t)))).astype(
+        np.complex64
+    )
+    iq[2] += iq_base * np.exp(2j * np.pi * lo[2] * n)
+    out = np.asarray(chain(iq))
+    seg = out[2, 200:]
+    spec = np.abs(np.fft.rfft(seg - seg.mean()))
+    peak = np.argmax(spec)
+    assert abs(peak - msg_f * 4 * seg.shape[0]) < 3
+
+
+def test_fused_chain_sharded_parity(rng):
+    from digital_signal_processsing_tpu.parallel import make_mesh
+    from digital_signal_processsing_tpu.parallel.pipeline import sharded_chain
+
+    mesh = make_mesh(n_time=4, n_channel=2)
+    cfg = ChainConfig(
+        channels=4, decimation=4, channel_taps=64, audio_taps=33,
+        fused_frontend=True,
+    )
+    chain = DspChain(cfg)
+    t = 1 << 14
+    iq = (rng.normal(size=(4, t)) + 1j * rng.normal(size=(4, t))).astype(np.complex64)
+    want = np.asarray(chain(iq))
+    got = np.asarray(sharded_chain(chain, iq, mesh))
+    ramp = (cfg.channel_taps + 8 * cfg.decimation) // cfg.decimation + cfg.audio_taps
+    np.testing.assert_allclose(got[:, ramp:], want[:, ramp:], rtol=1e-3, atol=1e-4)
