@@ -1,0 +1,121 @@
+"""Streaming multi-file WAV data loader with background prefetch.
+
+The serving-side input pipeline the reference's one-WAV-per-run design
+implies but never built: iterate fixed-size interleaved chunks across a
+list of WAV files as one continuous stream (file boundaries are seamless,
+matching how the streaming ops carry state), decode on a background thread,
+and optionally stage to device one step ahead so host IO overlaps TPU
+compute. Uses the native C++ codec when built, NumPy otherwise.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from .wav import read_wav
+
+
+def _read(path) -> tuple[int, int, np.ndarray]:
+    try:
+        from . import native
+
+        if native.available():
+            ch, rate, data = native.read_wav_native(path)
+            return ch, rate, data
+    except Exception:
+        pass
+    info, data = read_wav(path)
+    return info.num_channels, info.sample_rate, data
+
+
+class WavChunkLoader:
+    """Iterate fixed-size chunks over a list of WAVs as one stream.
+
+    Yields int16 arrays of exactly ``chunk_samples`` (interleaved); the
+    final partial chunk is zero-padded unless ``drop_remainder``. All files
+    must share the channel count; sample-rate mismatches raise unless
+    ``allow_rate_mismatch``.
+    """
+
+    def __init__(
+        self,
+        paths,
+        chunk_samples: int,
+        *,
+        drop_remainder: bool = False,
+        allow_rate_mismatch: bool = False,
+    ):
+        self.paths = [Path(p) for p in paths]
+        if not self.paths:
+            raise ValueError("no input files")
+        if chunk_samples < 1:
+            raise ValueError(f"chunk_samples must be >= 1, got {chunk_samples}")
+        self.chunk_samples = chunk_samples
+        self.drop_remainder = drop_remainder
+        self.allow_rate_mismatch = allow_rate_mismatch
+        ch, rate, _ = _read(self.paths[0])
+        self.channels = ch
+        self.sample_rate = rate
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        buf = np.empty(0, np.int16)
+        for p in self.paths:
+            ch, rate, data = _read(p)
+            if ch != self.channels:
+                raise ValueError(
+                    f"{p}: {ch} channels != first file's {self.channels}"
+                )
+            if rate != self.sample_rate and not self.allow_rate_mismatch:
+                raise ValueError(
+                    f"{p}: sample rate {rate} != first file's {self.sample_rate}"
+                )
+            buf = np.concatenate([buf, data]) if buf.size else data
+            while buf.size >= self.chunk_samples:
+                yield buf[: self.chunk_samples]
+                buf = buf[self.chunk_samples :]
+        if buf.size and not self.drop_remainder:
+            out = np.zeros(self.chunk_samples, np.int16)
+            out[: buf.size] = buf
+            yield out
+
+
+def prefetch(iterator, depth: int = 2):
+    """Run an iterator on a background thread with a bounded queue."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def device_chunks(loader, *, sharding=None, depth: int = 2):
+    """Prefetched chunks staged to device (overlaps host IO with compute)."""
+    import jax
+
+    def put(c):
+        return jax.device_put(c, sharding) if sharding is not None else jax.device_put(c)
+
+    for chunk in prefetch(iter(loader), depth=depth):
+        yield put(chunk)

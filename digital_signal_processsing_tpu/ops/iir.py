@@ -1,0 +1,106 @@
+"""IIR filtering — parallelized first/second-order recurrences.
+
+Beyond the reference's FIR-only scope but core to any DSP framework a user
+would switch to. The TPU problem: an IIR is a sequential recurrence, the
+one thing SIMD hates. The TPU answer: linear recurrences compose
+associatively —
+
+    first order:   y[t] = a*y[t-1] + x[t]
+        state maps (a_i, b_i) compose as (a2*a1, a2*b1 + b2), so
+        jax.lax.associative_scan evaluates the whole signal in O(log T)
+        parallel steps on the VPU;
+
+    biquad (direct form II transposed) and any order-N section: the state
+    update is y_t = A @ y_{t-1} + B x_t with a 2x2 (or NxN) A — scanned as
+    (A, b) pairs with matrix composition, still O(log T).
+
+`sosfilt` applies a cascade of second-order sections, matching the
+scipy.signal convention for coefficients (b0,b1,b2,a0=1,a1,a2 per row).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def iir_first_order(x: jax.Array, a: jax.Array | float, b: jax.Array | float = 1.0) -> jax.Array:
+    """y[t] = a*y[t-1] + b*x[t] over the last axis, zero initial state."""
+    xf = x.astype(jnp.float32)
+    a = jnp.asarray(a, jnp.float32)
+    bx = jnp.asarray(b, jnp.float32) * xf
+    a_seq = jnp.broadcast_to(a, xf.shape)
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a2 * a1, a2 * b1 + b2
+
+    _, y = jax.lax.associative_scan(combine, (a_seq, bx), axis=-1)
+    return y
+
+
+def _biquad_scan(x: jax.Array, b: jax.Array, a: jax.Array) -> jax.Array:
+    """One biquad (DF2-transposed) over the last axis via associative scan.
+
+    State s = [s1, s2]:
+        y  = b0*x + s1
+        s1' = b1*x - a1*y + s2
+        s2' = b2*x - a2*y
+    Substituting y gives s' = A s + B x with
+        A = [[-a1, 1], [-a2, 0]],  B = [b1 - a1*b0, b2 - a2*b0].
+    The scan composes (A_t, c_t) affine maps; y is recovered pointwise.
+    """
+    b0, b1, b2 = b[0], b[1], b[2]
+    a1, a2 = a[1], a[2]
+    A = jnp.array([[-a1, 1.0], [-a2, 0.0]], jnp.float32)
+    B = jnp.array([b1 - a1 * b0, b2 - a2 * b0], jnp.float32)
+
+    xf = x.astype(jnp.float32)
+    batch = xf.shape[:-1]
+    t = xf.shape[-1]
+    A_seq = jnp.broadcast_to(A, batch + (t, 2, 2))
+    c_seq = xf[..., None] * B  # (..., t, 2)
+
+    def combine(left, right):
+        A1, c1 = left
+        A2, c2 = right
+        return A2 @ A1, jnp.einsum("...ij,...j->...i", A2, c1) + c2
+
+    _, s_incl = jax.lax.associative_scan(combine, (A_seq, c_seq), axis=-3)
+    # s_incl[t] is the state AFTER consuming x[t]; y[t] needs the state
+    # BEFORE x[t] (zero at t=0)
+    s_prev = jnp.concatenate(
+        [jnp.zeros(batch + (1, 2), jnp.float32), s_incl[..., :-1, :]], axis=-2
+    )
+    return b0 * xf + s_prev[..., 0]
+
+
+@jax.jit
+def sosfilt(sos: jax.Array, x: jax.Array) -> jax.Array:
+    """Cascade of second-order sections (scipy layout: (n, 6), a0 == 1)."""
+    sos = jnp.asarray(sos, jnp.float32)
+    y = x.astype(jnp.float32)
+    for i in range(sos.shape[0]):
+        y = _biquad_scan(y, sos[i, :3], sos[i, 3:])
+    return y
+
+
+def design_biquad_lowpass(cutoff: float, q: float = 0.7071) -> np.ndarray:
+    """RBJ cookbook lowpass biquad; cutoff in (0, 1) Nyquist units.
+
+    Returns one scipy-layout SOS row (1, 6).
+    """
+    if not 0.0 < cutoff < 1.0:
+        raise ValueError(f"cutoff must be in (0,1) of Nyquist, got {cutoff}")
+    w0 = np.pi * cutoff
+    alpha = np.sin(w0) / (2 * q)
+    cw = np.cos(w0)
+    b = np.array([(1 - cw) / 2, 1 - cw, (1 - cw) / 2])
+    a = np.array([1 + alpha, -2 * cw, 1 - alpha])
+    row = np.concatenate([b / a[0], a / a[0]]).astype(np.float32)
+    return row[None, :]

@@ -1,0 +1,79 @@
+"""IIR via associative scan: parity with literal sequential recurrences."""
+
+import numpy as np
+import pytest
+
+from digital_signal_processsing_tpu.ops.iir import (
+    design_biquad_lowpass,
+    iir_first_order,
+    sosfilt,
+)
+
+
+def seq_first_order(x, a, b=1.0):
+    y = np.zeros_like(x, dtype=np.float64)
+    prev = 0.0
+    for t in range(x.shape[-1]):
+        prev = a * prev + b * x[t]
+        y[t] = prev
+    return y
+
+
+def seq_sos(sos, x):
+    y = x.astype(np.float64)
+    for b0, b1, b2, a0, a1, a2 in sos:
+        s1 = s2 = 0.0
+        out = np.zeros_like(y)
+        for t in range(y.shape[-1]):
+            out[t] = b0 * y[t] + s1
+            s1 = b1 * y[t] - a1 * out[t] + s2
+            s2 = b2 * y[t] - a2 * out[t]
+        y = out
+    return y
+
+
+@pytest.mark.parametrize("a", [0.5, -0.3, 0.99])
+def test_first_order_matches_sequential(rng, a):
+    x = rng.normal(size=500).astype(np.float32)
+    got = np.asarray(iir_first_order(x, a, 0.7))
+    want = seq_first_order(x, a, 0.7)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_first_order_batched(rng):
+    x = rng.normal(size=(3, 256)).astype(np.float32)
+    got = np.asarray(iir_first_order(x, 0.9))
+    for c in range(3):
+        np.testing.assert_allclose(
+            got[c], seq_first_order(x[c], 0.9), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_biquad_matches_sequential(rng):
+    sos = design_biquad_lowpass(0.2)
+    x = rng.normal(size=400).astype(np.float32)
+    got = np.asarray(sosfilt(sos, x))
+    want = seq_sos(sos, x)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_sos_cascade(rng):
+    sos = np.vstack([design_biquad_lowpass(0.3), design_biquad_lowpass(0.25, q=1.0)])
+    x = rng.normal(size=(2, 300)).astype(np.float32)
+    got = np.asarray(sosfilt(sos, x))
+    for c in range(2):
+        np.testing.assert_allclose(got[c], seq_sos(sos, x[c]), rtol=1e-3, atol=1e-4)
+
+
+def test_biquad_lowpass_behavior(rng):
+    # DC passes, high frequency is attenuated
+    sos = design_biquad_lowpass(0.1)
+    t = np.arange(4096)
+    dc = np.ones(4096, np.float32)
+    hi = np.sin(2 * np.pi * 0.45 * t).astype(np.float32)
+    y_dc = np.asarray(sosfilt(sos, dc))
+    y_hi = np.asarray(sosfilt(sos, hi))
+    assert abs(y_dc[2000:].mean() - 1.0) < 1e-3
+    assert np.abs(y_hi[2000:]).max() < 0.05
+    with pytest.raises(ValueError):
+        design_biquad_lowpass(1.5)
