@@ -66,6 +66,15 @@ def load(auto_build: bool = True):
         ctypes.c_int32,
         ctypes.c_int32,
     ]
+    lib.dsp_wav_read_many.restype = ctypes.c_int
+    lib.dsp_wav_read_many.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+    ]
     lib.dsp_moving_average.restype = None
     lib.dsp_moving_average.argtypes = [
         ctypes.POINTER(ctypes.c_int16),
@@ -124,6 +133,47 @@ def write_wav_native(path, samples: np.ndarray, sample_rate: int, channels: int)
     )
     if rc != 0:
         raise ValueError(f"{path}: native WAV write failed (rc={rc})")
+
+
+def read_wavs_concat_native(
+    paths, num_threads: int = 8
+) -> tuple[int, int, np.ndarray]:
+    """Decode many WAVs concurrently into one concatenated stream.
+
+    Returns (channels, sample_rate, samples) of the whole stream; all files
+    must share the channel count and rate of the first.
+    """
+    lib = load()
+    paths = [str(p) for p in paths]
+    infos = []
+    for p in paths:
+        ch = ctypes.c_int32()
+        rate = ctypes.c_int32()
+        n = ctypes.c_int64()
+        rc = lib.dsp_wav_info(p.encode(), ch, rate, n)
+        if rc != 0:
+            raise ValueError(f"{p}: native WAV parse failed (rc={rc})")
+        infos.append((ch.value, rate.value, n.value))
+    ch0, rate0 = infos[0][0], infos[0][1]
+    for p, (ch, rate, _) in zip(paths, infos):
+        if ch != ch0 or rate != rate0:
+            raise ValueError(f"{p}: ({ch} ch, {rate} Hz) != first ({ch0}, {rate0})")
+    counts = np.array([i[2] for i in infos], np.int64)
+    offsets = np.zeros_like(counts)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    out = np.empty(int(counts.sum()), np.int16)
+    c_paths = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    ok = lib.dsp_wav_read_many(
+        c_paths,
+        len(paths),
+        _i16ptr(out),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        num_threads,
+    )
+    if ok != len(paths):
+        raise ValueError(f"only {ok}/{len(paths)} files decoded cleanly")
+    return ch0, rate0, out
 
 
 def moving_average_native(

@@ -18,12 +18,14 @@
 //
 // Build: make -C native   (produces libdsp_native.so and dsp_cpu_bench)
 
+#include <atomic>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -112,6 +114,33 @@ int dsp_wav_write(const char* path, const int16_t* samples,
   out.write(reinterpret_cast<const char*>(&h), sizeof(h));
   out.write(reinterpret_cast<const char*>(samples), num_samples * 2);
   return out ? 0 : 2;
+}
+
+// Threaded batch reader: decode n files concurrently into one buffer.
+// offsets[i] is the destination sample offset of file i (caller computes
+// from dsp_wav_info); counts[i] its expected sample count. Returns the
+// number of files read successfully.
+int dsp_wav_read_many(const char** paths, int32_t n, int16_t* out,
+                      const int64_t* offsets, const int64_t* counts,
+                      int32_t num_threads) {
+  if (n <= 0) return 0;
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int32_t> next{0};
+  std::atomic<int32_t> ok{0};
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int64_t got = dsp_wav_read(paths[i], out + offsets[i], counts[i]);
+      if (got == counts[i]) ok.fetch_add(1);
+    }
+  };
+  int32_t t = num_threads < n ? num_threads : n;
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int32_t i = 0; i < t; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok.load();
 }
 
 // Golden serial moving averager over an interleaved int16 stream.

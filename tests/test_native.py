@@ -74,3 +74,25 @@ def test_cli_binary(tmp_path, rng):
         [str(bench), str(wav), "16", "33"], capture_output=True, text=True
     )
     assert r2.returncode == 1
+
+
+def test_threaded_batch_reader(tmp_path, rng):
+    datas, paths = [], []
+    for i, frames in enumerate([500, 1200, 50, 900]):
+        d = make_interleaved(rng, frames, 2)
+        p = tmp_path / f"b{i}.wav"
+        native.write_wav_native(p, d, 44100, 2)
+        datas.append(d)
+        paths.append(p)
+    ch, rate, got = native.read_wavs_concat_native(paths, num_threads=3)
+    assert (ch, rate) == (2, 44100)
+    np.testing.assert_array_equal(got, np.concatenate(datas))
+
+
+def test_threaded_batch_reader_mismatch(tmp_path, rng):
+    p1 = tmp_path / "a.wav"
+    p2 = tmp_path / "b.wav"
+    native.write_wav_native(p1, make_interleaved(rng, 100, 2), 44100, 2)
+    native.write_wav_native(p2, make_interleaved(rng, 100, 1), 44100, 1)
+    with pytest.raises(ValueError):
+        native.read_wavs_concat_native([p1, p2])
