@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.demod import fm_demodulate, frequency_translate
+from ..ops.demod import fm_demodulate
 from ..ops.fir import design_lowpass, fir_overlap_save, fir_direct
 from ..ops.resample import decimate
 

@@ -61,3 +61,30 @@ def power_spectrum(x: jax.Array, *, nfft: int = 1024) -> jax.Array:
     """Mean periodogram over whole frames of the signal."""
     s = stft(x, nfft=nfft, hop=nfft, window="rect")
     return jnp.mean(jnp.abs(s) ** 2, axis=-2)
+
+
+@jax.jit
+def hilbert(x: jax.Array) -> jax.Array:
+    """Analytic signal of a real input (FFT method) over the last axis.
+
+    z = x + i*H(x): zero the negative frequencies, double the positive
+    ones. Complex values are built on-device only (PJRT portability).
+    """
+    t = x.shape[-1]
+    xf = jnp.fft.fft(
+        jax.lax.complex(x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32))
+    )
+    h = np.zeros(t, np.float32)
+    h[0] = 1.0
+    if t % 2 == 0:
+        h[t // 2] = 1.0
+        h[1 : t // 2] = 2.0
+    else:
+        h[1 : (t + 1) // 2] = 2.0
+    return jnp.fft.ifft(xf * jnp.asarray(h))
+
+
+@jax.jit
+def envelope(x: jax.Array) -> jax.Array:
+    """Instantaneous amplitude of a real signal: |hilbert(x)|."""
+    return jnp.abs(hilbert(x)).astype(jnp.float32)

@@ -20,8 +20,6 @@ scipy.signal convention for coefficients (b0,b1,b2,a0=1,a1,a2 per row).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from ..golden import moving_average_golden
-from ..utils.numerics import MAX_EXACT_WINDOW
+from ..utils.numerics import MAX_EXACT_WINDOW  # noqa: F401 (public re-export)
 from .direct_xla import moving_average_reduce_window
 from .pallas_direct import MAX_DIRECT_WINDOW, direct_averager_pallas
 from .pallas_scan import scan_averager_pallas

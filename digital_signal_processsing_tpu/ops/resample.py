@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fir import _as_planar, design_lowpass, fir_filter
+from .fir import _as_planar, design_lowpass
 
 
 @functools.partial(jax.jit, static_argnames=("factor",))

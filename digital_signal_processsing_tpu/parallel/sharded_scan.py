@@ -26,7 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.numerics import MAX_EXACT_WINDOW, trunc_div
 from ..utils import layout

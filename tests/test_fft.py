@@ -66,3 +66,30 @@ def test_power_spectrum_peak(rng):
 def test_stft_rejects_unknown_window(rng):
     with pytest.raises(ValueError):
         stft(rng.normal(size=1024).astype(np.float32), window="kaiser")
+
+
+def test_hilbert_analytic_signal(rng):
+    from digital_signal_processsing_tpu.ops.fft import envelope, hilbert
+
+    # analytic signal of cos is exp(i*theta): envelope 1, imag = sin
+    # (bin-aligned tone: the FFT Hilbert is exact only without leakage)
+    t = np.arange(1024)
+    f = 64 / 1024
+    x = np.cos(2 * np.pi * f * t).astype(np.float32)
+    z = np.asarray(hilbert(x))
+    np.testing.assert_allclose(z.real, x, atol=1e-4)
+    np.testing.assert_allclose(
+        z.imag[32:-32], np.sin(2 * np.pi * f * t)[32:-32], atol=1e-3
+    )
+    env = np.asarray(envelope(x))
+    np.testing.assert_allclose(env[32:-32], 1.0, atol=1e-3)
+
+
+def test_hilbert_odd_length_and_am_envelope(rng):
+    from digital_signal_processsing_tpu.ops.fft import envelope
+
+    t = np.arange(4097)
+    msg = 1.0 + 0.5 * np.sin(2 * np.pi * 0.001 * t)
+    x = (msg * np.cos(2 * np.pi * 0.2 * t)).astype(np.float32)
+    env = np.asarray(envelope(x))
+    np.testing.assert_allclose(env[200:-200], msg[200:-200], rtol=2e-2)

@@ -1,6 +1,5 @@
 """Models: zoo registry, flagship chain, adaptive FIR training."""
 
-import jax
 import numpy as np
 import optax
 import pytest
