@@ -42,7 +42,9 @@ def iir_first_order(x: jax.Array, a: jax.Array | float, b: jax.Array | float = 1
     return y
 
 
-def _biquad_scan(x: jax.Array, b: jax.Array, a: jax.Array) -> jax.Array:
+def _biquad_scan(
+    x: jax.Array, b: jax.Array, a: jax.Array, s0: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array]:
     """One biquad (DF2-transposed) over the last axis via associative scan.
 
     State s = [s1, s2]:
@@ -63,6 +65,11 @@ def _biquad_scan(x: jax.Array, b: jax.Array, a: jax.Array) -> jax.Array:
     t = xf.shape[-1]
     A_seq = jnp.broadcast_to(A, batch + (t, 2, 2))
     c_seq = xf[..., None] * B  # (..., t, 2)
+    if s0 is not None:
+        # fold the incoming state into the first step's offset
+        c_seq = c_seq.at[..., 0, :].add(
+            jnp.einsum("ij,...j->...i", A, s0.astype(jnp.float32))
+        )
 
     def combine(left, right):
         A1, c1 = left
@@ -71,11 +78,14 @@ def _biquad_scan(x: jax.Array, b: jax.Array, a: jax.Array) -> jax.Array:
 
     _, s_incl = jax.lax.associative_scan(combine, (A_seq, c_seq), axis=-3)
     # s_incl[t] is the state AFTER consuming x[t]; y[t] needs the state
-    # BEFORE x[t] (zero at t=0)
-    s_prev = jnp.concatenate(
-        [jnp.zeros(batch + (1, 2), jnp.float32), s_incl[..., :-1, :]], axis=-2
+    # BEFORE x[t] (s0, zero by default, at t=0)
+    first = (
+        jnp.zeros(batch + (1, 2), jnp.float32)
+        if s0 is None
+        else jnp.broadcast_to(s0.astype(jnp.float32), batch + (2,))[..., None, :]
     )
-    return b0 * xf + s_prev[..., 0]
+    s_prev = jnp.concatenate([first, s_incl[..., :-1, :]], axis=-2)
+    return b0 * xf + s_prev[..., 0], s_incl[..., -1, :]
 
 
 @jax.jit
@@ -84,8 +94,32 @@ def sosfilt(sos: jax.Array, x: jax.Array) -> jax.Array:
     sos = jnp.asarray(sos, jnp.float32)
     y = x.astype(jnp.float32)
     for i in range(sos.shape[0]):
-        y = _biquad_scan(y, sos[i, :3], sos[i, 3:])
+        y, _ = _biquad_scan(y, sos[i, :3], sos[i, 3:])
     return y
+
+
+def sosfilt_init(sos, batch_shape=()) -> jax.Array:
+    """Zero streaming state for sosfilt_chunk: (n_sections, *batch, 2)."""
+    n = jnp.asarray(sos).shape[0]
+    return jnp.zeros((n,) + tuple(batch_shape) + (2,), jnp.float32)
+
+
+@jax.jit
+def sosfilt_chunk(
+    state: jax.Array, sos: jax.Array, x: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """One chunk of the SOS cascade with carried per-section state.
+
+    Chunked output is bit-close to one-shot sosfilt on the concatenated
+    stream (float32 scan ordering differences only).
+    """
+    sos = jnp.asarray(sos, jnp.float32)
+    y = x.astype(jnp.float32)
+    new_states = []
+    for i in range(sos.shape[0]):
+        y, s_out = _biquad_scan(y, sos[i, :3], sos[i, 3:], s0=state[i])
+        new_states.append(s_out)
+    return jnp.stack(new_states, axis=0), y
 
 
 def design_biquad_lowpass(cutoff: float, q: float = 0.7071) -> np.ndarray:

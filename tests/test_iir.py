@@ -77,3 +77,18 @@ def test_biquad_lowpass_behavior(rng):
     assert np.abs(y_hi[2000:]).max() < 0.05
     with pytest.raises(ValueError):
         design_biquad_lowpass(1.5)
+
+
+def test_sosfilt_chunked_matches_one_shot(rng):
+    from digital_signal_processsing_tpu.ops.iir import sosfilt_chunk, sosfilt_init
+
+    sos = np.vstack([design_biquad_lowpass(0.2), design_biquad_lowpass(0.15, q=1.2)])
+    x = rng.normal(size=(2, 900)).astype(np.float32)
+    want = np.asarray(sosfilt(sos, x))
+    state = sosfilt_init(sos, batch_shape=(2,))
+    outs = []
+    for a, b in [(0, 100), (100, 512), (512, 900)]:
+        state, y = sosfilt_chunk(state, sos, x[:, a:b])
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
