@@ -37,6 +37,17 @@ def make_mesh(
     )
 
 
+def make_time_mesh(devices=None) -> Mesh:
+    """1-D mesh with ONLY the time axis named.
+
+    Pallas remote DMA (dma_start) currently supports single-named-axis
+    meshes only; the ring kernels (ring_pallas.py) need this shape. The
+    2-D (ch, t) mesh from make_mesh works everywhere else.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (TIME_AXIS,))
+
+
 def time_sharding(mesh: Mesh) -> NamedSharding:
     """Flat stream sharded into contiguous time blocks."""
     return NamedSharding(mesh, P(TIME_AXIS))

@@ -45,7 +45,13 @@ def _local_cumsum(xs: jax.Array, channels: int, use_pallas: bool) -> jax.Array:
 
 
 def _shard_body(
-    xs: jax.Array, *, window: int, channels: int, axis: str, use_pallas: bool
+    xs: jax.Array,
+    *,
+    window: int,
+    channels: int,
+    axis: str,
+    use_pallas: bool,
+    halo_impl: str = "ppermute",
 ) -> jax.Array:
     n_loc = xs.shape[0]
     halo = window * channels
@@ -62,9 +68,14 @@ def _shard_body(
 
     # halo exchange: last `halo` cumsum values -> right neighbor
     tail = cum[n_loc - halo :]
-    left_tail = jax.lax.ppermute(
-        tail, axis, perm=[(d, d + 1) for d in range(ndev - 1)]
-    )  # device 0 gets zeros: the causal zero halo
+    if halo_impl == "pallas_ring":
+        from .ring_pallas import ring_shift_right_shard
+
+        left_tail = ring_shift_right_shard(tail.reshape(1, -1), axis).reshape(-1)
+    else:
+        left_tail = jax.lax.ppermute(
+            tail, axis, perm=[(d, d + 1) for d in range(ndev - 1)]
+        )  # device 0 gets zeros: the causal zero halo
     ext = jnp.concatenate([left_tail, cum])  # (halo + n_loc,)
     shifted = ext[:n_loc]  # shifted[i] = cum_global[i - halo]
     wsum = cum - shifted
@@ -72,7 +83,8 @@ def _shard_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "channels", "mesh", "use_pallas")
+    jax.jit,
+    static_argnames=("window", "channels", "mesh", "use_pallas", "halo_impl"),
 )
 def sharded_moving_average(
     x: jax.Array,
@@ -81,6 +93,7 @@ def sharded_moving_average(
     *,
     mesh: Mesh,
     use_pallas: bool = True,
+    halo_impl: str = "ppermute",
 ) -> jax.Array:
     """Causal moving average of a time-block-sharded interleaved stream.
 
@@ -109,6 +122,7 @@ def sharded_moving_average(
             channels=channels,
             axis=TIME_AXIS,
             use_pallas=use_pallas,
+            halo_impl=halo_impl,
         ),
         mesh=mesh,
         in_specs=spec,

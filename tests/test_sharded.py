@@ -163,3 +163,30 @@ def test_pipelined_fir_cascade(rng, mesh8):
     )
     got_stream = got.transpose(1, 0, 2).reshape(c, m * L)
     np.testing.assert_allclose(got_stream, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_ring_halo_matches_ppermute(rng):
+    # the hand-rolled RDMA ring must be a drop-in for the XLA collective
+    # (1-D time mesh: Pallas dma_start supports one named axis only)
+    from digital_signal_processsing_tpu.parallel.mesh import make_time_mesh
+
+    mesh = make_time_mesh()
+    x = make_interleaved(rng, 20480, 2)
+    want = moving_average_golden(x, 257, 2)
+    got = np.asarray(
+        sharded_moving_average(
+            x, 257, 2, mesh=mesh, use_pallas=False, halo_impl="pallas_ring"
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ring_shift_right_semantics(rng):
+    from digital_signal_processsing_tpu.parallel.mesh import make_time_mesh
+    from digital_signal_processsing_tpu.parallel.ring_pallas import ring_shift_right
+
+    mesh = make_time_mesh()
+    x = rng.normal(size=(8 * 256,)).astype(np.float32)
+    got = np.asarray(ring_shift_right(x, mesh))
+    want = np.concatenate([np.zeros(256, np.float32), x[:-256]])
+    np.testing.assert_array_equal(got, want)
