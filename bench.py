@@ -2,8 +2,9 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Method: the fused Pallas scan averager (blelloch variant) over a 64M-sample
-stereo int16 stream, window 1024 — BASELINE.json's per-chip headline config.
+Method: the carry-free fused windowed averager (MXU lane passes) over a
+64M-sample stereo int16 stream, window 1024 — BASELINE.json's per-chip
+headline config.
 Kernel time is isolated with a K-differential: time jit-chained applications
 at two chain lengths and take the slope, which cancels dispatch/transfer
 overhead (large and noisy through the axon tunnel; see BENCH_NOTES.md).
@@ -32,7 +33,9 @@ REPEATS = 3
 def main() -> None:
     import jax
 
-    from digital_signal_processsing_tpu.ops.pallas_scan import scan_averager_pallas
+    from digital_signal_processsing_tpu.ops.pallas_scan import (
+        windowed_averager_pallas,
+    )
 
     rng = np.random.default_rng(0)
     x = rng.integers(-32768, 32768, size=N, dtype=np.int16)
@@ -42,7 +45,7 @@ def main() -> None:
         @jax.jit
         def chained(v):
             def body(i, y):
-                return scan_averager_pallas(y, WINDOW, CHANNELS)
+                return windowed_averager_pallas(y, WINDOW, CHANNELS)
 
             return jax.lax.fori_loop(0, k, body, v)
 

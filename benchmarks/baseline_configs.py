@@ -104,7 +104,10 @@ def config2_direct_small_windows(n=64_000_000):
 def config3_scan_large_windows(n=64_000_000):
     import jax
 
-    from digital_signal_processsing_tpu.ops.pallas_scan import scan_averager_pallas
+    from digital_signal_processsing_tpu.ops.pallas_scan import (
+        scan_averager_pallas,
+        windowed_averager_pallas,
+    )
 
     rng = np.random.default_rng(0)
     xd = jax.device_put(rng.integers(-32768, 32768, size=n, dtype=np.int16))
@@ -114,6 +117,14 @@ def config3_scan_large_windows(n=64_000_000):
         rows.append(
             {
                 "config": f"scan_k{w}",
+                "n": n,
+                "gsamples_per_s": round(n / per / 1e9, 2),
+            }
+        )
+        per = _diff_time(lambda y, w=w: windowed_averager_pallas(y, w, 2), xd)
+        rows.append(
+            {
+                "config": f"windowed_k{w}",
                 "n": n,
                 "gsamples_per_s": round(n / per / 1e9, 2),
             }

@@ -43,7 +43,13 @@ def main(argv=None) -> int:
 
     info, samples = read_wav(args.wav_path)
     kw = {}
-    if args.block_size and args.method in ("scan", "scan_hillis", "scan_mxu", "direct"):
+    if args.block_size and args.method in (
+        "windowed",
+        "scan",
+        "scan_hillis",
+        "scan_mxu",
+        "direct",
+    ):
         if args.block_size % 16 != 0:
             print("Error: block size must be a multiple of 16", file=sys.stderr)
             return 1
@@ -56,7 +62,16 @@ def main(argv=None) -> int:
         from .ops.pallas_direct import direct_averager_pallas
         from .ops.pallas_scan import scan_averager_pallas
 
-        if args.method in ("scan", "scan_hillis", "scan_mxu"):
+        if args.method == "windowed":
+            from .ops.pallas_scan import windowed_averager_pallas
+
+            fn = functools.partial(
+                windowed_averager_pallas,
+                window=args.grade,
+                channels=info.num_channels,
+                **kw,
+            )
+        elif args.method in ("scan", "scan_hillis", "scan_mxu"):
             variant = {
                 "scan": "blelloch",
                 "scan_hillis": "hillis_steele",

@@ -39,6 +39,7 @@ VARIANTS = (
     "direct",  # shared-memory tiled analog
     "scan",  # Blelloch analog (work-efficient)
     "scan_hillis",  # Hillis-Steele analog
+    "windowed",  # carry-free fused windowed kernel (fastest)
     "xla_scan",  # cumsum anchor
 )
 
@@ -85,10 +86,16 @@ def run_config(
         return
 
     kw = {}
-    if variant in ("scan", "scan_hillis", "direct") and tile_rows:
+    if variant in ("windowed", "scan", "scan_hillis", "direct") and tile_rows:
         kw["tile_rows"] = tile_rows
 
-    if variant == "scan":
+    if variant == "windowed":
+        from ..ops.pallas_scan import windowed_averager_pallas
+
+        fn = functools.partial(
+            windowed_averager_pallas, window=grade, channels=channels, **kw
+        )
+    elif variant == "scan":
         from ..ops.pallas_scan import scan_averager_pallas
 
         fn = functools.partial(

@@ -8,6 +8,7 @@ compute-bound -> scan).
 
 Methods:
 - ``auto``            regime-split dispatch (default)
+- ``windowed``        carry-free fused windowed sum (fastest on v5e)
 - ``scan``            fused Pallas scan + windowed diff (Blelloch in-tile)
 - ``scan_hillis``     same, literal stride-doubling in-tile scan
 - ``scan_mxu``        same, exact bf16-limb MXU-matmul in-tile scan
@@ -31,13 +32,15 @@ from .pallas_direct import MAX_DIRECT_WINDOW, direct_averager_pallas
 from .pallas_scan import scan_averager_pallas
 from .scan_xla import moving_average_xla
 
-# Below this window the O(k) direct kernel's passes are cheaper than the
-# scan's fixed pass count. Measured on v5e, 64M samples: direct w=4
-# 1.96 ms, w=8 2.90 ms vs fused scan 2.55 ms -> crossover between 4 and 8.
-_AUTO_DIRECT_MAX = 4
+# The carry-free windowed kernel beats the direct O(k) kernel at EVERY
+# window on v5e (64M samples: windowed w=2 1.03 ms vs direct w=2 1.82 ms),
+# so auto no longer dispatches to direct; the regime split the reference
+# documents (README.md:10-12) survives only in the benchmark ladder.
+_AUTO_DIRECT_MAX = 0
 
 METHODS = (
     "auto",
+    "windowed",
     "scan",
     "scan_hillis",
     "scan_mxu",
@@ -62,6 +65,12 @@ def moving_average(
     reference CPU model (profilable_moving_averager.cpp:14-37) for
     window <= 65535.
     """
+    if channels < 1:
+        raise ValueError(f"channels must be >= 1, got {channels}")
+    if x.shape[0] % channels != 0:
+        raise ValueError(
+            f"stream length {x.shape[0]} not a multiple of channels {channels}"
+        )
     if method == "auto":
         from .pallas_scan import supports_channels
 
@@ -70,9 +79,19 @@ def moving_average(
         elif window <= _AUTO_DIRECT_MAX:
             method = "direct"
         else:
-            method = "scan"
+            method = "windowed"
     if method == "golden":
         return moving_average_golden(np.asarray(x), window, channels)
+    if method == "windowed":
+        from .pallas_scan import (
+            MAX_TILE_ROWS,
+            moving_average_two_pass,
+            windowed_averager_pallas,
+        )
+
+        if window * channels > MAX_TILE_ROWS * 128:
+            return moving_average_two_pass(x, window, channels)
+        return windowed_averager_pallas(x, window, channels)
     if method in ("scan", "scan_hillis", "scan_mxu"):
         variant = {"scan": "blelloch", "scan_hillis": "hillis_steele",
                    "scan_mxu": "mxu"}[method]

@@ -58,6 +58,12 @@ LANES = layout.LANES
 # Scratch = 2 tiles of int32 + in/out tiles; 2048 rows -> 2*2048*128*4 = 2 MiB
 # concat scratch, well inside 16 MiB VMEM with double-buffered I/O tiles.
 MAX_TILE_ROWS = 2048
+# The carry-free windowed kernel keeps only a (hr+1)-row raw-sample tail in
+# scratch, so its live int32 tiles (ext/p/rt/partials) set the VMEM budget:
+# 4096 rows x 128 x 4B = 2 MiB per live value. Measured on v5e at 64M
+# samples, k=1024: 2048 rows 84.5 GS/s, 4096 rows 55.8 -> default 2048.
+MAX_WINDOWED_TILE_ROWS = 4096
+DEFAULT_WINDOWED_TILE_ROWS = 2048
 
 
 def _interpret() -> bool:
@@ -227,6 +233,213 @@ _TILE_SCANS = {
 }
 
 
+def _row_window_sum(v, w: int):
+    """Per-lane sum of rows [r-w+1, r] of ``v``, zero-filled above the top.
+
+    Binary-decomposition doubling — <= 2*log2(w) roll-add passes. Invariant:
+    ``pw`` holds the window of ``width`` rows ending at r; ``acc`` the window
+    of ``covered`` rows ending at r; extending acc downward shifts pw by
+    ``covered`` so the two spans abut exactly.
+    """
+    acc = None
+    covered = 0
+    pw, width = v, 1
+    rem = w
+    while rem:
+        if rem & 1:
+            if acc is None:
+                acc, covered = pw, width
+            else:
+                acc = acc + _masked_roll(pw, covered, 0)
+                covered += width
+        rem >>= 1
+        if rem:
+            pw = pw + _masked_roll(pw, width, 0)
+            width *= 2
+    return acc
+
+
+def _lane_prefix_and_totals_vpu(ext, channels: int):
+    """(segmented per-row lane prefix, per-row class totals) via VPU rolls."""
+    p = ext
+    s = channels
+    while s < LANES:
+        p = p + _masked_roll(p, s, 1)
+        s *= 2
+    rt = ext
+    f = LANES // 2
+    while f >= channels:
+        rt = rt + pltpu.roll(rt, f, axis=1)
+        f //= 2
+    return p, rt
+
+
+def _lane_prefix_and_totals_mxu(ext, channels: int):
+    """Same two quantities as ONE pair of full-tile bf16-limb matmuls each.
+
+    Cross-lane shifts (pltpu.roll axis=1) go through the permute unit and
+    dominate the VPU variant's cost; both lane-wise passes are instead exact
+    0/1-matrix products on the MXU (x = hi*256 + lo with |limb| <= 255 exact
+    in bfloat16; f32 accumulation of <= 128 such terms < 2^24 is exact):
+
+      p  = ext @ U  where U[i,j] = 1 iff j >= i and (j-i) % C == 0
+                    (the stride-starts-at-C trick as a matrix)
+      rt = ext @ F  where F[i,j] = 1 iff (j-i) % C == 0
+                    (class-total fold, already broadcast to every lane)
+    """
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    same_class = (r2 - r1) % channels == 0
+    u = ((r2 >= r1) & same_class).astype(jnp.bfloat16)
+    f = same_class.astype(jnp.bfloat16)
+    hi = jnp.right_shift(ext, 8).astype(jnp.bfloat16)
+    lo = jnp.bitwise_and(ext, 255).astype(jnp.bfloat16)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    p = mm(hi, u) * 256 + mm(lo, u)
+    rt = mm(hi, f) * 256 + mm(lo, f)
+    return p, rt
+
+
+def _windowed_averager_kernel(
+    x_ref, o_ref, tail_ref, *, window, channels, rows, tail_rows, lane_via_mxu
+):
+    """Carry-free fused windowed averager (see windowed_averager_pallas)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        # zeroed halo semantics (gpu_utils.h:112-114): ramp-up divides by k
+        tail_ref[:] = jnp.zeros((tail_rows, LANES), jnp.int32)
+
+    xi = x_ref[:].astype(jnp.int32)
+    ext = jnp.concatenate([tail_ref[:], xi], axis=0)  # (tail_rows+rows, 128)
+    tail_ref[:] = xi[rows - tail_rows :, :]
+
+    h = window * channels
+    hr, hl = divmod(h, LANES)
+
+    lane_pass = (
+        _lane_prefix_and_totals_mxu if lane_via_mxu else _lane_prefix_and_totals_vpu
+    )
+    p, rt = lane_pass(ext, channels)
+
+    # windowed sum of row totals over rows [r-hr, r-1]
+    ws = (
+        _masked_roll(_row_window_sum(rt, hr), 1, 0)
+        if hr > 0
+        else jnp.zeros_like(rt)
+    )
+
+    if hl == 0:
+        wsum = p - _masked_roll(p, hr, 0) + ws
+    else:
+        # boundary lane l: lanes >= hl read p(r-hr, l-hl); lanes < hl wrap a
+        # row further to p(r-hr-1, l-hl+128) and their row span gains one row
+        a1 = _masked_roll(p, hr, 0)
+        a2 = _masked_roll(p, hr + 1, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        b = jnp.where(
+            col >= hl, pltpu.roll(a1, hl, axis=1), pltpu.roll(a2, hl, axis=1)
+        )
+        ws = jnp.where(col >= hl, ws, ws + _masked_roll(rt, hr + 1, 0))
+        wsum = p - b + ws
+
+    o_ref[:] = _trunc_div_cast(wsum[tail_rows:, :], window)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "channels", "tile_rows", "lane_via_mxu")
+)
+def windowed_averager_pallas(
+    x: jax.Array,
+    window: int,
+    channels: int = 1,
+    *,
+    tile_rows: int | None = None,
+    lane_via_mxu: bool = True,
+) -> jax.Array:
+    """Carry-free fused moving averager — the fastest variant on v5e.
+
+    Rather than materializing the global per-channel cumsum and differencing
+    it (the scan family's structure, hillis_steele_averager.cu:87-100), this
+    kernel exploits that ``cum[g] - cum[g-kC]`` only ever reaches ``k*C``
+    elements back: the windowed sum decomposes into per-row segmented lane
+    prefixes plus a log-depth windowed sum of broadcast row totals,
+
+        wsum(r,l) = p(r,l) - p(r-hr, l-hl) + sum_{r'=r-hr}^{r-1} rowtot(r')
+
+    so no global carry chain, no concat-scratch rotation, and only a
+    ``hr+1``-row raw-sample tail carried between grid steps. Bit-exact
+    against the golden model (int32 modular arithmetic; final windowed sum
+    <= 65535*32768 < 2^31). Requires channels | 128 and
+    window*channels <= tile_rows*128.
+    """
+    _check_variant_channels("blelloch", channels)
+    layout.validate_window(window, MAX_EXACT_WINDOW)
+    halo = window * channels
+    hr = halo // LANES
+    tail_rows = layout.round_up(hr + 1, 8)
+    if tile_rows is None:
+        tile_rows = max(
+            DEFAULT_WINDOWED_TILE_ROWS, layout.round_up(halo, LANES) // LANES
+        )
+        tile_rows = layout.round_up(tile_rows, 16)
+    rows = _pick_tile_rows(halo, tile_rows, MAX_WINDOWED_TILE_ROWS)
+    if tail_rows > rows:
+        rows = layout.round_up(tail_rows, 16)
+
+    def raw_call(x2d):
+        return pl.pallas_call(
+            functools.partial(
+                _windowed_averager_kernel,
+                window=window,
+                channels=channels,
+                rows=rows,
+                tail_rows=tail_rows,
+                lane_via_mxu=lane_via_mxu,
+            ),
+            out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.int16),
+            grid=(layout.cdiv(x2d.shape[0], rows),),
+            in_specs=[
+                pl.BlockSpec((rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((tail_rows, LANES), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),  # raw-sample tail carry
+            ),
+            interpret=_interpret(),
+        )(x2d)
+
+    def padded_call(xs):
+        x2d, n = layout.pad_flat_to_tiles(xs, rows)
+        return layout.unpad_flat(raw_call(x2d), n)
+
+    # Pad-free dispatch. Padding an unaligned stream to a tile multiple costs
+    # a full extra HBM round-trip of the whole stream inside jit (measured
+    # ~40% of end-to-end time at 64M samples). Whenever the length is a lane
+    # multiple the kernel instead runs with a partial edge block — its
+    # out-of-bounds rows are dropped by Mosaic, and since windows only look
+    # BACKWARD the undefined rows of the partial input block can never reach
+    # a kept output. A sub-lane remainder is re-run as a tiny tile seeded
+    # with its real halo (the seed's ramp-up rows are discarded).
+    n = x.shape[0]
+    if n % LANES == 0 and n > 0:
+        return raw_call(x.reshape(-1, LANES)).reshape(-1)
+    n128 = (n // LANES) * LANES
+    if n128 == 0:
+        return padded_call(x)
+    h = min(halo, n128)
+    main_out = raw_call(x[:n128].reshape(-1, LANES)).reshape(-1)
+    chunk_out = padded_call(x[n128 - h :])[h:]
+    return jnp.concatenate([main_out, chunk_out])
+
+
 def _shift_from_concat(concat_ref, h: int, rows: int):
     """Cumsum shifted h elements back, for the current tile.
 
@@ -272,7 +485,9 @@ def _scan_averager_kernel(
     concat_ref[0:rows, :] = cum  # rotate: current becomes previous
 
 
-def _pick_tile_rows(halo: int, tile_rows: int | None) -> int:
+def _pick_tile_rows(
+    halo: int, tile_rows: int | None, max_rows: int = MAX_TILE_ROWS
+) -> int:
     if tile_rows is None:
         tile_rows = max(layout.DEFAULT_TILE_ROWS, layout.round_up(halo, LANES) // LANES)
         tile_rows = layout.round_up(tile_rows, 16)
@@ -281,10 +496,10 @@ def _pick_tile_rows(halo: int, tile_rows: int | None) -> int:
     if halo > tile_rows * LANES:
         raise ValueError(
             f"window*channels = {halo} exceeds one tile ({tile_rows * LANES}); "
-            f"raise tile_rows (max {MAX_TILE_ROWS})"
+            f"raise tile_rows (max {max_rows})"
         )
-    if tile_rows > MAX_TILE_ROWS:
-        raise ValueError(f"tile_rows {tile_rows} exceeds VMEM budget ({MAX_TILE_ROWS})")
+    if tile_rows > max_rows:
+        raise ValueError(f"tile_rows {tile_rows} exceeds VMEM budget ({max_rows})")
     return tile_rows
 
 

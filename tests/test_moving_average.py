@@ -20,7 +20,14 @@ from digital_signal_processsing_tpu.ops.pallas_scan import (
 )
 from tests.conftest import make_interleaved
 
-KERNEL_METHODS = ["scan", "scan_hillis", "direct", "xla_scan", "xla_direct"]
+KERNEL_METHODS = [
+    "windowed",
+    "scan",
+    "scan_hillis",
+    "direct",
+    "xla_scan",
+    "xla_direct",
+]
 
 
 @pytest.mark.parametrize("method", KERNEL_METHODS)
@@ -33,7 +40,7 @@ def test_parity_small(rng, method, channels, window):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("method", ["scan", "xla_scan"])
+@pytest.mark.parametrize("method", ["windowed", "scan", "xla_scan"])
 @pytest.mark.parametrize("window", [500, 5000])
 def test_parity_large_window(rng, method, window):
     x = make_interleaved(rng, 8000, 2)
