@@ -149,19 +149,26 @@ def config4_sharded_scan(n=64_000_000):
     xd = jax.device_put(x, time_sharding(mesh))
     use_pallas = jax.default_backend() == "tpu"
 
-    per = _diff_time(
-        lambda y: sharded_moving_average(y, 1024, 2, mesh=mesh, use_pallas=use_pallas),
-        xd,
-        k1=4,
-        k2=16,
-        repeats=5,
-    )
-    return {
-        "config": "sharded_scan_64M_k1024",
-        "devices": ndev,
-        "n": n,
-        "gsamples_per_s": round(n / per / 1e9, 2),
-    }
+    rows = []
+    for method in ("windowed", "scan"):
+        per = _diff_time(
+            lambda y, m=method: sharded_moving_average(
+                y, 1024, 2, mesh=mesh, use_pallas=use_pallas, method=m
+            ),
+            xd,
+            k1=4,
+            k2=16,
+            repeats=5,
+        )
+        rows.append(
+            {
+                "config": f"sharded_{method}_64M_k1024",
+                "devices": ndev,
+                "n": n,
+                "gsamples_per_s": round(n / per / 1e9, 2),
+            }
+        )
+    return rows
 
 
 def config5_full_chain(t=1 << 22):

@@ -304,15 +304,25 @@ def _lane_prefix_and_totals_mxu(ext, channels: int):
 
 
 def _windowed_averager_kernel(
-    x_ref, o_ref, tail_ref, *, window, channels, rows, tail_rows, lane_via_mxu
+    *refs, window, channels, rows, tail_rows, lane_via_mxu, seeded
 ):
     """Carry-free fused windowed averager (see windowed_averager_pallas)."""
+    if seeded:
+        seed_ref, x_ref, o_ref, tail_ref = refs
+    else:
+        x_ref, o_ref, tail_ref = refs
+        seed_ref = None
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _init():
-        # zeroed halo semantics (gpu_utils.h:112-114): ramp-up divides by k
-        tail_ref[:] = jnp.zeros((tail_rows, LANES), jnp.int32)
+        if seeded:
+            # tail seeded with the left neighbor's trailing raw samples
+            # (sharded halo exchange, parallel/sharded_scan.py)
+            tail_ref[:] = seed_ref[:].astype(jnp.int32)
+        else:
+            # zeroed halo semantics (gpu_utils.h:112-114): ramp-up / window
+            tail_ref[:] = jnp.zeros((tail_rows, LANES), jnp.int32)
 
     xi = x_ref[:].astype(jnp.int32)
     ext = jnp.concatenate([tail_ref[:], xi], axis=0)  # (tail_rows+rows, 128)
@@ -350,6 +360,15 @@ def _windowed_averager_kernel(
     o_ref[:] = _trunc_div_cast(wsum[tail_rows:, :], window)
 
 
+def windowed_tail_rows(window: int, channels: int) -> int:
+    """Rows of raw-sample tail the windowed kernel carries between tiles.
+
+    Also the halo a seeded (sharded) call must supply: the left neighbor's
+    trailing ``windowed_tail_rows(...) * 128`` interleaved samples.
+    """
+    return layout.round_up(window * channels // LANES + 1, 8)
+
+
 @functools.partial(
     jax.jit, static_argnames=("window", "channels", "tile_rows", "lane_via_mxu")
 )
@@ -360,6 +379,7 @@ def windowed_averager_pallas(
     *,
     tile_rows: int | None = None,
     lane_via_mxu: bool = True,
+    seed: jax.Array | None = None,
 ) -> jax.Array:
     """Carry-free fused moving averager — the fastest variant on v5e.
 
@@ -392,6 +412,18 @@ def windowed_averager_pallas(
         rows = layout.round_up(tail_rows, 16)
 
     def raw_call(x2d):
+        in_specs = [
+            pl.BlockSpec((rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        ]
+        operands = [x2d]
+        if seed is not None:
+            in_specs.insert(
+                0,
+                pl.BlockSpec(
+                    (tail_rows, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM
+                ),
+            )
+            operands.insert(0, seed.reshape(tail_rows, LANES))
         return pl.pallas_call(
             functools.partial(
                 _windowed_averager_kernel,
@@ -400,12 +432,11 @@ def windowed_averager_pallas(
                 rows=rows,
                 tail_rows=tail_rows,
                 lane_via_mxu=lane_via_mxu,
+                seeded=seed is not None,
             ),
             out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.int16),
             grid=(layout.cdiv(x2d.shape[0], rows),),
-            in_specs=[
-                pl.BlockSpec((rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
@@ -414,7 +445,7 @@ def windowed_averager_pallas(
                 dimension_semantics=("arbitrary",),  # raw-sample tail carry
             ),
             interpret=_interpret(),
-        )(x2d)
+        )(*operands)
 
     def padded_call(xs):
         x2d, n = layout.pad_flat_to_tiles(xs, rows)
@@ -429,6 +460,19 @@ def windowed_averager_pallas(
     # a kept output. A sub-lane remainder is re-run as a tiny tile seeded
     # with its real halo (the seed's ramp-up rows are discarded).
     n = x.shape[0]
+    if seed is not None:
+        if seed.shape != (tail_rows * LANES,):
+            raise ValueError(
+                f"seed must be the left neighbor's trailing "
+                f"{tail_rows * LANES} samples (windowed_tail_rows*128), "
+                f"got shape {seed.shape}"
+            )
+        if n % LANES != 0 or n == 0:
+            raise ValueError(
+                f"seeded calls need a lane-aligned stream (n % {LANES} == 0), "
+                f"got {n}"
+            )
+        return raw_call(x.reshape(-1, LANES)).reshape(-1)
     if n % LANES == 0 and n > 0:
         return raw_call(x.reshape(-1, LANES)).reshape(-1)
     n128 = (n // LANES) * LANES

@@ -31,17 +31,31 @@ def mesh_2x4():
     return make_mesh(n_time=4, n_channel=2)
 
 
-@pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.parametrize(
+    "method,use_pallas",
+    [("windowed", True), ("scan", True), ("scan", False)],
+)
 @pytest.mark.parametrize("window,channels", [(16, 2), (257, 2), (1000, 1)])
-def test_sharded_average_parity(rng, mesh8, use_pallas, window, channels):
+def test_sharded_average_parity(
+    rng, mesh8, method, use_pallas, window, channels
+):
     x = make_interleaved(rng, 40960 // channels, channels)
     want = moving_average_golden(x, window, channels)
     xd = jax.device_put(x, time_sharding(mesh8))
     got = np.asarray(
         sharded_moving_average(
-            xd, window, channels, mesh=mesh8, use_pallas=use_pallas
+            xd, window, channels, mesh=mesh8, use_pallas=use_pallas,
+            method=method,
         )
     )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_windowed_fallback_small_shards(rng, mesh8):
+    # shards smaller than the windowed tail -> silently uses the carry path
+    x = make_interleaved(rng, 2048, 2)  # 512 samples/shard < tail_rows*128
+    want = moving_average_golden(x, 3, 2)
+    got = np.asarray(sharded_moving_average(x, 3, 2, mesh=mesh8))
     np.testing.assert_array_equal(got, want)
 
 
