@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.demod import fm_demodulate
-from ..ops.fir import design_lowpass, fir_overlap_save, fir_direct
+from ..ops.fir import design_lowpass, fir_direct, fir_filter
 from ..ops.resample import decimate
 
 
@@ -90,9 +90,11 @@ class DspChain:
             di = decimate(jnp.real(mixed), c.decimation, taps=self.channel_taps)
             dq = decimate(jnp.imag(mixed), c.decimation, taps=self.channel_taps)
         else:
-            # channel-select lowpass: overlap-save on I and Q planes
-            fi = fir_overlap_save(jnp.real(mixed), self.channel_taps)
-            fq = fir_overlap_save(jnp.imag(mixed), self.channel_taps)
+            # channel-select lowpass on I and Q planes (auto crossover:
+            # the lane-blocked direct MXU conv at 257 taps, ~20x the
+            # overlap-save FFT path on v5e)
+            fi = fir_filter(jnp.real(mixed), self.channel_taps)
+            fq = fir_filter(jnp.imag(mixed), self.channel_taps)
             # polyphase decimate both planes (own anti-alias taps)
             di = decimate(fi, c.decimation)
             dq = decimate(fq, c.decimation)

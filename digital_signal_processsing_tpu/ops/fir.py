@@ -36,22 +36,119 @@ def _as_planar(x: jax.Array) -> tuple[jax.Array, bool]:
     raise ValueError(f"expected (time,) or (channels, time), got shape {x.shape}")
 
 
+_LANE = 128
+
+
+def blocked_causal_conv(
+    xp: jax.Array,
+    taps: jax.Array,
+    *,
+    stride: int = 1,
+    precision=None,
+) -> jax.Array:
+    """Causal (optionally decimating) FIR as ONE dense-feature MXU conv.
+
+    MXU mapping: a single-feature 1-D conv runs at ~1/128 MXU utilization
+    (output-feature dim of 1; measured 330 ms for 257 taps on 16x4.2M v5e).
+    Lane-blocking fixes it — view the output as frames of 128 lanes and the
+    input as frames of ``stride*128`` lanes:
+
+        y[128m + p] = sum_j h[j] x[(128m + p)*q - j]
+                    = sum_{a, l} h[q*p - l + 128*q*a] X[m - a, l]
+
+    ONE dense (q*128 in -> 128 out)-feature conv over frames with window
+    ceil(k / (q*128)) + 1 — full MXU rate (1.6-2.0 ms for any k in
+    [63, 1025] on the same workload), at most ~2x redundant MACs from the
+    zero-filled corners of the banded tap matrix. ``stride=q`` gives the
+    polyphase decimator for free: same mapping, input frames q-fold wider.
+
+    ``precision``: None picks ``Precision.HIGHEST`` (f32-accurate bf16x3
+    passes); pass ``jax.lax.Precision.DEFAULT`` for full-rate bf16 when
+    ~1e-2 relative error is acceptable.
+    """
+    c, t = xp.shape
+    k = taps.shape[0]
+    q = stride
+    B = _LANE
+    F = q * B  # input lanes per frame
+    P = (k + F - 2) // F  # max frame lag a with q*p - l + F*a <= k-1
+    tb = -(-t // F)
+    xf = jnp.pad(xp.astype(jnp.float32), ((0, 0), (0, tb * F - t))).reshape(
+        c, tb, F
+    )  # (N=c, W=frames, C=in lanes)
+    # rhs[w, l, p] = h[q*p - l + F*(P - w)]  (zero outside [0, k))
+    idx = (
+        q * np.arange(B)[None, None, :]  # p
+        - np.arange(F)[None, :, None]  # l
+        + F * (P - np.arange(P + 1))[:, None, None]  # a = P - w
+    )
+    h = jnp.where(
+        (idx >= 0) & (idx < k),
+        jnp.asarray(taps, jnp.float32)[np.clip(idx, 0, k - 1)],
+        0.0,
+    )
+    y = jax.lax.conv_general_dilated(
+        xf,
+        h,
+        window_strides=(1,),
+        padding=((P, 0),),  # causal: zero frames before t=0
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=precision or jax.lax.Precision.HIGHEST,
+    ).reshape(c, tb * B)
+    return y[:, : t // q]
+
+
+def blocked_interp_conv(
+    xp: jax.Array,
+    taps: jax.Array,
+    *,
+    up: int,
+    precision=None,
+) -> jax.Array:
+    """Zero-stuff-by-``up`` + causal FIR as ONE dense-feature MXU conv.
+
+    Dual of :func:`blocked_causal_conv`: output frames of ``up*128`` lanes
+    from input frames of 128 lanes — y[n] = sum_m h[n - m*up] x[m] with the
+    zero-stuffing folded into the banded tap matrix instead of an
+    lhs-dilated single-feature conv (which runs at ~1/128 MXU utilization).
+    """
+    c, t = xp.shape
+    k = taps.shape[0]
+    q = up
+    B = _LANE
+    O = q * B  # output lanes per frame
+    P = (k - 1 + q * (B - 1)) // O  # max frame lag a: p' - q*l + O*a <= k-1
+    tb = -(-t // B)
+    xf = jnp.pad(xp.astype(jnp.float32), ((0, 0), (0, tb * B - t))).reshape(
+        c, tb, B
+    )
+    # rhs[w, l, p'] = h[p' - q*l + O*(P - w)]  (zero outside [0, k))
+    idx = (
+        np.arange(O)[None, None, :]  # p'
+        - q * np.arange(B)[None, :, None]  # l
+        + O * (P - np.arange(P + 1))[:, None, None]  # a = P - w
+    )
+    h = jnp.where(
+        (idx >= 0) & (idx < k),
+        jnp.asarray(taps, jnp.float32)[np.clip(idx, 0, k - 1)],
+        0.0,
+    )
+    y = jax.lax.conv_general_dilated(
+        xf,
+        h,
+        window_strides=(1,),
+        padding=((P, 0),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=precision or jax.lax.Precision.HIGHEST,
+    ).reshape(c, tb * O)
+    return y[:, : t * q]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def fir_direct(x: jax.Array, taps: jax.Array) -> jax.Array:
     """Causal direct-form FIR of (channels, time) or (time,) float signal."""
     xp, squeeze = _as_planar(x)
-    c, t = xp.shape
-    k = taps.shape[0]
-    # conv_general_dilated computes correlation; flip taps for convolution.
-    lhs = xp[:, None, :].astype(jnp.float32)  # (N=c, C=1, W=t)
-    rhs = taps[::-1][None, None, :].astype(jnp.float32)  # (O=1, I=1, W=k)
-    y = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1,),
-        padding=((k - 1, 0),),  # causal: zeros before t=0
-        dimension_numbers=("NCW", "OIW", "NCW"),
-    )[:, 0, :]
+    y = blocked_causal_conv(xp, taps)
     return y[0] if squeeze else y
 
 
@@ -93,10 +190,16 @@ def _next_pow2_overlap(k: int) -> int:
 
 
 def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Array:
-    """Causal FIR with automatic direct/overlap-save crossover (~64 taps)."""
+    """Causal FIR with automatic direct/overlap-save crossover.
+
+    Measured on v5e (16x4.2M f32): the lane-blocked direct conv runs
+    1.6-2.0 ms for k in [63, 1025] while overlap-save sits flat ~38 ms, so
+    direct wins until its O(k) MAC cost passes the FFT path — around
+    k ~ 4096 at HIGHEST precision.
+    """
     k = int(taps.shape[0])
     if method == "auto":
-        method = "direct" if k <= 64 else "overlap_save"
+        method = "direct" if k <= 4096 else "overlap_save"
     if method == "direct":
         return fir_direct(x, taps)
     if method == "overlap_save":
