@@ -1,0 +1,78 @@
+"""Cross-/auto-correlation over the last axis (FFT-based, batched).
+
+Beyond-reference framework op (the reference has no correlation tooling);
+semantics match ``scipy.signal.correlate`` for real inputs (validated
+against it in tests/test_correlate.py). Correlation is convolution with the
+flipped template, so one rfft/irfft pair at a padded power-of-two length
+does the whole batch; TPU FFTs prefer pow2 sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MODES = ("full", "same", "valid")
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def correlate(a: jax.Array, v: jax.Array, mode: str = "full") -> jax.Array:
+    """Correlate ``a`` with template ``v`` along the last axis.
+
+    Real float32; leading axes of ``a`` are batch. Output lengths follow
+    scipy.signal.correlate: full = Ta+Tv-1, same = Ta (centered),
+    valid = Ta-Tv+1 (requires Ta >= Tv).
+    """
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r}; options {MODES}")
+    ta = a.shape[-1]
+    tv = v.shape[-1]
+    if mode == "valid" and ta < tv:
+        raise ValueError(f"valid mode needs len(a) >= len(v), got {ta} < {tv}")
+    n = ta + tv - 1
+    nfft = 1 << int(np.ceil(np.log2(max(n, 2))))
+    fa = jnp.fft.rfft(a.astype(jnp.float32), n=nfft)
+    fv = jnp.fft.rfft(v.astype(jnp.float32)[..., ::-1], n=nfft)
+    full = jnp.fft.irfft(fa * fv, n=nfft)[..., :n]
+    if mode == "full":
+        return full
+    if mode == "same":
+        start = (tv - 1) // 2
+        return full[..., start : start + ta]
+    return full[..., tv - 1 : ta]
+
+
+@functools.partial(jax.jit, static_argnames=("maxlag", "normalize"))
+def autocorrelate(
+    x: jax.Array, maxlag: int, *, normalize: bool = True
+) -> jax.Array:
+    """Autocorrelation r[k] = sum_n x[n] x[n+k] for k in [0, maxlag].
+
+    ``normalize=True`` divides by r[0] (unit lag-0). Batched over leading
+    axes; maxlag must be < the time length.
+    """
+    t = x.shape[-1]
+    if not 0 <= maxlag < t:
+        raise ValueError(f"need 0 <= maxlag < {t}, got {maxlag}")
+    nfft = 1 << int(np.ceil(np.log2(max(2 * t - 1, 2))))
+    f = jnp.fft.rfft(x.astype(jnp.float32), n=nfft)
+    r = jnp.fft.irfft(f * jnp.conj(f), n=nfft)[..., : maxlag + 1]
+    if normalize:
+        r = r / jnp.maximum(r[..., :1], 1e-30)
+    return r
+
+
+def find_delay(a: jax.Array, v: jax.Array) -> jax.Array:
+    """Lag (samples) at which template ``v`` best aligns inside ``a``.
+
+    argmax of the full cross-correlation, shifted so that 0 means
+    "v starts at a[0]"; positive means v occurs later in a.
+    """
+    full = correlate(a, v, mode="full")
+    return jnp.argmax(full, axis=-1) - (v.shape[-1] - 1)
+
+
+__all__ = ["correlate", "autocorrelate", "find_delay", "MODES"]

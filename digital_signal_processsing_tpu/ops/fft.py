@@ -63,6 +63,49 @@ def power_spectrum(x: jax.Array, *, nfft: int = 1024) -> jax.Array:
     return jnp.mean(jnp.abs(s) ** 2, axis=-2)
 
 
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window", "scaling"))
+def welch(
+    x: jax.Array,
+    *,
+    nfft: int = 1024,
+    hop: int | None = None,
+    window: str = "hann",
+    fs: float = 1.0,
+    scaling: str = "density",
+) -> jax.Array:
+    """Welch PSD estimate of (channels, time) or (time,) -> (..., nfft//2+1).
+
+    Mean of windowed-overlapped periodograms (default 50% overlap),
+    normalized like scipy.signal.welch: "density" divides by fs*sum(w^2),
+    one-sided doubling of the interior bins.
+    """
+    hop = hop or nfft // 2
+    s = stft(x, nfft=nfft, hop=hop, window=window)
+    w = np.hanning(nfft) if window == "hann" else np.ones(nfft)
+    if scaling == "density":
+        norm = fs * float((w**2).sum())
+    elif scaling == "spectrum":
+        norm = float(w.sum()) ** 2
+    else:
+        raise ValueError(f"unknown scaling {scaling!r}")
+    p = jnp.mean(jnp.abs(s) ** 2, axis=-2) / norm
+    # one-sided: double everything but DC (and Nyquist when nfft is even)
+    scale = np.full(nfft // 2 + 1, 2.0, np.float32)
+    scale[0] = 1.0
+    if nfft % 2 == 0:
+        scale[-1] = 1.0
+    return p * jnp.asarray(scale)
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+def spectrogram(
+    x: jax.Array, *, nfft: int = 1024, hop: int = 256, window: str = "hann"
+) -> jax.Array:
+    """Power spectrogram |STFT|^2: (..., frames, nfft//2+1), float32."""
+    s = stft(x, nfft=nfft, hop=hop, window=window)
+    return (jnp.abs(s) ** 2).astype(jnp.float32)
+
+
 @jax.jit
 def hilbert(x: jax.Array) -> jax.Array:
     """Analytic signal of a real input (FFT method) over the last axis.

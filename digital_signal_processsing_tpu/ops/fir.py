@@ -207,22 +207,105 @@ def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Ar
     raise ValueError(f"unknown FIR method {method!r}")
 
 
-def design_lowpass(num_taps: int, cutoff: float, *, window: str = "hamming") -> np.ndarray:
-    """Windowed-sinc lowpass taps; cutoff in normalized (0, 1) Nyquist units."""
+def _get_window(window: str | tuple, num_taps: int) -> np.ndarray:
+    """Window by name; ("kaiser", beta) for the parameterized Kaiser."""
+    if isinstance(window, tuple):
+        name, *params = window
+        if name == "kaiser":
+            return np.kaiser(num_taps, float(params[0]))
+        raise ValueError(f"unknown parameterized window {name!r}")
+    if window == "hamming":
+        return np.hamming(num_taps)
+    if window == "hann":
+        return np.hanning(num_taps)
+    if window == "blackman":
+        return np.blackman(num_taps)
+    if window == "rect":
+        return np.ones(num_taps)
+    raise ValueError(f"unknown window {window!r}")
+
+
+def kaiser_beta(attenuation_db: float) -> float:
+    """Kaiser beta for a target stopband attenuation (Kaiser's formula)."""
+    a = attenuation_db
+    if a > 50:
+        return 0.1102 * (a - 8.7)
+    if a >= 21:
+        return 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21)
+    return 0.0
+
+
+def kaiser_num_taps(attenuation_db: float, transition_width: float) -> int:
+    """Tap-count estimate for attenuation (dB) and transition width (Nyquist
+    units), from Kaiser's empirical formula; returned odd (highpass-safe)."""
+    if not 0.0 < transition_width < 1.0:
+        raise ValueError(f"transition width must be in (0,1), got {transition_width}")
+    n = int(np.ceil((attenuation_db - 7.95) / (2.285 * np.pi * transition_width))) + 1
+    return n + 1 - n % 2
+
+
+def _sinc_kernel(num_taps: int, cutoff: float, window) -> np.ndarray:
     if not 0.0 < cutoff < 1.0:
         raise ValueError(f"cutoff must be in (0,1) of Nyquist, got {cutoff}")
     n = np.arange(num_taps) - (num_taps - 1) / 2.0
-    h = np.sinc(cutoff * n) * cutoff
-    if window == "hamming":
-        w = np.hamming(num_taps)
-    elif window == "hann":
-        w = np.hanning(num_taps)
-    elif window == "rect":
-        w = np.ones(num_taps)
-    else:
-        raise ValueError(f"unknown window {window!r}")
-    h = h * w
+    return np.sinc(cutoff * n) * cutoff * _get_window(window, num_taps)
+
+
+def design_lowpass(
+    num_taps: int, cutoff: float, *, window: str | tuple = "hamming"
+) -> np.ndarray:
+    """Windowed-sinc lowpass taps; cutoff in normalized (0, 1) Nyquist units.
+
+    Unity gain at DC. ``window`` accepts "hamming"/"hann"/"blackman"/"rect"
+    or ("kaiser", beta) — pair with :func:`kaiser_beta` /
+    :func:`kaiser_num_taps` for attenuation-driven design.
+    """
+    h = _sinc_kernel(num_taps, cutoff, window)
     return (h / h.sum()).astype(np.float32)
+
+
+def _require_odd(num_taps: int, kind: str) -> None:
+    if num_taps % 2 == 0:
+        raise ValueError(
+            f"{kind} needs odd num_taps (a type-I center tap), got {num_taps}"
+        )
+
+
+def design_highpass(
+    num_taps: int, cutoff: float, *, window: str | tuple = "hamming"
+) -> np.ndarray:
+    """Windowed-sinc highpass by spectral inversion; unity gain at Nyquist."""
+    _require_odd(num_taps, "highpass")
+    h = -design_lowpass(num_taps, cutoff, window=window)
+    h[(num_taps - 1) // 2] += 1.0
+    # normalize Nyquist gain |sum h[n] (-1)^n| to 1
+    g = float(np.abs((h * (-1.0) ** np.arange(num_taps)).sum()))
+    return (h / g).astype(np.float32)
+
+
+def design_bandpass(
+    num_taps: int, low: float, high: float, *, window: str | tuple = "hamming"
+) -> np.ndarray:
+    """Windowed-sinc bandpass; unity gain at the band center."""
+    if not 0.0 < low < high < 1.0:
+        raise ValueError(f"need 0 < low < high < 1 (Nyquist units), got {low}, {high}")
+    h = _sinc_kernel(num_taps, high, window) - _sinc_kernel(num_taps, low, window)
+    fc = 0.5 * (low + high)
+    n = np.arange(num_taps)
+    g = np.abs((h * np.exp(-1j * np.pi * fc * n)).sum())
+    return (h / g).astype(np.float32)
+
+
+def design_bandstop(
+    num_taps: int, low: float, high: float, *, window: str | tuple = "hamming"
+) -> np.ndarray:
+    """Windowed-sinc bandstop (notch): lowpass(low) + highpass(high)."""
+    _require_odd(num_taps, "bandstop")
+    if not 0.0 < low < high < 1.0:
+        raise ValueError(f"need 0 < low < high < 1 (Nyquist units), got {low}, {high}")
+    h = _sinc_kernel(num_taps, low, window) - _sinc_kernel(num_taps, high, window)
+    h[(num_taps - 1) // 2] += 1.0
+    return (h / h.sum()).astype(np.float32)  # unity DC gain
 
 
 def box_taps(window: int) -> np.ndarray:

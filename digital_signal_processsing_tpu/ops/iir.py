@@ -136,3 +136,73 @@ def design_biquad_lowpass(cutoff: float, q: float = 0.7071) -> np.ndarray:
     a = np.array([1 + alpha, -2 * cw, 1 - alpha])
     row = np.concatenate([b / a[0], a / a[0]]).astype(np.float32)
     return row[None, :]
+
+
+def design_biquad_highpass(cutoff: float, q: float = 0.7071) -> np.ndarray:
+    """RBJ cookbook highpass biquad; one scipy-layout SOS row (1, 6)."""
+    if not 0.0 < cutoff < 1.0:
+        raise ValueError(f"cutoff must be in (0,1) of Nyquist, got {cutoff}")
+    w0 = np.pi * cutoff
+    alpha = np.sin(w0) / (2 * q)
+    cw = np.cos(w0)
+    b = np.array([(1 + cw) / 2, -(1 + cw), (1 + cw) / 2])
+    a = np.array([1 + alpha, -2 * cw, 1 - alpha])
+    row = np.concatenate([b / a[0], a / a[0]]).astype(np.float32)
+    return row[None, :]
+
+
+def design_biquad_bandpass(center: float, q: float = 1.0) -> np.ndarray:
+    """RBJ cookbook constant-peak bandpass biquad (gain 1 at ``center``)."""
+    if not 0.0 < center < 1.0:
+        raise ValueError(f"center must be in (0,1) of Nyquist, got {center}")
+    w0 = np.pi * center
+    alpha = np.sin(w0) / (2 * q)
+    cw = np.cos(w0)
+    b = np.array([alpha, 0.0, -alpha])
+    a = np.array([1 + alpha, -2 * cw, 1 - alpha])
+    row = np.concatenate([b / a[0], a / a[0]]).astype(np.float32)
+    return row[None, :]
+
+
+def design_butterworth(
+    order: int, cutoff: float, btype: str = "lowpass"
+) -> np.ndarray:
+    """Butterworth digital filter as an SOS cascade (scipy layout, (n, 6)).
+
+    Analog prototype poles on the unit circle's left half, frequency-scaled
+    with bilinear prewarping (W = tan(pi*fc/2)), mapped by the bilinear
+    transform z = (1+s)/(1-s), zeros at z=-1 (lowpass) / z=+1 (highpass);
+    conjugate pole pairs become biquads, each normalized to unity gain at
+    DC (lowpass) or Nyquist (highpass). Matches scipy.signal.butter to
+    float32 tolerance (validated in tests/test_iir.py).
+    """
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    if not 0.0 < cutoff < 1.0:
+        raise ValueError(f"cutoff must be in (0,1) of Nyquist, got {cutoff}")
+    if btype not in ("lowpass", "highpass"):
+        raise ValueError(f"btype must be lowpass or highpass, got {btype!r}")
+    warped = np.tan(np.pi * cutoff / 2.0)
+    k = np.arange(order)
+    unit = np.exp(1j * np.pi * (2 * k + order + 1) / (2 * order))  # Re < 0
+    s_poles = warped * unit if btype == "lowpass" else warped / unit
+    z_poles = (1 + s_poles) / (1 - s_poles)
+    zero = -1.0 if btype == "lowpass" else 1.0
+    ref = 1.0 if btype == "lowpass" else -1.0  # unity-gain evaluation point
+
+    # pair conjugates: poles come in conjugate pairs except one real pole
+    # for odd order (unit[k] real part ... the middle k)
+    upper = [p for p in z_poles if p.imag > 1e-12]
+    real = [p.real for p in z_poles if abs(p.imag) <= 1e-12]
+    rows = []
+    for p in upper:
+        a = np.array([1.0, -2 * p.real, abs(p) ** 2])
+        b = np.array([1.0, -2 * zero, 1.0])
+        g = np.polyval(a, ref) / np.polyval(b, ref)
+        rows.append(np.concatenate([b * g, a]))
+    for r in real:  # first-order remainder as a degenerate biquad
+        a = np.array([1.0, -r, 0.0])
+        b = np.array([1.0, -zero, 0.0])
+        g = np.polyval(a[:2], ref) / np.polyval(b[:2], ref)
+        rows.append(np.concatenate([b * g, a]))
+    return np.asarray(rows, dtype=np.float32)
