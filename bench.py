@@ -27,7 +27,7 @@ N = 64_000_000
 WINDOW = 1024
 CHANNELS = 2
 K_SMALL, K_BIG = 4, 16
-REPEATS = 3
+REPEATS = 5  # min-of-5: the axon tunnel adds multi-ms session jitter
 
 
 def main() -> None:

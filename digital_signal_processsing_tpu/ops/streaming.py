@@ -46,9 +46,36 @@ def moving_average_chunk(
 ) -> tuple[MovingAverageState, jax.Array]:
     """One chunk of the causal moving average (any whole-frame chunk length).
 
-    Bit-exact with the one-shot op on the concatenated stream."""
+    Bit-exact with the one-shot op on the concatenated stream. Lane-aligned
+    chunks (len % 128 == 0, channels | 128) run the seeded carry-free
+    windowed kernel; other shapes use the XLA sliding recurrence.
+    """
     halo = window * channels
     n = x.shape[0]
+
+    from .pallas_scan import (
+        supports_channels,
+        windowed_averager_pallas,
+        windowed_tail_rows,
+    )
+
+    if supports_channels(channels) and n > 0 and n % layout.LANES == 0:
+        tr = windowed_tail_rows(window, channels) * layout.LANES
+        # Seed rows older than the halo are zero-padded: the windowed
+        # identity w = p - p' + sum(rowtot) cancels any contribution from
+        # positions more than window*channels back, so their value is
+        # irrelevant (exact in int32 modular arithmetic).
+        seed = jnp.concatenate(
+            [jnp.zeros((tr - halo,), jnp.int16), state.tail]
+        )
+        out = windowed_averager_pallas(x, window, channels, seed=seed)
+        new_tail = (
+            x[n - halo :]
+            if n >= halo
+            else jnp.concatenate([state.tail[n:], x])
+        )
+        return MovingAverageState(tail=new_tail), out
+
     ext = jnp.concatenate([state.tail, x])
     # sliding recurrence: window sums are the per-channel cumsum of the
     # difference signal d[i] = x[i] - x[i-halo], plus the carry-in sums

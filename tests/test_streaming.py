@@ -58,3 +58,19 @@ def test_streaming_fir_matches_one_shot(rng, k):
         outs.append(np.asarray(y))
     got = np.concatenate(outs, axis=-1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_mixed_lane_aligned_and_odd_chunks(rng):
+    # lane-aligned chunks take the seeded windowed kernel; odd lengths fall
+    # back to the XLA recurrence — the two must interleave bit-exactly
+    window, channels = 100, 2
+    chunks = [1280, 1000, 2560, 56, 128]
+    x = make_interleaved(rng, sum(chunks) // channels, channels)
+    state = moving_average_init(window, channels)
+    outs, i = [], 0
+    for ln in chunks:
+        state, y = moving_average_chunk(state, x[i : i + ln], window, channels)
+        outs.append(np.asarray(y))
+        i += ln
+    got = np.concatenate(outs)
+    np.testing.assert_array_equal(got, moving_average_golden(x, window, channels))
