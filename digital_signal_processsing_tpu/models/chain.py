@@ -39,9 +39,12 @@ class ChainConfig:
     audio_taps: int = 63  # post-demod audio lowpass (direct regime)
     fm_gain: float = 1.0
     # fuse channel-select + anti-alias + downsample into ONE polyphase
-    # decimating FIR (the classic channelizer frontend): halves filter work
-    # at identical selectivity. False keeps the explicit two-stage pipeline
-    # (BASELINE.json names both stages, so that is the reference shape).
+    # decimating FIR (the classic channelizer frontend): identical
+    # selectivity, and with the lane-blocked decimating conv the 257
+    # channel taps ride the same banded MXU window as the default 64 —
+    # measured 4.6 ms vs 11.6 ms two-stage (16ch x 4.2M, v5e). False keeps
+    # the explicit two-stage pipeline (BASELINE.json names both stages, so
+    # that is the reference shape and the default).
     fused_frontend: bool = False
 
     def lo_frequencies(self) -> np.ndarray:
