@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.demod import fm_demodulate
+from ..ops.demod import fm_demodulate, oscillator_bank
 from ..ops.fir import design_lowpass, fir_direct, fir_filter
 from ..ops.resample import decimate
 
@@ -79,14 +79,15 @@ class DspChain:
         passes only its shard's rows).
         """
         c = self.config
-        # per-channel LO mix (lo broadcasts over time)
+        # per-channel LO mix: factored oscillator bank (ops/demod.py) —
+        # O(sqrt(T)) transcendentals and exact phase at any t0 (the naive
+        # f32 phase f*(t0+n) degrades past n ~ 2^24 f). Complex constants
+        # (1j) and f->c converts are unimplemented on some PJRT backends;
+        # build complex values with lax.complex throughout.
         t = iq.shape[-1]
         lo_f = self.lo if lo_freqs is None else lo_freqs
-        n = jnp.asarray(t0, jnp.float32) + jnp.arange(t, dtype=jnp.float32)
-        # complex constants (1j) and f->c converts are unimplemented on some
-        # PJRT backends; build complex values with lax.complex throughout
-        theta = -2.0 * jnp.pi * lo_f[:, None] * n[None, :]
-        lo = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+        lo_cos, lo_sin = oscillator_bank(lo_f, t, t0)
+        lo = jax.lax.complex(lo_cos, lo_sin)
         mixed = iq * lo
         if c.fused_frontend:
             # one polyphase decimating FIR does select + anti-alias + drop

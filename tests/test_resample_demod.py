@@ -96,3 +96,16 @@ def test_frequency_translate_moves_tone():
 def test_decimate_validation(rng):
     with pytest.raises(ValueError):
         decimate(rng.normal(size=100).astype(np.float32), 0)
+
+
+def test_oscillator_bank_exact_phase():
+    # the factored oscillator must stay phase-accurate at offsets where the
+    # naive f32 product f*(t0+n) has lost the mantissa entirely
+    from digital_signal_processsing_tpu.ops.demod import oscillator_bank
+
+    for f, t, t0 in [(0.373, 200_000, 0), (-0.4, 100_000, 7), (0.05, 4096, 123_456_789)]:
+        c, s = oscillator_bank(np.array([f], np.float32), t, t0)
+        n = t0 + np.arange(t, dtype=np.float64)
+        th = -2 * np.pi * ((np.float64(np.float32(f)) * n) % 1.0)
+        np.testing.assert_allclose(np.asarray(c[0]), np.cos(th), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s[0]), np.sin(th), atol=2e-5)
