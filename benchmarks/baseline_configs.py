@@ -179,10 +179,9 @@ def config5_full_chain(t=1 << 22):
     from digital_signal_processsing_tpu.parallel.pipeline import sharded_chain_planar
 
     ndev = jax.device_count()
-    cfg = ChainConfig(channels=16, decimation=8)
-    chain = DspChain(cfg)
     rng = np.random.default_rng(0)
-    t = (t // (ndev * cfg.decimation)) * ndev * cfg.decimation
+    base_cfg = ChainConfig(channels=16, decimation=8)
+    t = (t // (ndev * base_cfg.decimation)) * ndev * base_cfg.decimation
     # I/Q as float planes: complex64 host transfer is unimplemented on axon
     xi = rng.normal(size=(16, t)).astype(np.float32)
     xq = rng.normal(size=(16, t)).astype(np.float32)
@@ -190,42 +189,51 @@ def config5_full_chain(t=1 << 22):
     mesh = make_mesh(n_time=ndev // n_ch, n_channel=n_ch)
     di, dq = jax.device_put(xi), jax.device_put(xq)
 
-    fn = lambda a, b: sharded_chain_planar(chain, a, b, mesh)
-
     # K-differential: chain k dependent calls inside one jit so the ~30 ms
     # tunnel dispatch+fetch overhead cancels in the slope (BENCH_NOTES.md).
     import jax.numpy as jnp
 
-    def make(k):
-        @jax.jit
-        def f(a, b):
-            acc = fn(a, b)
-            for _ in range(k - 1):
-                acc = fn(a + jnp.sum(acc) * 0, b)
-            return acc
+    rows = []
+    for fused in (False, True):
+        chain = DspChain(
+            ChainConfig(channels=16, decimation=8, fused_frontend=fused)
+        )
+        fn = lambda a, b: sharded_chain_planar(chain, a, b, mesh)
 
-        return f
+        def make(k):
+            @jax.jit
+            def f(a, b):
+                acc = fn(a, b)
+                for _ in range(k - 1):
+                    acc = fn(a + jnp.sum(acc) * 0, b)
+                return acc
 
-    ts = []
-    for k in (1, 3):
-        g = make(k)
-        np.asarray(g(di, dq)[:, :4])  # compile + fetch
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(g(di, dq)[:, :4])
-            best = min(best, time.perf_counter() - t0)
-        ts.append(best)
-    per = max((ts[1] - ts[0]) / 2, 1e-9)
-    total_samples = 16 * t
-    return {
-        "config": "full_chain_16ch",
-        "devices": ndev,
-        "mesh": f"{n_ch}x{ndev // n_ch}",
-        "t": t,
-        "msamples_per_s_in": round(total_samples / per / 1e6, 1),
-        "wall_ms": round(per * 1e3, 2),
-    }
+            return f
+
+        ts = []
+        for k in (1, 3):
+            g = make(k)
+            np.asarray(g(di, dq)[:, :4])  # compile + fetch
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(g(di, dq)[:, :4])
+                best = min(best, time.perf_counter() - t0)
+            ts.append(best)
+        per = max((ts[1] - ts[0]) / 2, 1e-9)
+        total_samples = 16 * t
+        rows.append(
+            {
+                "config": "full_chain_16ch"
+                + ("_fused_frontend" if fused else ""),
+                "devices": ndev,
+                "mesh": f"{n_ch}x{ndev // n_ch}",
+                "t": t,
+                "msamples_per_s_in": round(total_samples / per / 1e6, 1),
+                "wall_ms": round(per * 1e3, 2),
+            }
+        )
+    return rows
 
 
 def main(argv=None):
