@@ -303,6 +303,39 @@ def _lane_prefix_and_totals_mxu(ext, channels: int):
     return p, rt
 
 
+def _windowed_wsum(ext, window: int, channels: int, lane_via_mxu: bool):
+    """Windowed per-channel sums of an int32 ext tile (the kernel core).
+
+    wsum(r,l) = p(r,l) - p(r-hr, l-hl) + sum_{r'=r-hr}^{r-1} rowtot(r').
+    """
+    h = window * channels
+    hr, hl = divmod(h, LANES)
+    lane_pass = (
+        _lane_prefix_and_totals_mxu if lane_via_mxu else _lane_prefix_and_totals_vpu
+    )
+    p, rt = lane_pass(ext, channels)
+
+    # windowed sum of row totals over rows [r-hr, r-1]
+    ws = (
+        _masked_roll(_row_window_sum(rt, hr), 1, 0)
+        if hr > 0
+        else jnp.zeros_like(rt)
+    )
+
+    if hl == 0:
+        return p - _masked_roll(p, hr, 0) + ws
+    # boundary lane l: lanes >= hl read p(r-hr, l-hl); lanes < hl wrap a
+    # row further to p(r-hr-1, l-hl+128) and their row span gains one row
+    a1 = _masked_roll(p, hr, 0)
+    a2 = _masked_roll(p, hr + 1, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    b = jnp.where(
+        col >= hl, pltpu.roll(a1, hl, axis=1), pltpu.roll(a2, hl, axis=1)
+    )
+    ws = jnp.where(col >= hl, ws, ws + _masked_roll(rt, hr + 1, 0))
+    return p - b + ws
+
+
 def _windowed_averager_kernel(
     *refs, window, channels, rows, tail_rows, lane_via_mxu, seeded
 ):
@@ -328,36 +361,51 @@ def _windowed_averager_kernel(
     ext = jnp.concatenate([tail_ref[:], xi], axis=0)  # (tail_rows+rows, 128)
     tail_ref[:] = xi[rows - tail_rows :, :]
 
-    h = window * channels
-    hr, hl = divmod(h, LANES)
-
-    lane_pass = (
-        _lane_prefix_and_totals_mxu if lane_via_mxu else _lane_prefix_and_totals_vpu
-    )
-    p, rt = lane_pass(ext, channels)
-
-    # windowed sum of row totals over rows [r-hr, r-1]
-    ws = (
-        _masked_roll(_row_window_sum(rt, hr), 1, 0)
-        if hr > 0
-        else jnp.zeros_like(rt)
-    )
-
-    if hl == 0:
-        wsum = p - _masked_roll(p, hr, 0) + ws
-    else:
-        # boundary lane l: lanes >= hl read p(r-hr, l-hl); lanes < hl wrap a
-        # row further to p(r-hr-1, l-hl+128) and their row span gains one row
-        a1 = _masked_roll(p, hr, 0)
-        a2 = _masked_roll(p, hr + 1, 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
-        b = jnp.where(
-            col >= hl, pltpu.roll(a1, hl, axis=1), pltpu.roll(a2, hl, axis=1)
-        )
-        ws = jnp.where(col >= hl, ws, ws + _masked_roll(rt, hr + 1, 0))
-        wsum = p - b + ws
-
+    wsum = _windowed_wsum(ext, window, channels, lane_via_mxu)
     o_ref[:] = _trunc_div_cast(wsum[tail_rows:, :], window)
+
+
+def _trunc_div_i32(wsum, window: int):
+    """trunc(wsum / window) kept in int32 (packed-path halves)."""
+    q = jnp.abs(wsum) // window
+    return jnp.where(wsum < 0, -q, q)
+
+
+def _windowed_packed_kernel(
+    x_ref, o_ref, tail_ref, *, window, channels, rows, tail_rows, lane_via_mxu
+):
+    """Windowed averager over an int32-PACKED int16 stream (2 samples/word).
+
+    int16 tiles relayout through pack/unpack on every VMEM load/store —
+    measured 358 GB/s pure-copy ceiling vs 637 GB/s for int32 tiles on v5e.
+    Streaming the stream as little-endian int16 PAIRS fixes the transport:
+    for even channel counts a sample's channel parity equals its stream
+    parity, so the low and high 16-bit planes are themselves interleaved
+    streams of channels//2 channels and the same windowed math runs on each
+    plane (sign-extend, compute, repack — all elementwise).
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        tail_ref[:] = jnp.zeros((tail_rows, LANES), jnp.int32)
+
+    x32 = x_ref[:]
+    ext32 = jnp.concatenate([tail_ref[:], x32], axis=0)
+    tail_ref[:] = x32[rows - tail_rows :, :]
+
+    c2 = channels // 2
+    lo = jnp.right_shift(jnp.left_shift(ext32, 16), 16)  # sign-extended
+    hi = jnp.right_shift(ext32, 16)
+    q_lo = _trunc_div_i32(
+        _windowed_wsum(lo, window, c2, lane_via_mxu)[tail_rows:, :], window
+    )
+    q_hi = _trunc_div_i32(
+        _windowed_wsum(hi, window, c2, lane_via_mxu)[tail_rows:, :], window
+    )
+    o_ref[:] = jnp.bitwise_or(
+        jnp.left_shift(q_hi, 16), jnp.bitwise_and(q_lo, 0xFFFF)
+    )
 
 
 def windowed_tail_rows(window: int, channels: int) -> int:
@@ -482,6 +530,82 @@ def windowed_averager_pallas(
     main_out = raw_call(x[:n128].reshape(-1, LANES)).reshape(-1)
     chunk_out = padded_call(x[n128 - h :])[h:]
     return jnp.concatenate([main_out, chunk_out])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "channels", "tile_rows", "lane_via_mxu")
+)
+def windowed_averager_packed(
+    x32: jax.Array,
+    window: int,
+    channels: int = 2,
+    *,
+    tile_rows: int | None = None,
+    lane_via_mxu: bool = True,
+) -> jax.Array:
+    """Windowed averager over an int32-packed int16 stream (2 samples/word).
+
+    ``x32`` is the little-endian pair view of the flat interleaved int16
+    stream (``np.ndarray.view(np.int32)`` — free on the host; on-device
+    bitcasts are NOT free on this backend, so pack at the transport layer).
+    Returns the packed int16 output (same view convention). Requires even
+    ``channels`` with ``channels//2 | 128`` and an even-length stream whose
+    pair count is a lane multiple; other shapes use the int16 kernel.
+    Bit-exact with :func:`windowed_averager_pallas` (tests/ verify both
+    against the golden model).
+    """
+    if channels % 2 != 0 or not supports_channels(channels // 2):
+        raise ValueError(
+            f"packed kernel needs even channels with channels//2 | 128, got "
+            f"{channels}; use windowed_averager_pallas"
+        )
+    layout.validate_window(window, MAX_EXACT_WINDOW)
+    c2 = channels // 2
+    halo2 = window * c2  # per-plane halo, in packed words
+    hr2 = halo2 // LANES
+    tail_rows = layout.round_up(hr2 + 1, 8)
+    # two int32 planes live at once: the VPU variant's extra live tiles blow
+    # the 16 MiB VMEM budget past 2048 rows (measured OOM at 4096)
+    max_rows = DEFAULT_WINDOWED_TILE_ROWS if not lane_via_mxu else MAX_WINDOWED_TILE_ROWS
+    if tile_rows is None:
+        tile_rows = max(
+            DEFAULT_WINDOWED_TILE_ROWS, layout.round_up(halo2, LANES) // LANES
+        )
+        tile_rows = layout.round_up(tile_rows, 16)
+    rows = _pick_tile_rows(halo2, tile_rows, max_rows)
+    if tail_rows > rows:
+        rows = layout.round_up(tail_rows, 16)
+
+    n32 = x32.shape[0]
+    if n32 == 0 or n32 % LANES != 0:
+        raise ValueError(
+            f"packed stream needs a lane-aligned pair count (n32 % {LANES} "
+            f"== 0), got {n32}; use windowed_averager_pallas"
+        )
+    x2d = x32.reshape(-1, LANES)
+    return pl.pallas_call(
+        functools.partial(
+            _windowed_packed_kernel,
+            window=window,
+            channels=channels,
+            rows=rows,
+            tail_rows=tail_rows,
+            lane_via_mxu=lane_via_mxu,
+        ),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.int32),
+        grid=(layout.cdiv(x2d.shape[0], rows),),
+        in_specs=[
+            pl.BlockSpec((rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((tail_rows, LANES), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(x2d).reshape(-1)
 
 
 def _shift_from_concat(concat_ref, h: int, rows: int):

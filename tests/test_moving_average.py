@@ -151,3 +151,29 @@ def test_two_pass_fallback_large_halo(rng):
     want = moving_average_golden(x, window, channels)
     got = np.asarray(moving_average(x, window, channels, method="scan"))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("channels,window", [(2, 16), (2, 1024), (4, 7), (2, 5000)])
+def test_packed_windowed_parity(rng, channels, window):
+    # the int32 pair-packed transport kernel must match golden bit-exactly
+    from digital_signal_processsing_tpu.ops.pallas_scan import (
+        windowed_averager_packed,
+    )
+
+    x = make_interleaved(rng, 256 * 100 // channels, channels)
+    want = moving_average_golden(x, window, channels)
+    got = np.asarray(
+        windowed_averager_packed(x.view(np.int32), window, channels)
+    ).view(np.int16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_windowed_rejects_odd_shapes(rng):
+    from digital_signal_processsing_tpu.ops.pallas_scan import (
+        windowed_averager_packed,
+    )
+
+    with pytest.raises(ValueError, match="even channels"):
+        windowed_averager_packed(np.zeros(256, np.int32), 4, 1)
+    with pytest.raises(ValueError, match="lane-aligned"):
+        windowed_averager_packed(np.zeros(100, np.int32), 4, 2)
