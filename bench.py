@@ -2,9 +2,11 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Method: the carry-free fused windowed averager (MXU lane passes, int32
-pair-packed transport — same bytes, free host-side view) over a 64M-sample
-stereo int16 stream, window 1024 — BASELINE.json's per-chip headline config.
+Method: the carry-free fused windowed averager (MXU lane passes) over a
+64M-sample stereo int16 stream, window 1024 — BASELINE.json's per-chip
+headline config. (The int32 pair-packed transport variant measures within
+session noise of this path — see BENCH_NOTES.md — so the headline uses the
+plain int16 entry.)
 Kernel time is isolated with a K-differential: time jit-chained applications
 at two chain lengths and take the slope, which cancels dispatch/transfer
 overhead (large and noisy through the axon tunnel; see BENCH_NOTES.md).
@@ -34,18 +36,18 @@ def main() -> None:
     import jax
 
     from digital_signal_processsing_tpu.ops.pallas_scan import (
-        windowed_averager_packed,
+        windowed_averager_pallas,
     )
 
     rng = np.random.default_rng(0)
     x = rng.integers(-32768, 32768, size=N, dtype=np.int16)
-    xd = jax.device_put(x.view(np.int32))  # pair-packed transport (free view)
+    xd = jax.device_put(x)
 
     def make_chained(k):
         @jax.jit
         def chained(v):
             def body(i, y):
-                return windowed_averager_packed(y, WINDOW, CHANNELS)
+                return windowed_averager_pallas(y, WINDOW, CHANNELS)
 
             return jax.lax.fori_loop(0, k, body, v)
 

@@ -234,12 +234,17 @@ _TILE_SCANS = {
 
 
 def _row_window_sum(v, w: int):
-    """Per-lane sum of rows [r-w+1, r] of ``v``, zero-filled above the top.
+    """Per-lane sum of rows [r-w+1, r] of ``v`` (valid for rows >= w-1).
 
     Binary-decomposition doubling — <= 2*log2(w) roll-add passes. Invariant:
     ``pw`` holds the window of ``width`` rows ending at r; ``acc`` the window
     of ``covered`` rows ending at r; extending acc downward shifts pw by
     ``covered`` so the two spans abut exactly.
+
+    Rolls are CIRCULAR (unmasked): wrapped bottom-row garbage only reaches
+    rows < w, and the windowed kernels discard all rows below their
+    ``tail_rows`` (>= hr+1 >= any shift here) — saving the iota+compare+
+    select of a zero-fill mask on every pass.
     """
     acc = None
     covered = 0
@@ -250,11 +255,11 @@ def _row_window_sum(v, w: int):
             if acc is None:
                 acc, covered = pw, width
             else:
-                acc = acc + _masked_roll(pw, covered, 0)
+                acc = acc + pltpu.roll(pw, covered, axis=0)
                 covered += width
         rem >>= 1
         if rem:
-            pw = pw + _masked_roll(pw, width, 0)
+            pw = pw + pltpu.roll(pw, width, axis=0)
             width *= 2
     return acc
 
@@ -315,24 +320,26 @@ def _windowed_wsum(ext, window: int, channels: int, lane_via_mxu: bool):
     )
     p, rt = lane_pass(ext, channels)
 
-    # windowed sum of row totals over rows [r-hr, r-1]
+    # windowed sum of row totals over rows [r-hr, r-1]. All axis-0 rolls
+    # here are circular/unmasked: every shift is <= hr+1 <= tail_rows, so
+    # wrapped garbage stays in rows the caller discards (< tail_rows).
     ws = (
-        _masked_roll(_row_window_sum(rt, hr), 1, 0)
+        pltpu.roll(_row_window_sum(rt, hr), 1, axis=0)
         if hr > 0
         else jnp.zeros_like(rt)
     )
 
     if hl == 0:
-        return p - _masked_roll(p, hr, 0) + ws
+        return p - pltpu.roll(p, hr, axis=0) + ws
     # boundary lane l: lanes >= hl read p(r-hr, l-hl); lanes < hl wrap a
     # row further to p(r-hr-1, l-hl+128) and their row span gains one row
-    a1 = _masked_roll(p, hr, 0)
-    a2 = _masked_roll(p, hr + 1, 0)
+    a1 = pltpu.roll(p, hr, axis=0) if hr else p
+    a2 = pltpu.roll(p, hr + 1, axis=0)
     col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
     b = jnp.where(
         col >= hl, pltpu.roll(a1, hl, axis=1), pltpu.roll(a2, hl, axis=1)
     )
-    ws = jnp.where(col >= hl, ws, ws + _masked_roll(rt, hr + 1, 0))
+    ws = jnp.where(col >= hl, ws, ws + pltpu.roll(rt, hr + 1, axis=0))
     return p - b + ws
 
 
@@ -367,7 +374,7 @@ def _windowed_averager_kernel(
 
 def _trunc_div_i32(wsum, window: int):
     """trunc(wsum / window) kept in int32 (packed-path halves)."""
-    q = jnp.abs(wsum) // window
+    q = _abs_div(wsum, window)
     return jnp.where(wsum < 0, -q, q)
 
 
@@ -627,9 +634,17 @@ def _shift_from_concat(concat_ref, h: int, rows: int):
     )
 
 
+def _abs_div(wsum, window: int):
+    """|wsum| // window, with a plain shift for power-of-two windows."""
+    a = jnp.abs(wsum)
+    if window & (window - 1) == 0:
+        return jnp.right_shift(a, window.bit_length() - 1)
+    return a // window
+
+
 def _trunc_div_cast(wsum, window: int):
     """trunc(wsum / window) -> int16; |wsum| <= 65535*32768 < 2^31 so abs is safe."""
-    q = jnp.abs(wsum) // window
+    q = _abs_div(wsum, window)
     return jnp.where(wsum < 0, -q, q).astype(jnp.int16)
 
 
