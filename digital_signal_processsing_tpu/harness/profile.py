@@ -105,6 +105,7 @@ def time_phases(
     rounds: int = MEASUREMENT_ROUNDS,
     sharding=None,
     resident: bool = False,
+    chain: int = 1,
 ) -> ProfileResult:
     """Warmup-then-average phase-split benchmark (benchmark.h:116-132 analog).
 
@@ -116,6 +117,12 @@ def time_phases(
     round (Standard/cudaMemcpy analog); ``True`` keeps the input resident on
     device and re-times only compute+fetch (the serving steady state the
     Unified zero-copy mode approximated).
+
+    ``chain > 1`` jit-chains that many dependent applications of ``fn`` and
+    reports compute_ms per application. Use it when per-call dispatch is
+    comparable to the kernel (e.g. the axon tunnel's ~30 ms round trip —
+    BENCH_NOTES.md): the fixed overhead amortizes 1/chain. Requires fn to
+    preserve shape/dtype (all the averager variants do).
     """
     res = ProfileResult()
 
@@ -124,15 +131,21 @@ def time_phases(
             return jax.device_put(arr, sharding)
         return jax.device_put(arr)
 
+    run = fn
+    if chain > 1:
+        @jax.jit
+        def run(v):  # noqa: F811 — chained replacement of fn
+            return jax.lax.fori_loop(0, chain, lambda i, y: fn(y), v)
+
     t0 = time.perf_counter()
     dev = put(host_input)
-    out = jax.block_until_ready(fn(dev))
+    out = jax.block_until_ready(run(dev))
     res.initialization_ms = (time.perf_counter() - t0) * 1e3
 
     for _ in range(warmup):
         if not resident:
             dev = put(host_input)
-        out = jax.block_until_ready(fn(dev))
+        out = jax.block_until_ready(run(dev))
         np.asarray(out)
 
     for _ in range(rounds):
@@ -140,11 +153,11 @@ def time_phases(
         if not resident:
             dev = jax.block_until_ready(put(host_input))
         t1 = time.perf_counter()
-        out = jax.block_until_ready(fn(dev))
+        out = jax.block_until_ready(run(dev))
         t2 = time.perf_counter()
         np.asarray(out)
         t3 = time.perf_counter()
-        res.accumulate((t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3)
+        res.accumulate((t1 - t0) * 1e3, (t2 - t1) * 1e3 / chain, (t3 - t2) * 1e3)
     return res
 
 

@@ -68,6 +68,7 @@ def run_config(
     logger,
     warmup: int,
     rounds: int,
+    chain: int = 1,
 ) -> None:
     from ..ops import moving_average
     from .profile import ProfileResult, benchmark, time_phases
@@ -124,9 +125,11 @@ def run_config(
 
     # the reference benchmarks both memory modes back-to-back
     # (e.g. profilable_sm_averager.cu:76-129): staged then resident
-    res = time_phases(fn, samples, warmup=warmup, rounds=rounds)
+    res = time_phases(fn, samples, warmup=warmup, rounds=rounds, chain=chain)
     logger.log(variant, "staged", n, grade, tile_rows or 0, res, 2)
-    res_r = time_phases(fn, samples, warmup=warmup, rounds=rounds, resident=True)
+    res_r = time_phases(
+        fn, samples, warmup=warmup, rounds=rounds, resident=True, chain=chain
+    )
     logger.log(variant, "resident", n, grade, tile_rows or 0, res_r, 2)
 
 
@@ -141,6 +144,7 @@ def run_suite(
     rounds: int = 5,
     max_direct: int = 64,
     verbose: bool = True,
+    chain: int = 1,
 ) -> int:
     from .csvlog import CsvLogger
 
@@ -167,7 +171,7 @@ def run_suite(
                         try:
                             run_config(
                                 samples, variant, grade, channels, tr, logger,
-                                warmup, rounds,
+                                warmup, rounds, chain,
                             )
                             if verbose:
                                 print(
@@ -197,6 +201,13 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--rounds", type=int, default=5)
     p.add_argument(
+        "--chain",
+        type=int,
+        default=1,
+        help="jit-chain K applications per compute timing (amortizes fixed "
+        "dispatch overhead, e.g. the axon tunnel's ~30 ms round trip)",
+    )
+    p.add_argument(
         "--smoke", action="store_true", help="tiny grid for CI / quick checks"
     )
     args = p.parse_args(argv)
@@ -219,6 +230,7 @@ def main(argv=None) -> int:
         channels=args.channels,
         warmup=args.warmup,
         rounds=args.rounds,
+        chain=args.chain,
     )
 
 
