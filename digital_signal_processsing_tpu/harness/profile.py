@@ -118,11 +118,12 @@ def time_phases(
     device and re-times only compute+fetch (the serving steady state the
     Unified zero-copy mode approximated).
 
-    ``chain > 1`` jit-chains that many dependent applications of ``fn`` and
-    reports compute_ms per application. Use it when per-call dispatch is
-    comparable to the kernel (e.g. the axon tunnel's ~30 ms round trip —
-    BENCH_NOTES.md): the fixed overhead amortizes 1/chain. Requires fn to
-    preserve shape/dtype (all the averager variants do).
+    ``chain > 1`` reports a K-DIFFERENTIAL compute time: each round times a
+    jit-chained loop at two lengths (chain and chain//4) and takes the
+    slope, which cancels fixed per-call dispatch exactly (the axon tunnel's
+    ~30 ms round trip — BENCH_NOTES.md; plain division would still leave
+    overhead/chain per application). Requires fn to preserve shape/dtype
+    (all the averager variants do).
     """
     res = ProfileResult()
 
@@ -131,21 +132,28 @@ def time_phases(
             return jax.device_put(arr, sharding)
         return jax.device_put(arr)
 
-    run = fn
-    if chain > 1:
+    def chained(k):
         @jax.jit
-        def run(v):  # noqa: F811 — chained replacement of fn
-            return jax.lax.fori_loop(0, chain, lambda i, y: fn(y), v)
+        def run(v):
+            return jax.lax.fori_loop(0, k, lambda i, y: fn(y), v)
+
+        return run
+
+    k_small = max(chain // 4, 1) if chain > 1 else 1
+    run_big = chained(chain) if chain > 1 else fn
+    run_small = chained(k_small) if chain > 1 else None
 
     t0 = time.perf_counter()
     dev = put(host_input)
-    out = jax.block_until_ready(run(dev))
+    out = jax.block_until_ready(run_big(dev))
     res.initialization_ms = (time.perf_counter() - t0) * 1e3
+    if run_small is not None:
+        jax.block_until_ready(run_small(dev))  # compile outside timing
 
     for _ in range(warmup):
         if not resident:
             dev = put(host_input)
-        out = jax.block_until_ready(run(dev))
+        out = jax.block_until_ready(run_big(dev))
         np.asarray(out)
 
     for _ in range(rounds):
@@ -153,11 +161,17 @@ def time_phases(
         if not resident:
             dev = jax.block_until_ready(put(host_input))
         t1 = time.perf_counter()
-        out = jax.block_until_ready(run(dev))
+        out = jax.block_until_ready(run_big(dev))
         t2 = time.perf_counter()
         np.asarray(out)
         t3 = time.perf_counter()
-        res.accumulate((t1 - t0) * 1e3, (t2 - t1) * 1e3 / chain, (t3 - t2) * 1e3)
+        compute_ms = (t2 - t1) * 1e3
+        if run_small is not None:
+            t4 = time.perf_counter()
+            jax.block_until_ready(run_small(dev))
+            small_ms = (time.perf_counter() - t4) * 1e3
+            compute_ms = max((compute_ms - small_ms) / (chain - k_small), 0.0)
+        res.accumulate((t1 - t0) * 1e3, compute_ms, (t3 - t2) * 1e3)
     return res
 
 
