@@ -1,0 +1,58 @@
+"""PFB channelizer vs the literal mix-filter-decimate bank."""
+
+import numpy as np
+import pytest
+
+from digital_signal_processsing_tpu.ops.channelizer import (
+    design_prototype,
+    pfb_channelize,
+)
+
+
+def _bank_golden(x, h, n):
+    """Channel k = causal FIR of (x * e^{-2πikn/N}), sampled every N."""
+    t = x.shape[0]
+    out = []
+    idx = np.arange(t)
+    hpad = h.astype(np.float64)
+    for k in range(n):
+        mixed = x.astype(np.float64) * np.exp(-2j * np.pi * k * idx / n)
+        filt = np.convolve(mixed, hpad)[:t]
+        out.append(filt[::n])
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("n,p", [(8, 4), (16, 8)])
+def test_pfb_matches_literal_bank(rng, n, p):
+    t = n * 64
+    x = rng.normal(size=t).astype(np.float32)
+    h = design_prototype(n, p)
+    got = np.asarray(pfb_channelize(x, n, jnp_taps(h)))
+    want = _bank_golden(x, h, n)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def jnp_taps(h):
+    import jax.numpy as jnp
+
+    return jnp.asarray(h)
+
+
+def test_pfb_isolates_a_tone(rng):
+    n = 16
+    t = n * 512
+    idx = np.arange(t)
+    # tone centered exactly on channel 3
+    x = np.cos(2 * np.pi * 3 / n * idx).astype(np.float32)
+    y = np.asarray(pfb_channelize(x, n))
+    power = np.mean(np.abs(y[:, 32:]) ** 2, axis=1)  # skip filter settling
+    assert np.argmax(power) == 3
+    others = np.delete(power, [3, n - 3])  # n-3 holds the conjugate image
+    assert power[3] > 100 * others.max()
+
+
+def test_pfb_rejects_bad_shapes(rng):
+    with pytest.raises(ValueError, match="multiple"):
+        pfb_channelize(np.zeros(100, np.float32), 16)
+    with pytest.raises(ValueError, match="flat"):
+        pfb_channelize(np.zeros((2, 32), np.float32), 16)
