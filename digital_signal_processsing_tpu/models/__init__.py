@@ -1,6 +1,7 @@
 from .averager_zoo import AVERAGER_ZOO, run_variant  # noqa: F401
 from .chain import ChainConfig, DspChain  # noqa: F401
 from .adaptive import AdaptiveFir, lms_train_step, make_sharded_train_step  # noqa: F401
+from .wideband import WidebandConfig, WidebandFmReceiver  # noqa: F401
 
 __all__ = [
     "AVERAGER_ZOO",
@@ -10,4 +11,6 @@ __all__ = [
     "AdaptiveFir",
     "lms_train_step",
     "make_sharded_train_step",
+    "WidebandConfig",
+    "WidebandFmReceiver",
 ]
