@@ -51,7 +51,15 @@ class WidebandFmReceiver:
 
     @functools.partial(jax.jit, static_argnums=0)
     def __call__(self, x: jax.Array) -> jax.Array:
-        """(T,) real float32 -> (n_channels, T // n_channels) float32 audio."""
+        """(T,) real float32 -> (n_channels, T // n_channels) float32 audio.
+
+        Scales across chips with no hand-written collectives: feed a
+        time-sharded input (``jax.device_put(x, NamedSharding(mesh,
+        P("t")))``) and GSPMD partitions the whole pipeline — the PFB
+        conv gets its halo exchange, the channel IFFT is local (the N axis
+        is replicated), and the output arrives (N, t-sharded). Verified
+        identical to the unsharded run in tests/test_wideband.py.
+        """
         c = self.config
         i, q = pfb_channelize_planar(x, c.n_channels, self.prototype)
         audio = fm_demodulate(jax.lax.complex(i, q), gain=c.fm_gain)
