@@ -2,7 +2,7 @@
 
 Beyond-reference framework op (the reference has no correlation tooling);
 semantics match ``scipy.signal.correlate`` for real inputs (validated
-against it in tests/test_correlate.py). Correlation is convolution with the
+against it in tests/test_design_spectral.py::TestCorrelate). Correlation is convolution with the
 flipped template, so one rfft/irfft pair at a padded power-of-two length
 does the whole batch; TPU FFTs prefer pow2 sizes.
 """

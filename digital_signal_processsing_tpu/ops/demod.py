@@ -109,8 +109,14 @@ def oscillator_bank(
     (parallel/pipeline.py) mixing coherently.
     """
     f = jnp.atleast_1d(jnp.asarray(freqs, jnp.float32))[:, None]
-    n = jnp.asarray(t0, jnp.int32) + jnp.arange(t, dtype=jnp.int32)
-    theta = -2.0 * jnp.pi * _frac_mul_int(f, n[None, :])
+    # frac(f*(t0+n)) = frac(frac(f*t0) + frac(f*n)): splitting keeps every
+    # integer argument < 2^31 — adding t0 into the iota would silently wrap
+    # int32 once a shard starts past ~2.1e9 samples. (t0 itself must still
+    # fit int32; document larger offsets as out of scope.)
+    p0 = _frac_mul_int(f, jnp.asarray(t0, jnp.int32))
+    pn = _frac_mul_int(f, jnp.arange(t, dtype=jnp.int32)[None, :])
+    p = p0 + pn
+    theta = -2.0 * jnp.pi * (p - jnp.floor(p))
     return jnp.cos(theta), jnp.sin(theta)
 
 
@@ -118,7 +124,13 @@ def oscillator_bank(
 def frequency_translate(x: jax.Array, freq_norm: jax.Array | float) -> jax.Array:
     """Mix a signal down/up by freq (cycles/sample): x * exp(-2πi f n)."""
     t = x.shape[-1]
-    c, s = oscillator_bank(jnp.asarray(freq_norm, jnp.float32).reshape(-1), t)
+    fr = jnp.asarray(freq_norm, jnp.float32).reshape(-1)
+    if x.ndim == 1 and fr.shape[0] != 1:
+        raise ValueError(
+            f"a 1-D signal takes one frequency, got {fr.shape[0]}; "
+            "pass a (channels, time) signal for per-channel mixing"
+        )
+    c, s = oscillator_bank(fr, t)
     lo = jax.lax.complex(c, s)
     lo = lo[0] if x.ndim == 1 else lo
     return _to_c64(x) * lo

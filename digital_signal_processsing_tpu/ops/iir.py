@@ -174,7 +174,7 @@ def design_butterworth(
     transform z = (1+s)/(1-s), zeros at z=-1 (lowpass) / z=+1 (highpass);
     conjugate pole pairs become biquads, each normalized to unity gain at
     DC (lowpass) or Nyquist (highpass). Matches scipy.signal.butter to
-    float32 tolerance (validated in tests/test_iir.py).
+    float32 tolerance (tests/test_design_spectral.py::TestButterworth).
     """
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")

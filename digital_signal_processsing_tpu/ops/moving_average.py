@@ -84,12 +84,12 @@ def moving_average(
         return moving_average_golden(np.asarray(x), window, channels)
     if method == "windowed":
         from .pallas_scan import (
-            MAX_TILE_ROWS,
             moving_average_two_pass,
             windowed_averager_pallas,
+            windowed_supported,
         )
 
-        if window * channels > MAX_TILE_ROWS * 128:
+        if not windowed_supported(window, channels):
             return moving_average_two_pass(x, window, channels)
         return windowed_averager_pallas(x, window, channels)
     if method in ("scan", "scan_hillis", "scan_mxu"):

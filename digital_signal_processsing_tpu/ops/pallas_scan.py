@@ -75,6 +75,19 @@ def supports_channels(channels: int) -> bool:
     return channels >= 1 and LANES % channels == 0
 
 
+def windowed_supported(window: int, channels: int) -> bool:
+    """True iff the carry-free windowed kernel can run this config.
+
+    The single feasibility predicate for every dispatcher (the public
+    moving_average, the sharded path, the streaming chunk op): lane-layout
+    channels AND a halo that fits the kernel's VMEM tile budget.
+    """
+    return (
+        supports_channels(channels)
+        and 1 <= window * channels <= MAX_WINDOWED_TILE_ROWS * LANES
+    )
+
+
 def _masked_roll(v, shift, axis):
     """v shifted by `shift` along axis with zero fill (non-circular)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
@@ -644,8 +657,7 @@ def _abs_div(wsum, window: int):
 
 def _trunc_div_cast(wsum, window: int):
     """trunc(wsum / window) -> int16; |wsum| <= 65535*32768 < 2^31 so abs is safe."""
-    q = _abs_div(wsum, window)
-    return jnp.where(wsum < 0, -q, q).astype(jnp.int16)
+    return _trunc_div_i32(wsum, window).astype(jnp.int16)
 
 
 def _scan_averager_kernel(

@@ -54,12 +54,12 @@ def moving_average_chunk(
     n = x.shape[0]
 
     from .pallas_scan import (
-        supports_channels,
         windowed_averager_pallas,
+        windowed_supported,
         windowed_tail_rows,
     )
 
-    if supports_channels(channels) and n > 0 and n % layout.LANES == 0:
+    if windowed_supported(window, channels) and n > 0 and n % layout.LANES == 0:
         tr = windowed_tail_rows(window, channels) * layout.LANES
         # Seed rows older than the halo are zero-padded: the windowed
         # identity w = p - p' + sum(rowtot) cancels any contribution from

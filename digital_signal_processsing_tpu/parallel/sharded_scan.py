@@ -140,9 +140,12 @@ def sharded_moving_average(
     Bit-exact against the golden model for window <= 65535.
 
     ``method='windowed'`` (default) runs the carry-free kernel with a raw
-    int16 halo exchange; ``method='scan'`` keeps the explicit
-    cumsum + all-gather carry + cumsum-tail halo decomposition (the
-    reference's carry-tree analog), honoring ``use_pallas``/``halo_impl``.
+    int16 halo exchange; it falls back to ``'scan'`` when the config is
+    outside the kernel's envelope (channels, halo VMEM budget, shard
+    alignment) or when ``use_pallas=False`` requests the pure-XLA path.
+    ``method='scan'`` keeps the explicit cumsum + all-gather carry +
+    cumsum-tail halo decomposition (the reference's carry-tree analog),
+    honoring ``use_pallas``/``halo_impl``.
     """
     layout.validate_window(window, MAX_EXACT_WINDOW)
     ndev = mesh.shape[TIME_AXIS]
@@ -157,12 +160,14 @@ def sharded_moving_average(
             f"window*channels = {window * channels} exceeds one shard "
             f"({n // ndev}); halo exchange is single-hop"
         )
+    if method == "windowed" and not use_pallas:
+        method = "scan"  # honor the explicit pure-XLA opt-out
     if method == "windowed":
-        from ..ops.pallas_scan import supports_channels, windowed_tail_rows
+        from ..ops.pallas_scan import windowed_supported, windowed_tail_rows
 
         n_loc = n // ndev
         if (
-            supports_channels(channels)
+            windowed_supported(window, channels)
             and n_loc % layout.LANES == 0
             and n_loc >= windowed_tail_rows(window, channels) * layout.LANES
         ):

@@ -109,3 +109,22 @@ def test_oscillator_bank_exact_phase():
         th = -2 * np.pi * ((np.float64(np.float32(f)) * n) % 1.0)
         np.testing.assert_allclose(np.asarray(c[0]), np.cos(th), atol=2e-5)
         np.testing.assert_allclose(np.asarray(s[0]), np.sin(th), atol=2e-5)
+
+
+def test_frequency_translate_rejects_freq_bank_on_1d():
+    import jax.numpy as jnp
+
+    from digital_signal_processsing_tpu.ops.demod import frequency_translate
+
+    with pytest.raises(ValueError, match="one frequency"):
+        frequency_translate(jnp.ones(16), jnp.array([0.1, 0.2]))
+
+
+def test_oscillator_bank_huge_t0_no_int32_wrap():
+    from digital_signal_processsing_tpu.ops.demod import oscillator_bank
+
+    t0 = 2_147_000_000  # t0 + t would wrap int32 if added into the iota
+    c, s = oscillator_bank(np.array([0.373], np.float32), 4096, t0)
+    n = t0 + np.arange(4096, dtype=np.float64)
+    th = -2 * np.pi * ((np.float64(np.float32(0.373)) * n) % 1.0)
+    np.testing.assert_allclose(np.asarray(c[0]), np.cos(th), atol=2e-5)

@@ -204,3 +204,24 @@ def test_ring_shift_right_semantics(rng):
     got = np.asarray(ring_shift_right(x, mesh))
     want = np.concatenate([np.zeros(256, np.float32), x[:-256]])
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_giant_halo_falls_back_to_scan(rng):
+    # window*channels beyond the windowed kernel's VMEM envelope must route
+    # to the carry decomposition, not crash at trace time
+    c, w = 128, 8192
+    x = make_interleaved(rng, 128 * 8192 * 16 // c, c)
+    from digital_signal_processsing_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    got = np.asarray(sharded_moving_average(x, w, c, mesh=mesh))
+    np.testing.assert_array_equal(got, moving_average_golden(x, w, c))
+
+
+def test_sharded_use_pallas_false_respected(rng, mesh8):
+    # the explicit pure-XLA opt-out must not dispatch a Pallas kernel
+    x = make_interleaved(rng, 20480, 2)
+    got = np.asarray(
+        sharded_moving_average(x, 64, 2, mesh=mesh8, use_pallas=False)
+    )
+    np.testing.assert_array_equal(got, moving_average_golden(x, 64, 2))

@@ -74,3 +74,14 @@ def test_streaming_mixed_lane_aligned_and_odd_chunks(rng):
         i += ln
     got = np.concatenate(outs)
     np.testing.assert_array_equal(got, moving_average_golden(x, window, channels))
+
+
+def test_streaming_giant_halo_falls_back_to_xla(rng):
+    # halo beyond the windowed kernel's envelope uses the sliding recurrence
+    c, w = 128, 8192
+    x = make_interleaved(rng, 2**21 // c, c)
+    state = moving_average_init(w, c)
+    state, y1 = moving_average_chunk(state, x[: 2**20], w, c)
+    state, y2 = moving_average_chunk(state, x[2**20 :], w, c)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    np.testing.assert_array_equal(got, moving_average_golden(x, w, c))
