@@ -153,6 +153,10 @@ def fir_direct(x: jax.Array, taps: jax.Array) -> jax.Array:
 
 
 def _pick_block(k: int) -> int:
+    # L = pow2 >= 8k; nfft = L + pow2(k) is then mixed-radix (e.g. 2560 =
+    # 2^9*5). Measured on v5e: forcing nfft to a pure power of two (bigger
+    # transforms, same overlap) is ~25% SLOWER — XLA's TPU FFT handles the
+    # small odd radix fine, so keep the smaller mixed-radix size.
     return max(256, 1 << int(np.ceil(np.log2(8 * max(k, 2)))))
 
 
@@ -193,13 +197,13 @@ def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Ar
     """Causal FIR with automatic direct/overlap-save crossover.
 
     Measured on v5e (16x4.2M f32): the lane-blocked direct conv runs
-    1.6-2.0 ms for k in [63, 1025] while overlap-save sits flat ~38 ms, so
-    direct wins until its O(k) MAC cost passes the FFT path — around
-    k ~ 4096 at HIGHEST precision.
+    1.6-2.0 ms for k in [63, 1025] and 35 ms at k=8192, while overlap-save
+    sits flat ~38-48 ms — direct wins until its O(k) MAC cost passes the
+    FFT path, around k ~ 10^4 at HIGHEST precision.
     """
     k = int(taps.shape[0])
     if method == "auto":
-        method = "direct" if k <= 4096 else "overlap_save"
+        method = "direct" if k <= 8192 else "overlap_save"
     if method == "direct":
         return fir_direct(x, taps)
     if method == "overlap_save":
