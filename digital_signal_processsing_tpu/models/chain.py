@@ -143,3 +143,62 @@ class DspChain:
             rng.normal(size=shape).astype(np.float32),
             rng.normal(size=shape).astype(np.float32),
         )
+
+
+@dataclasses.dataclass
+class ChainStreamState:
+    """Carry for chunked chain processing: the raw I/Q halo + global offset.
+
+    The same halo-recompute strategy as the time-sharded chain
+    (parallel/pipeline.py), applied across time instead of across chips:
+    keep the last ``chain_halo`` raw samples, prepend them to the next
+    chunk, drop the halo's outputs. Chunked output matches the one-shot
+    chain on the concatenated stream (float32 scan-ordering noise only).
+    """
+
+    tail_i: jax.Array  # (channels, halo) float32
+    tail_q: jax.Array  # (channels, halo) float32
+    t0: jax.Array  # () int32 — absolute index of the next chunk's sample 0
+
+
+jax.tree_util.register_dataclass(
+    ChainStreamState, data_fields=["tail_i", "tail_q", "t0"], meta_fields=[]
+)
+
+
+def chain_stream_init(chain: DspChain) -> ChainStreamState:
+    from ..parallel.pipeline import chain_halo
+
+    c = chain.config
+    halo = chain_halo(chain)
+    z = jnp.zeros((c.channels, halo), jnp.float32)
+    return ChainStreamState(tail_i=z, tail_q=z, t0=jnp.asarray(0, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def chain_stream_chunk(
+    chain: DspChain,
+    state: ChainStreamState,
+    i: jax.Array,
+    q: jax.Array,
+) -> tuple[ChainStreamState, jax.Array]:
+    """One chunk of the receiver chain with carried raw-sample halo.
+
+    ``i``/``q``: (channels, chunk_t) float32 planes, chunk_t a multiple of
+    the decimation. Returns audio (channels, chunk_t // decimation) aligned
+    with the one-shot chain's output for the same absolute offsets (the LO
+    uses the carried global ``t0``, so chunked mixing stays phase-coherent).
+    """
+    c = chain.config
+    d = c.decimation
+    t_loc = i.shape[-1]
+    halo = state.tail_i.shape[-1]
+    ext_i = jnp.concatenate([state.tail_i, i.astype(jnp.float32)], axis=-1)
+    ext_q = jnp.concatenate([state.tail_q, q.astype(jnp.float32)], axis=-1)
+    out = chain.forward_planar(ext_i, ext_q, t0=state.t0 - halo)
+    new_state = ChainStreamState(
+        tail_i=ext_i[:, t_loc:],
+        tail_q=ext_q[:, t_loc:],
+        t0=state.t0 + t_loc,
+    )
+    return new_state, out[:, halo // d :]

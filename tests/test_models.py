@@ -148,3 +148,30 @@ def test_fused_chain_sharded_parity(rng):
     got = np.asarray(sharded_chain(chain, iq, mesh))
     ramp = (cfg.channel_taps + 8 * cfg.decimation) // cfg.decimation + cfg.audio_taps
     np.testing.assert_allclose(got[:, ramp:], want[:, ramp:], rtol=1e-3, atol=1e-4)
+
+
+def test_chain_stream_chunks_match_one_shot(rng):
+    from digital_signal_processsing_tpu.models.chain import (
+        ChainConfig,
+        DspChain,
+        chain_stream_chunk,
+        chain_stream_init,
+    )
+
+    cfg = ChainConfig(channels=4, decimation=4, channel_taps=65, audio_taps=33)
+    chain = DspChain(cfg)
+    t = 1 << 13
+    i = rng.normal(size=(4, t)).astype(np.float32)
+    q = rng.normal(size=(4, t)).astype(np.float32)
+    want = np.asarray(chain.forward_planar(i, q))
+
+    state = chain_stream_init(chain)
+    outs = []
+    for a, b in [(0, 2048), (2048, 2048 + 1024), (2048 + 1024, t)]:
+        state, y = chain_stream_chunk(chain, state, i[:, a:b], q[:, a:b])
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=-1)
+    assert got.shape == want.shape
+    # skip the global ramp-up where near-zero FM phasors amplify float noise
+    ramp = (cfg.channel_taps + 8 * cfg.decimation) // cfg.decimation + cfg.audio_taps
+    np.testing.assert_allclose(got[:, ramp:], want[:, ramp:], rtol=1e-3, atol=1e-4)
