@@ -49,3 +49,39 @@ def load_training_state(path, opt_state_template):
             "optimizer mismatch"
         )
     return taps, jax.tree.unflatten(treedef, leaves), step
+
+
+def save_pytree(path, tree) -> None:
+    """Atomically persist ANY pytree of arrays (streaming states, params).
+
+    Generalizes the training-state format: leaves as npz entries, structure
+    restored from a template at load time. Atomic via write-then-rename
+    (resume never sees a torn file).
+    """
+    path = Path(path)
+    leaves, _ = jax.tree.flatten(tree)
+    payload = {"num_leaves": np.asarray(len(leaves), np.int64)}
+    for i, leaf in enumerate(leaves):
+        payload[f"leaf_{i}"] = np.asarray(leaf)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+def load_pytree(path, template):
+    """Restore a pytree saved by :func:`save_pytree`; ``template`` supplies
+    the structure (e.g. a freshly-initialized streaming state)."""
+    with np.load(Path(path)) as z:
+        n = int(z["num_leaves"])
+        leaves = [z[f"leaf_{i}"] for i in range(n)]
+    t_leaves, treedef = jax.tree.flatten(template)
+    if treedef.num_leaves != n:
+        raise ValueError(
+            f"checkpoint has {n} leaves, template has {treedef.num_leaves}"
+        )
+    leaves = [
+        np.asarray(leaf).astype(tl.dtype) if hasattr(tl, "dtype") else leaf
+        for leaf, tl in zip(leaves, t_leaves)
+    ]
+    return jax.tree.unflatten(treedef, leaves)

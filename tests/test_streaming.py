@@ -85,3 +85,24 @@ def test_streaming_giant_halo_falls_back_to_xla(rng):
     state, y2 = moving_average_chunk(state, x[2**20 :], w, c)
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
     np.testing.assert_array_equal(got, moving_average_golden(x, w, c))
+
+
+def test_streaming_state_checkpoint_resume(rng, tmp_path):
+    # kill-and-resume mid-stream: the restored state continues bit-exactly
+    from digital_signal_processsing_tpu.utils.checkpoint import (
+        load_pytree,
+        save_pytree,
+    )
+
+    w, c = 100, 2
+    x = make_interleaved(rng, 4096, c)
+    want = moving_average_golden(x, w, c)
+
+    state = moving_average_init(w, c)
+    state, y1 = moving_average_chunk(state, x[:3000], w, c)
+    save_pytree(tmp_path / "stream.npz", state)
+
+    restored = load_pytree(tmp_path / "stream.npz", moving_average_init(w, c))
+    _, y2 = moving_average_chunk(restored, x[3000:], w, c)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    np.testing.assert_array_equal(got, want)
