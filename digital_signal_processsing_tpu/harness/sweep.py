@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import functools
 import sys
-import tempfile
 from pathlib import Path
 
 import numpy as np
@@ -151,40 +150,45 @@ def run_suite(
     logger = CsvLogger(out_csv)
     failures = 0
     runs = 0
+    tile_rows_list = list(tile_rows_list) or [None]
     for n in sizes:
         rng_seed = n % (2**31)
         frames = n // channels
-        with tempfile.TemporaryDirectory() as td:
-            wav = Path(td) / f"bench_{n}.wav"
-            samples = generate_wav(wav, n, channels, rng_seed)
-            for grade in grades:
-                if grade >= frames:  # run_benchmarks.py:78-79 skip rule
+        # in-memory synthesis: run_config consumes the array directly (the
+        # reference wrote a temp WAV only because its binaries read files)
+        rng = np.random.default_rng(rng_seed)
+        samples = rng.integers(
+            -32768, 32768, size=frames * channels, dtype=np.int16
+        )
+        for grade in grades:
+            if grade >= frames:  # run_benchmarks.py:78-79 skip rule
+                continue
+            for variant in variants:
+                if variant == "direct" and grade > max_direct:
                     continue
-                for variant in variants:
-                    if variant == "direct" and grade > max_direct:
-                        continue
-                    if variant == "golden_cpu" and n > 10_000_000:
-                        continue  # host loop too slow to sweep at 50M
-                    trs = tile_rows_list if variant.startswith(("scan", "direct")) else [None]
-                    for tr in trs:
-                        runs += 1
-                        try:
-                            run_config(
-                                samples, variant, grade, channels, tr, logger,
-                                warmup, rounds, chain,
-                            )
-                            if verbose:
-                                print(
-                                    f"ok   {variant:12s} N={n:>10d} k={grade:<5d} tile={tr}",
-                                    flush=True,
-                                )
-                        except Exception as e:  # crash-count, keep sweeping
-                            failures += 1
+                if variant == "golden_cpu" and n > 10_000_000:
+                    continue  # host loop too slow to sweep at 50M
+                tiled = variant.startswith(("scan", "direct", "windowed"))
+                trs = tile_rows_list if tiled else [None]
+                for tr in trs:
+                    runs += 1
+                    try:
+                        run_config(
+                            samples, variant, grade, channels, tr, logger,
+                            warmup, rounds, chain,
+                        )
+                        if verbose:
                             print(
-                                f"FAIL {variant:12s} N={n:>10d} k={grade:<5d}: {e}",
-                                file=sys.stderr,
+                                f"ok   {variant:12s} N={n:>10d} k={grade:<5d} tile={tr}",
                                 flush=True,
                             )
+                    except Exception as e:  # crash-count, keep sweeping
+                        failures += 1
+                        print(
+                            f"FAIL {variant:12s} N={n:>10d} k={grade:<5d}: {e}",
+                            file=sys.stderr,
+                            flush=True,
+                        )
     if verbose:
         print(f"sweep done: {runs} configs, {failures} failures -> {out_csv}")
     return failures
@@ -210,6 +214,12 @@ def main(argv=None) -> int:
     p.add_argument(
         "--smoke", action="store_true", help="tiny grid for CI / quick checks"
     )
+    p.add_argument(
+        "--subprocess",
+        action="store_true",
+        help="one python process per (size, grade) config — the reference's "
+        "isolation mode (run_benchmarks.py:86-91) for cold-start studies",
+    )
     args = p.parse_args(argv)
 
     if args.smoke:
@@ -220,6 +230,31 @@ def main(argv=None) -> int:
         sizes = args.sizes or DEFAULT_SIZES
         grades = args.grades or DEFAULT_GRADES
         variants = args.variants
+
+    if args.subprocess:
+        # one interpreter per (size, grade): cold compile + cold allocator
+        # every config (the reference's isolation, run_benchmarks.py:86-91)
+        import subprocess
+
+        failures = 0
+        for n in sizes:
+            for g in grades:
+                cmd = [
+                    sys.executable, "-m",
+                    "digital_signal_processsing_tpu.harness.sweep",
+                    "--sizes", str(n), "--grades", str(g),
+                    "--variants", *variants,
+                    "--channels", str(args.channels),
+                    "--out", args.out,
+                    "--warmup", str(args.warmup),
+                    "--rounds", str(args.rounds),
+                    "--chain", str(args.chain),
+                ]
+                if args.tile_rows != [None]:
+                    cmd += ["--tile-rows", *map(str, args.tile_rows)]
+                failures += subprocess.run(cmd).returncode != 0
+        print(f"subprocess sweep done: {failures} failed configs")
+        return failures
 
     return run_suite(
         sizes,

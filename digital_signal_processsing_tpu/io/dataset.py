@@ -33,6 +33,22 @@ def _read(path) -> tuple[int, int, np.ndarray]:
     return info.num_channels, info.sample_rate, data
 
 
+def _read_info(path) -> tuple[int, int]:
+    """(channels, sample_rate) from the 44-byte header only — no body decode."""
+    try:
+        from . import native
+
+        if native.available():
+            ch, rate, _ = native.wav_info_native(path)
+            return ch, rate
+    except Exception:
+        pass
+    from .wav import read_wav_info
+
+    info = read_wav_info(path)
+    return info.num_channels, info.sample_rate
+
+
 class WavChunkLoader:
     """Iterate fixed-size chunks over a list of WAVs as one stream.
 
@@ -58,7 +74,9 @@ class WavChunkLoader:
         self.chunk_samples = chunk_samples
         self.drop_remainder = drop_remainder
         self.allow_rate_mismatch = allow_rate_mismatch
-        ch, rate, _ = _read(self.paths[0])
+        # header-only peek: decoding the first file here would read its
+        # whole body twice (again at iteration)
+        ch, rate = _read_info(self.paths[0])
         self.channels = ch
         self.sample_rate = rate
 

@@ -109,6 +109,18 @@ def _i16ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
 
 
+def wav_info_native(path) -> tuple[int, int, int]:
+    """(channels, sample_rate, num_samples) from the header only (no body)."""
+    lib = load()
+    ch = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    n = ctypes.c_int64()
+    rc = lib.dsp_wav_info(str(path).encode(), ch, rate, n)
+    if rc != 0:
+        raise ValueError(f"{path}: native WAV parse failed (rc={rc})")
+    return ch.value, rate.value, n.value
+
+
 def read_wav_native(path) -> tuple[int, int, np.ndarray]:
     """(channels, sample_rate, samples) via the C++ codec."""
     lib = load()
@@ -176,12 +188,23 @@ def read_wavs_concat_native(
     return ch0, rate0, out
 
 
+def _validate_avg_args(n: int, window: int, channels: int) -> None:
+    """Raise like the golden model — never feed C++ a divide-by-zero."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if channels < 1:
+        raise ValueError(f"channels must be >= 1, got {channels}")
+    if n % channels != 0:
+        raise ValueError(f"stream length {n} not a multiple of channels {channels}")
+
+
 def moving_average_native(
     samples: np.ndarray, window: int, channels: int = 1
 ) -> np.ndarray:
     """C++ serial sliding-sum averager (golden-equivalent, native speed)."""
     lib = load()
     samples = np.ascontiguousarray(samples, dtype=np.int16)
+    _validate_avg_args(samples.size, window, channels)
     out = np.empty_like(samples)
     lib.dsp_moving_average(
         _i16ptr(samples), _i16ptr(out), samples.size, channels, window
@@ -199,6 +222,7 @@ def bench_moving_average_native(
     """Mean milliseconds per round of the native averager (CPU baseline row)."""
     lib = load()
     samples = np.ascontiguousarray(samples, dtype=np.int16)
+    _validate_avg_args(samples.size, window, channels)
     out = np.empty_like(samples)
     return float(
         lib.dsp_bench_moving_average(

@@ -79,6 +79,8 @@ def _parse_header(raw: bytes, path: Path) -> WavInfo:
         raise ValueError(
             f"{path}: unsupported bits per sample: {bits_per_sample} (16-bit only)"
         )
+    if num_channels < 1:
+        raise ValueError(f"{path}: invalid channel count {num_channels}")
     bytes_per_sample = bits_per_sample // 8
     return WavInfo(
         num_channels=num_channels,
@@ -86,6 +88,14 @@ def _parse_header(raw: bytes, path: Path) -> WavInfo:
         bits_per_sample=bits_per_sample,
         num_samples=data_bytes // bytes_per_sample,
     )
+
+
+def read_wav_info(path: str | Path) -> WavInfo:
+    """Parse only the 44-byte header (no body decode)."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        raw = f.read(_HEADER_SIZE)
+    return _parse_header(raw, path)
 
 
 def read_wav(path: str | Path) -> tuple[WavInfo, np.ndarray]:
@@ -98,7 +108,9 @@ def read_wav(path: str | Path) -> tuple[WavInfo, np.ndarray]:
     info = _parse_header(raw, path)
     body = raw[_HEADER_SIZE:]
     n = min(info.num_samples, len(body) // 2)
-    samples = np.frombuffer(body, dtype="<i2", count=n).astype(np.int16, copy=False)
+    # astype() copies: the result must be WRITEABLE like the native fast
+    # path's buffer (frombuffer alone is a read-only view of `raw`)
+    samples = np.frombuffer(body, dtype="<i2", count=n).astype(np.int16)
     if n != info.num_samples:
         info = dataclasses.replace(info, num_samples=n)
     return info, samples

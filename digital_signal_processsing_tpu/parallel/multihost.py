@@ -53,8 +53,12 @@ def assert_same_across_hosts(value: float, name: str = "value") -> None:
     if jax.process_count() == 1:
         return
     mesh = Mesh(jax.devices(), ("p",))
+    # plain numpy input: multi-controller jit rejects a host-local jax.Array
+    # (addressable by one process) against a mesh spanning all processes
+    import numpy as np
+
     got = jax.shard_map(
         lambda a: jax.lax.psum(a, "p"), mesh=mesh, in_specs=P(), out_specs=P()
-    )(jax.numpy.asarray([float(value)]))
+    )(np.asarray([float(value)], dtype=np.float32))
     if abs(float(got[0]) - float(value) * jax.device_count()) > 1e-6:
         raise RuntimeError(f"{name} differs across hosts")

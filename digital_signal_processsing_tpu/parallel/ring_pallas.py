@@ -25,6 +25,7 @@ mesh raises NotImplementedError here.
 from __future__ import annotations
 
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Every ring instantiation in a traced program needs its OWN collective_id:
+# two pallas collectives sharing an id can cross-match their DMA semaphores
+# (device A's send from exchange 1 paired with device B's wait from exchange
+# 2 — a hang or wrong-data halo). Trace order is identical on every SPMD
+# process, so a trace-time counter assigns consistent ids across devices.
+_COLLECTIVE_IDS = itertools.count(7)
+
+
 def ring_shift_right_shard(x_loc: jax.Array, axis: str = TIME_AXIS) -> jax.Array:
     """Inside shard_map: receive the LEFT neighbor's shard; device 0 gets zeros.
 
@@ -68,7 +77,7 @@ def ring_shift_right_shard(x_loc: jax.Array, axis: str = TIME_AXIS) -> jax.Array
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=7
+            has_side_effects=True, collective_id=next(_COLLECTIVE_IDS)
         ),
         interpret=_interpret(),
     )(x_loc)

@@ -48,6 +48,16 @@ def load_training_state(path, opt_state_template):
             f"checkpoint has {n} leaves, template has {treedef.num_leaves} — "
             "optimizer mismatch"
         )
+    # structure check, not just leaf count: two different optimizers can
+    # share a leaf count and silently unflatten into the wrong slots
+    with np.load(Path(path)) as z:
+        if "treedef" in z:
+            saved = bytes(z["treedef"].tobytes()).decode(errors="replace")
+            if saved != repr(treedef):
+                raise ValueError(
+                    "checkpoint optimizer-state structure differs from the "
+                    f"template:\n  saved:    {saved}\n  template: {repr(treedef)}"
+                )
     return taps, jax.tree.unflatten(treedef, leaves), step
 
 

@@ -54,7 +54,8 @@ bool header_ok(const WavHeader& h) {
          std::memcmp(h.wave, "WAVE", 4) == 0 &&
          std::memcmp(h.fmt, "fmt ", 4) == 0 &&
          std::memcmp(h.data, "data", 4) == 0 && h.audio_format == 1 &&
-         h.bits_per_sample == 16;  // reject 8/24/32/64 like wav_header.h:34-37
+         h.bits_per_sample == 16 &&  // reject 8/24/32/64 like wav_header.h:34-37
+         h.num_channels >= 1;        // a zero channel count would SIGFPE below
 }
 
 int64_t trunc_div(int64_t num, int64_t den) { return num / den; }  // C trunc
