@@ -52,12 +52,19 @@ def lms_loss(taps: jax.Array, x: jax.Array, d: jax.Array) -> jax.Array:
     return jnp.mean((y - d) ** 2)
 
 
-@functools.partial(jax.jit, static_argnames=("tx",), donate_argnums=(0, 1))
-def lms_train_step(taps, opt_state, x, d, *, tx):
-    """One block-LMS step on (streams, time) float32 batches."""
+def _lms_step_body(taps, opt_state, x, d, tx):
+    """The single source of truth for the update rule: the sharded trainer
+    wraps this same body, so loss/optimizer changes can never diverge
+    between the single-chip and sharded paths."""
     loss, grads = jax.value_and_grad(lms_loss)(taps, x, d)
     updates, opt_state = tx.update(grads, opt_state, taps)
     return optax.apply_updates(taps, updates), opt_state, loss
+
+
+@functools.partial(jax.jit, static_argnames=("tx",), donate_argnums=(0, 1))
+def lms_train_step(taps, opt_state, x, d, *, tx):
+    """One block-LMS step on (streams, time) float32 batches."""
+    return _lms_step_body(taps, opt_state, x, d, tx)
 
 
 def make_sharded_train_step(mesh, tx: optax.GradientTransformation):
@@ -79,9 +86,7 @@ def make_sharded_train_step(mesh, tx: optax.GradientTransformation):
         out_shardings=(replicated, replicated, replicated),
     )
     def step(taps, opt_state, x, d):
-        loss, grads = jax.value_and_grad(lms_loss)(taps, x, d)
-        updates, opt_state = tx.update(grads, opt_state, taps)
-        return optax.apply_updates(taps, updates), opt_state, loss
+        return _lms_step_body(taps, opt_state, x, d, tx)
 
     return step
 

@@ -35,23 +35,33 @@ def irfft(a, n=None, axis=-1):
     return jnp.fft.irfft(a, n=n, axis=axis)
 
 
+def spectral_window(window: str, nfft: int) -> np.ndarray:
+    """PERIODIC analysis window (the scipy.signal spectral convention —
+    np.hanning's symmetric form biases every PSD bin ~0.3%)."""
+    k = np.arange(nfft)
+    if window == "hann":
+        return (0.5 - 0.5 * np.cos(2 * np.pi * k / nfft)).astype(np.float32)
+    if window == "hamming":
+        return (0.54 - 0.46 * np.cos(2 * np.pi * k / nfft)).astype(np.float32)
+    if window == "rect":
+        return np.ones(nfft, np.float32)
+    raise ValueError(f"unknown window {window!r}")
+
+
 @functools.partial(jax.jit, static_argnames=("nfft", "hop", "window"))
 def stft(
     x: jax.Array, *, nfft: int = 1024, hop: int = 256, window: str = "hann"
 ) -> jax.Array:
     """Short-time FT of (channels, time) -> (channels, frames, nfft//2+1)."""
+    if hop < 1:
+        raise ValueError(f"hop must be >= 1, got {hop}")
     xp = x if x.ndim == 2 else x[None, :]
     c, t = xp.shape
     nframes = max(0, (t - nfft) // hop + 1)
     from ..utils.layout import overlapping_frames
 
     segs = overlapping_frames(xp.astype(jnp.float32), nframes, hop, nfft)
-    if window == "hann":
-        w = jnp.asarray(np.hanning(nfft).astype(np.float32))
-    elif window == "rect":
-        w = jnp.ones((nfft,), jnp.float32)
-    else:
-        raise ValueError(f"unknown window {window!r}")
+    w = jnp.asarray(spectral_window(window, nfft))
     out = jnp.fft.rfft(segs * w, axis=-1)
     return out if x.ndim == 2 else out[0]
 
@@ -79,9 +89,12 @@ def welch(
     normalized like scipy.signal.welch: "density" divides by fs*sum(w^2),
     one-sided doubling of the interior bins.
     """
-    hop = hop or nfft // 2
+    if hop is None:
+        hop = nfft // 2
+    if hop < 1:
+        raise ValueError(f"hop must be >= 1, got {hop}")
     s = stft(x, nfft=nfft, hop=hop, window=window)
-    w = np.hanning(nfft) if window == "hann" else np.ones(nfft)
+    w = spectral_window(window, nfft)  # same array the STFT applied
     if scaling == "density":
         norm = fs * float((w**2).sum())
     elif scaling == "spectrum":

@@ -75,16 +75,27 @@ def supports_channels(channels: int) -> bool:
     return channels >= 1 and LANES % channels == 0
 
 
+def windowed_tail_rows(window: int, channels: int) -> int:
+    """Rows of raw-sample tail the windowed kernel carries between tiles.
+
+    Also the halo a seeded (sharded) call must supply: the left neighbor's
+    trailing ``windowed_tail_rows(...) * 128`` interleaved samples.
+    """
+    return layout.round_up(window * channels // LANES + 1, 8)
+
+
 def windowed_supported(window: int, channels: int) -> bool:
     """True iff the carry-free windowed kernel can run this config.
 
     The single feasibility predicate for every dispatcher (the public
     moving_average, the sharded path, the streaming chunk op): lane-layout
-    channels AND a halo that fits the kernel's VMEM tile budget.
+    channels AND a tail (halo rounded up to whole scratch rows) that fits
+    the kernel's VMEM tile budget — the tile must hold the tail.
     """
     return (
         supports_channels(channels)
-        and 1 <= window * channels <= MAX_WINDOWED_TILE_ROWS * LANES
+        and window >= 1
+        and windowed_tail_rows(window, channels) <= MAX_WINDOWED_TILE_ROWS
     )
 
 
@@ -428,15 +439,6 @@ def _windowed_packed_kernel(
     )
 
 
-def windowed_tail_rows(window: int, channels: int) -> int:
-    """Rows of raw-sample tail the windowed kernel carries between tiles.
-
-    Also the halo a seeded (sharded) call must supply: the left neighbor's
-    trailing ``windowed_tail_rows(...) * 128`` interleaved samples.
-    """
-    return layout.round_up(window * channels // LANES + 1, 8)
-
-
 @functools.partial(
     jax.jit, static_argnames=("window", "channels", "tile_rows", "lane_via_mxu")
 )
@@ -477,7 +479,15 @@ def windowed_averager_pallas(
         tile_rows = layout.round_up(tile_rows, 16)
     rows = _pick_tile_rows(halo, tile_rows, MAX_WINDOWED_TILE_ROWS)
     if tail_rows > rows:
+        # the tile must hold the carried tail; re-check the VMEM budget
+        # (windowed_supported uses the same geometry, so dispatchers never
+        # reach this raise)
         rows = layout.round_up(tail_rows, 16)
+        if rows > MAX_WINDOWED_TILE_ROWS:
+            raise ValueError(
+                f"windowed tail ({tail_rows} rows) exceeds the VMEM tile "
+                f"budget ({MAX_WINDOWED_TILE_ROWS}); use method='scan'"
+            )
 
     def raw_call(x2d):
         in_specs = [
@@ -595,6 +605,11 @@ def windowed_averager_packed(
     rows = _pick_tile_rows(halo2, tile_rows, max_rows)
     if tail_rows > rows:
         rows = layout.round_up(tail_rows, 16)
+        if rows > max_rows:
+            raise ValueError(
+                f"packed windowed tail ({tail_rows} rows) exceeds the VMEM "
+                f"tile budget ({max_rows})"
+            )
 
     n32 = x32.shape[0]
     if n32 == 0 or n32 % LANES != 0:

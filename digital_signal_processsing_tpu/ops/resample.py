@@ -51,7 +51,8 @@ def decimate(
         raise ValueError(f"factor must be >= 1, got {factor}")
     xp, squeeze = _as_planar(x)
     if factor == 1:
-        return xp[0] if squeeze else xp
+        y = xp.astype(jnp.float32)  # dtype-consistent with factor > 1
+        return y[0] if squeeze else y
     if taps is None:
         taps = design_lowpass(taps_per_phase * factor, 0.8 / factor)
     y = _poly_decimate(xp.astype(jnp.float32), jnp.asarray(taps), factor)
@@ -85,7 +86,8 @@ def interpolate(
         raise ValueError(f"factor must be >= 1, got {factor}")
     xp, squeeze = _as_planar(x)
     if factor == 1:
-        return xp[0] if squeeze else xp
+        y = xp.astype(jnp.float32)  # dtype-consistent with factor > 1
+        return y[0] if squeeze else y
     if taps is None:
         # gain `factor` compensates the zero-stuffing energy loss
         taps = design_lowpass(taps_per_phase * factor, 0.8 / factor) * factor
@@ -93,9 +95,37 @@ def interpolate(
     return y[0] if squeeze else y
 
 
-def resample_poly(x: jax.Array, up: int, down: int, **kw) -> jax.Array:
-    """Rational-rate resample: interpolate by `up`, decimate by `down`."""
+def resample_poly(
+    x: jax.Array,
+    up: int,
+    down: int,
+    *,
+    taps: jax.Array | np.ndarray | None = None,
+    taps_per_phase: int = 8,
+) -> jax.Array:
+    """Rational-rate resample by up/down with ONE combined filter.
+
+    scipy.signal.resample_poly semantics: a single lowpass at the tighter
+    of the anti-image/anti-alias cutoffs (min(1/up, 1/down) of Nyquist),
+    gain-compensated by ``up`` for the zero-stuffing energy loss, applied
+    once — never once per stage (double-filtering squares the response).
+    """
+    if up < 1 or down < 1:
+        raise ValueError(f"up/down must be >= 1, got {up}/{down}")
     g = np.gcd(up, down)
     up, down = up // g, down // g
-    y = interpolate(x, up, **kw) if up > 1 else x
-    return decimate(y, down, **kw) if down > 1 else y
+    xp, squeeze = _as_planar(x)
+    xp = xp.astype(jnp.float32)
+    if up == 1 and down == 1:
+        return xp[0] if squeeze else xp
+    q = max(up, down)
+    if taps is None:
+        taps = design_lowpass(taps_per_phase * q, 0.8 / q)
+    taps = jnp.asarray(taps, jnp.float32)
+    if up > 1:
+        y = _poly_interpolate(xp, taps * up, up)
+        if down > 1:
+            y = y[:, ::down]  # the combined filter already anti-aliased
+    else:
+        y = _poly_decimate(xp, taps, down)
+    return y[0] if squeeze else y

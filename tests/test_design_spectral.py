@@ -109,8 +109,8 @@ class TestSpectral:
         f, want = sps.welch(
             x, window="hann", nperseg=256, noverlap=128, detrend=False
         )
-        # float32 rfft vs scipy's float64: ~0.4% max relative difference
-        np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-5)
+        # periodic-hann convention matches scipy; residual is f32 rfft noise
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
     def test_welch_finds_tone(self, rng):
         from digital_signal_processsing_tpu.ops.fft import welch
@@ -169,3 +169,11 @@ class TestCorrelate:
         a = np.zeros(500, np.float32)
         a[137 : 137 + 64] = v
         assert int(find_delay(a, v)) == 137
+
+
+def test_welch_hop_validation(rng):
+    from digital_signal_processsing_tpu.ops.fft import welch
+
+    x = rng.normal(size=1024).astype(np.float32)
+    with pytest.raises(ValueError, match="hop"):
+        welch(x, nfft=256, hop=0)

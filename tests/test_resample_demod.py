@@ -128,3 +128,27 @@ def test_oscillator_bank_huge_t0_no_int32_wrap():
     n = t0 + np.arange(4096, dtype=np.float64)
     th = -2 * np.pi * ((np.float64(np.float32(0.373)) * n) % 1.0)
     np.testing.assert_allclose(np.asarray(c[0]), np.cos(th), atol=2e-5)
+
+
+def test_resample_poly_applies_one_filter(rng):
+    # user taps must be applied ONCE (gain-compensated), never per stage —
+    # equivalent to causal interpolate with taps*up then plain subsampling
+    from digital_signal_processsing_tpu.ops.fir import design_lowpass
+    from digital_signal_processsing_tpu.ops.resample import interpolate
+
+    x = rng.normal(size=3000).astype(np.float32)
+    up, down = 3, 2
+    h = design_lowpass(49, 0.8 / 3)
+    got = np.asarray(resample_poly(x, up, down, taps=h))
+    want = np.asarray(interpolate(x, up, taps=h * up))[::down]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_resample_poly_tone_gain(rng):
+    # a passband tone survives a 3/2 rate change at ~unity amplitude
+    t = np.arange(12000)
+    x = np.sin(2 * np.pi * 0.02 * t).astype(np.float32)
+    y = np.asarray(resample_poly(x, 3, 2))
+    assert y.shape[0] == 18000
+    amp = np.abs(y[2000:-2000]).max()
+    assert 0.95 < amp < 1.05
