@@ -28,7 +28,7 @@ JETSON_SCAN_K1024_SPS = 0.5e9  # see module docstring
 N = 64_000_000
 WINDOW = 1024
 CHANNELS = 2
-K_SMALL, K_BIG = 4, 16
+K_SMALL, K_BIG = 8, 40  # wide K spread: jitter amortizes over 32 iterations
 REPEATS = 5  # min-of-5: the axon tunnel adds multi-ms session jitter
 
 
