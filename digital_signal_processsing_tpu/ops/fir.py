@@ -315,3 +315,65 @@ def design_bandstop(
 def box_taps(window: int) -> np.ndarray:
     """The moving average as an FIR: k equal taps (ties the two API families)."""
     return np.full(window, 1.0 / window, dtype=np.float32)
+
+
+def design_firls(
+    num_taps: int,
+    bands,
+    desired,
+    *,
+    weights=None,
+) -> np.ndarray:
+    """Weighted least-squares linear-phase FIR (scipy.signal.firls semantics).
+
+    ``bands``: flat band-edge pairs in (0, 1) Nyquist units covering the
+    regions that matter; ``desired``: amplitude at each band edge (linear
+    between edges); ``weights``: one weight per band. Type-I only (odd
+    ``num_taps``). The normal equations use closed-form integrals of
+    cos products over the bands — no frequency grid, no iteration.
+    Validated against scipy.signal.firls in tests/test_design_spectral.py.
+    """
+    if num_taps % 2 == 0:
+        raise ValueError(f"firls needs odd num_taps (type I), got {num_taps}")
+    bands = np.asarray(bands, np.float64).reshape(-1, 2)
+    desired = np.asarray(desired, np.float64).reshape(-1, 2)
+    if bands.shape[0] != desired.shape[0]:
+        raise ValueError("desired needs one amplitude per band edge")
+    if np.any(bands[:, 0] >= bands[:, 1]) or np.any(bands < 0) or np.any(bands > 1):
+        raise ValueError(f"band edges must satisfy 0 <= f1 < f2 <= 1: {bands}")
+    w = np.ones(bands.shape[0]) if weights is None else np.asarray(weights, np.float64)
+    m = (num_taps - 1) // 2
+
+    def int_cos(k, f1, f2):
+        # integral of cos(pi f k) over [f1, f2]
+        if k == 0:
+            return f2 - f1
+        u = np.pi * k
+        return (np.sin(u * f2) - np.sin(u * f1)) / u
+
+    def int_fcos(k, f1, f2):
+        # integral of f * cos(pi f k) over [f1, f2]
+        if k == 0:
+            return (f2**2 - f1**2) / 2.0
+        u = np.pi * k
+        return (
+            np.cos(u * f2) - np.cos(u * f1)
+        ) / u**2 + (f2 * np.sin(u * f2) - f1 * np.sin(u * f1)) / u
+
+    q = np.zeros((m + 1, m + 1))
+    b = np.zeros(m + 1)
+    for (f1, f2), (d1, d2), wb in zip(bands, desired, w):
+        slope = (d2 - d1) / (f2 - f1)
+        c0 = d1 - slope * f1  # D(f) = c0 + slope * f
+        for i in range(m + 1):
+            b[i] += wb * (
+                c0 * int_cos(i, f1, f2) + slope * int_fcos(i, f1, f2)
+            )
+            for j in range(i, m + 1):
+                v = 0.5 * wb * (int_cos(i - j, f1, f2) + int_cos(i + j, f1, f2))
+                q[i, j] += v
+                if i != j:
+                    q[j, i] += v
+    a = np.linalg.solve(q, b)
+    h = np.concatenate([a[:0:-1] / 2.0, [a[0]], a[1:] / 2.0])
+    return h.astype(np.float32)

@@ -177,3 +177,28 @@ def test_welch_hop_validation(rng):
     x = rng.normal(size=1024).astype(np.float32)
     with pytest.raises(ValueError, match="hop"):
         welch(x, nfft=256, hop=0)
+
+
+class TestFirls:
+    @pytest.mark.parametrize(
+        "n,bands,des,w",
+        [
+            (73, [0, 0.3, 0.4, 1], [1, 1, 0, 0], None),
+            (101, [0, 0.2, 0.3, 0.6, 0.7, 1], [0, 0, 1, 1, 0, 0], [1, 2, 1]),
+            (51, [0, 0.5, 0.6, 1], [1, 0.5, 0, 0], None),  # sloped desired
+        ],
+    )
+    def test_matches_scipy(self, n, bands, des, w):
+        from digital_signal_processsing_tpu.ops.fir import design_firls
+
+        got = design_firls(n, bands, des, weights=w)
+        want = sps.firls(n, bands, des, weight=w, fs=2.0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_rejections(self):
+        from digital_signal_processsing_tpu.ops.fir import design_firls
+
+        with pytest.raises(ValueError, match="odd"):
+            design_firls(50, [0, 0.5, 0.6, 1], [1, 1, 0, 0])
+        with pytest.raises(ValueError, match="band"):
+            design_firls(51, [0.5, 0.2, 0.6, 1], [1, 1, 0, 0])
