@@ -180,10 +180,42 @@ def pfb_channelize_planar(
     return jnp.real(y).astype(jnp.float32), jnp.imag(y).astype(jnp.float32)
 
 
+def pfb_stream_init(n_channels: int, taps_len: int | None = None) -> jax.Array:
+    """Zero carry for :func:`pfb_channelize_chunk`: the last
+    ``ceil(taps/N)`` input BLOCKS (the analysis filter's memory)."""
+    p = -(-(taps_len or 8 * n_channels) // n_channels)
+    return jnp.zeros((p * n_channels,), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_channels",))
+def pfb_channelize_chunk(
+    state: jax.Array,
+    x: jax.Array,
+    n_channels: int,
+    taps: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """One chunk of the analysis bank with carried raw-sample blocks.
+
+    Halo-recompute across time (the same strategy as the chain's stream
+    API): prepend the carried blocks, channelize, drop their output
+    columns. Chunked output is bit-close to one-shot on the concatenated
+    stream (float conv ordering only). Chunk length must be a multiple of
+    ``n_channels``.
+    """
+    n = n_channels
+    halo = state.shape[0]
+    ext = jnp.concatenate([state, x.astype(jnp.float32)])
+    y = pfb_channelize(ext, n, taps)[:, halo // n :]
+    new_state = ext[ext.shape[0] - halo :]
+    return new_state, y
+
+
 __all__ = [
     "pfb_channelize",
     "pfb_channelize_planar",
     "pfb_synthesize",
     "pfb_synthesize_planar",
+    "pfb_stream_init",
+    "pfb_channelize_chunk",
     "design_prototype",
 ]

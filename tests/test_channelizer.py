@@ -108,3 +108,24 @@ def test_pfb_synthesize_planar_matches_complex(rng):
     )
     np.testing.assert_allclose(np.asarray(i), want.real, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(q), want.imag, rtol=1e-5, atol=1e-6)
+
+
+def test_pfb_streaming_chunks_match_one_shot(rng):
+    from digital_signal_processsing_tpu.ops.channelizer import (
+        pfb_channelize_chunk,
+        pfb_stream_init,
+    )
+
+    n = 16
+    x = rng.normal(size=n * 1024).astype(np.float32)
+    want = np.asarray(pfb_channelize(x, n))
+
+    state = pfb_stream_init(n)
+    outs, i = [], 0
+    for ln in (n * 300, n * 500, n * 224):
+        state, y = pfb_channelize_chunk(state, x[i : i + ln], n)
+        outs.append(np.asarray(y))
+        i += ln
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
