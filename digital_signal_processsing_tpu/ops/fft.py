@@ -41,6 +41,12 @@ def spectral_window(window: str, nfft: int) -> np.ndarray:
     k = np.arange(nfft)
     if window == "hann":
         return (0.5 - 0.5 * np.cos(2 * np.pi * k / nfft)).astype(np.float32)
+    if window == "sqrt_hann":
+        # analysis*synthesis = hann, which overlap-adds to a constant at
+        # hop = nfft/2: the WOLA perfect-reconstruction pair
+        return np.sqrt(0.5 - 0.5 * np.cos(2 * np.pi * k / nfft)).astype(
+            np.float32
+        )
     if window == "hamming":
         return (0.54 - 0.46 * np.cos(2 * np.pi * k / nfft)).astype(np.float32)
     if window == "rect":
@@ -64,6 +70,41 @@ def stft(
     w = jnp.asarray(spectral_window(window, nfft))
     out = jnp.fft.rfft(segs * w, axis=-1)
     return out if x.ndim == 2 else out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+def istft(
+    s: jax.Array, *, nfft: int = 1024, hop: int = 512, window: str = "sqrt_hann"
+) -> jax.Array:
+    """Inverse STFT by windowed overlap-add — the WOLA synthesis bank.
+
+    With ``window='sqrt_hann'`` and ``hop = nfft // 2`` this is the exact
+    inverse of :func:`stft` with the same arguments (analysis x synthesis
+    window = periodic hann, which overlap-adds to 1 at 50% overlap): STFT-
+    domain processing pipelines reconstruct perfectly away from the edges.
+    Requires ``nfft % hop == 0``; the OLA is R-1 shifted adds (R = ratio),
+    never a scatter.
+
+    ``s``: (..., frames, nfft//2+1) complex -> (..., (frames-1)*hop + nfft).
+    """
+    if hop < 1 or nfft % hop != 0:
+        raise ValueError(f"need hop >= 1 dividing nfft, got hop={hop} nfft={nfft}")
+    r = nfft // hop
+    squeeze = s.ndim == 2
+    sp = s[None] if squeeze else s
+    frames = jnp.fft.irfft(sp, n=nfft, axis=-1) * jnp.asarray(
+        spectral_window(window, nfft)
+    )
+    c, f, _ = frames.shape
+    t_out = (f - 1) * hop + nfft
+    # OLA without scatter: frame j contributes its part i (hop samples) to
+    # output segment j+i; sum R shifted (frames, hop) planes
+    parts = frames.reshape(c, f, r, hop)
+    out = jnp.zeros((c, f + r - 1, hop), jnp.float32)
+    for i in range(r):
+        out = out.at[:, i : i + f, :].add(parts[:, :, i, :])
+    y = out.reshape(c, (f + r - 1) * hop)[:, :t_out]
+    return y[0] if squeeze else y
 
 
 @functools.partial(jax.jit, static_argnames=("nfft",))

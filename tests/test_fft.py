@@ -93,3 +93,41 @@ def test_hilbert_odd_length_and_am_envelope(rng):
     x = (msg * np.cos(2 * np.pi * 0.2 * t)).astype(np.float32)
     env = np.asarray(envelope(x))
     np.testing.assert_allclose(env[200:-200], msg[200:-200], rtol=2e-2)
+
+
+def test_wola_perfect_reconstruction(rng):
+    # sqrt-hann at 50% overlap: istft(stft(x)) == x away from the edges
+    from digital_signal_processsing_tpu.ops.fft import istft, stft
+
+    x = rng.normal(size=8192).astype(np.float32)
+    nfft, hop = 256, 128
+    s = stft(x, nfft=nfft, hop=hop, window="sqrt_hann")
+    y = np.asarray(istft(s, nfft=nfft, hop=hop, window="sqrt_hann"))
+    t = min(y.size, x.size)
+    np.testing.assert_allclose(y[nfft : t - nfft], x[nfft : t - nfft], atol=1e-5)
+
+
+def test_wola_spectral_processing_roundtrip(rng):
+    # the point of WOLA: modify in the STFT domain, resynthesize cleanly —
+    # zeroing high bins acts as a lowpass with no frame artifacts
+    import jax.numpy as jnp
+
+    from digital_signal_processsing_tpu.ops.fft import istft, stft, welch
+
+    t = np.arange(16384)
+    x = (
+        np.sin(2 * np.pi * 0.02 * t) + np.sin(2 * np.pi * 0.3 * t)
+    ).astype(np.float32)
+    s = stft(x, nfft=256, hop=128, window="sqrt_hann")
+    mask = (np.arange(129) < 32).astype(np.float32)  # keep < 0.25 Nyquist
+    y = np.asarray(istft(s * jnp.asarray(mask), nfft=256, hop=128))
+    p = np.asarray(welch(y[256:-256], nfft=512))
+    k_low, k_high = round(0.04 * 512 / 2) * 2 // 2, round(0.6 * 512 / 2)
+    assert p[round(0.02 * 512)] > 1000 * p[round(0.3 * 512)]
+
+
+def test_istft_validation(rng):
+    from digital_signal_processsing_tpu.ops.fft import istft
+
+    with pytest.raises(ValueError, match="hop"):
+        istft(np.zeros((4, 129), np.complex64), nfft=256, hop=100)
