@@ -89,9 +89,17 @@ def pfb_channelize(
         precision=jax.lax.Precision.HIGHEST,
     )[0]  # (M, N)
 
-    # channel IFFT across branches (complex formed on device — no 1j consts)
-    spec = jnp.fft.ifft(v.astype(jnp.complex64), axis=1) * n
-    return spec.T  # (N, M)
+    # channel transform: Y[m, k] = sum_q v[m, q] e^{+2πi q k / N} (N·ifft).
+    # For N <= 128 an explicit DFT matmul keeps the work on the MXU (XLA's
+    # length-N FFT over millions of rows lowers poorly); complex values are
+    # formed on device only (no 1j constants — PJRT portability)
+    qk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
+    cos = jnp.asarray(np.cos(qk), jnp.float32)
+    sin = jnp.asarray(np.sin(qk), jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.dot(v, cos, precision=hp)
+    im = jnp.dot(v, sin, precision=hp)
+    return jax.lax.complex(re, im).T  # (N, M)
 
 
 def _branch_fir(u: jax.Array, hq: jax.Array) -> jax.Array:
