@@ -1,0 +1,232 @@
+"""2x-oversampled polyphase filter bank: analysis, synthesis, and a
+prototype DESIGNER that optimizes the filter through the bank itself.
+
+The critically-sampled DFT bank (ops/channelizer.py) cannot reconstruct a
+full-band signal — aliasing between decimated channels is ~12 dB no matter
+the prototype. Decimating by D = N/2 instead (2x oversampling) makes
+near-perfect reconstruction a PROTOTYPE property, and because the whole
+analysis->synthesis chain here is differentiable JAX, the prototype is
+designed by gradient descent on the actual reconstruction error plus
+stopband energy (design_pr_prototype) — the framework's own training stack
+(optax) designing its own filter bank.
+
+Structure (derived and brute-force-validated; D = N/2):
+
+  analysis   Y[k,m] = (-1)^{km} sum_q e^{2πikq/N} v_q[m],
+             v_q[m] = sum_r h[rN+q] w_q[m-2r],  w_q[s] = x[Ds - q]
+             (branch FIR with 2-dilated taps over D-blocks; the commutator
+             runs backwards and wraps once across the block boundary)
+  synthesis  x[Ds+p] = sum_r g[Dr+p] * T[s-r, p + D*(r mod 2)],
+             T[m, φ] = sum_k (-1)^{km} Y[k,m] e^{2πikφ/N}
+             (per-phase FIR alternating between phase columns by lag parity)
+
+All channel transforms are explicit DFT matmuls (MXU; no XLA small-FFT).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fir import design_lowpass
+
+
+def _idft_mats(n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    qk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
+    return (
+        jnp.asarray(np.cos(qk), jnp.float32),
+        jnp.asarray(np.sin(qk), jnp.float32),
+    )
+
+
+def _diag_conv(u: jax.Array, taps_qn: jax.Array, dilation: int) -> jax.Array:
+    """Per-column causal FIR over axis 0: u (S, N), taps (P, N) -> (S, N)."""
+    p, n = taps_qn.shape
+    eye = jnp.asarray(np.eye(n, dtype=np.float32))
+    rhs = eye[None, :, :] * taps_qn[::-1][:, None, :]  # (P, N, N)
+    span = dilation * (p - 1)
+    return jax.lax.conv_general_dilated(
+        u[None],
+        rhs,
+        window_strides=(1,),
+        padding=((span, 0),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0]
+
+
+def _analyze_planar(x: jax.Array, h: jax.Array, n: int):
+    """Real (T,) -> (re, im) each (N, S) with S = T / (N/2)."""
+    d = n // 2
+    t = x.shape[0]
+    s = t // d
+    xp = x.astype(jnp.float32).reshape(s, d)
+    # w_q[m] = x[Dm - q]: q=0 col; q in [1,D) from the reversed previous row;
+    # q in [D,N) is the one-block delay of q-D
+    rev = xp[:, ::-1]
+    w_lo = jnp.concatenate(
+        [xp[:, :1], jnp.pad(rev[:-1, : d - 1], ((1, 0), (0, 0)))], axis=1
+    )  # (S, D)
+    w_hi = jnp.pad(w_lo[:-1], ((1, 0), (0, 0)))  # delay one block
+    w = jnp.concatenate([w_lo, w_hi], axis=1)  # (S, N)
+
+    k = h.shape[0]
+    p = -(-k // n)
+    hq = jnp.pad(h.astype(jnp.float32), (0, p * n - k)).reshape(p, n)
+    v = _diag_conv(w, hq, dilation=2)  # (S, N)
+
+    cos, sin = _idft_mats(n)
+    re = jnp.dot(v, cos, precision=jax.lax.Precision.HIGHEST).T  # (N, S)
+    im = jnp.dot(v, sin, precision=jax.lax.Precision.HIGHEST).T
+    # modulation (-1)^{km}
+    sgn = jnp.asarray(
+        (-1.0) ** (np.arange(n)[:, None] * np.arange(s)[None, :] % 2),
+        jnp.float32,
+    )
+    return re * sgn, im * sgn
+
+
+@functools.partial(jax.jit, static_argnames=("n_channels",))
+def pfb_analyze_os(
+    x: jax.Array, n_channels: int, taps: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """2x-oversampled analysis: (T,) real -> planar (I, Q), (N, 2T/N) each.
+
+    Channel k is centered at k/N cycles/sample at output rate fs/(N/2).
+    ``T`` must be a multiple of N//2; N even.
+    """
+    if n_channels % 2 != 0:
+        raise ValueError(f"n_channels must be even, got {n_channels}")
+    if x.ndim != 1 or x.shape[0] % (n_channels // 2) != 0:
+        raise ValueError(
+            f"stream length {x.shape} must be a flat multiple of N/2"
+        )
+    return _analyze_planar(x, taps, n_channels)
+
+
+def _synthesize_planar(yi: jax.Array, yq: jax.Array, g: jax.Array, n: int):
+    d = n // 2
+    s = yi.shape[1]
+    sgn = jnp.asarray(
+        (-1.0) ** (np.arange(n)[:, None] * np.arange(s)[None, :] % 2),
+        jnp.float32,
+    )
+    ti = (yi * sgn).T  # demodulated, (S, N)
+    tq = (yq * sgn).T
+    cos, sin = _idft_mats(n)
+    # T[m, φ] = sum_k (ti + i tq)[m, k] e^{2πikφ/N}; real part only — the
+    # imaginary part of the reconstruction cancels for conjugate-symmetric
+    # channel sets and is discarded (real synthesis)
+    hp = jax.lax.Precision.HIGHEST
+    t_re = jnp.dot(ti, cos.T, precision=hp) - jnp.dot(tq, sin.T, precision=hp)
+
+    k = g.shape[0]
+    p = -(-k // d)
+    gq = jnp.pad(g.astype(jnp.float32), (0, p * d - k)).reshape(p, d)
+    # rhs[w, φ, p]: lag r = p_taps-1-w uses phase p for even r, p+D for odd
+    rhs = np.zeros((p, n, d), np.float32)
+    idx_r = np.arange(p)
+    rhs_np = np.zeros((p, n, d), np.float32)
+    for w in range(p):
+        r = p - 1 - w
+        for pp in range(d):
+            phi = pp if r % 2 == 0 else pp + d
+            rhs_np[w, phi, pp] = 1.0
+    rhs = jnp.asarray(rhs_np) * gq[::-1][:, None, :]
+    out = jax.lax.conv_general_dilated(
+        t_re[None],
+        rhs,
+        window_strides=(1,),
+        padding=((p - 1, 0),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=hp,
+    )[0]  # (S, D)
+    return out.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_channels",))
+def pfb_synthesize_os(
+    yi: jax.Array, yq: jax.Array, n_channels: int, taps: jax.Array
+) -> jax.Array:
+    """2x-oversampled synthesis: planar (I, Q) (N, S) -> real (S*N/2,)."""
+    if n_channels % 2 != 0:
+        raise ValueError(f"n_channels must be even, got {n_channels}")
+    return _synthesize_planar(yi, yq, taps, n_channels)
+
+
+def design_pr_prototype(
+    n_channels: int,
+    taps_per_phase: int = 8,
+    *,
+    steps: int = 600,
+    lr: float = 3e-3,
+    stopband_weight: float = 0.05,
+    seed: int = 0,
+) -> np.ndarray:
+    """Optimize a near-perfect-reconstruction prototype THROUGH the bank.
+
+    Gradient descent (optax.adam) on
+        ||synthesize(analyze(x; h); h) - delay(x)||^2
+        + stopband_weight * stopband energy of H
+    with x broadband noise — the analysis->synthesis chain is ordinary
+    differentiable JAX. Reaches > 50 dB full-band reconstruction at
+    n=8, P=8 (tests/test_pfb_os.py); the closed-form windowed sinc, by
+    contrast, is aliasing-limited near ~12 dB in the critically-sampled
+    bank and ~20 dB here.
+    """
+    import optax
+
+    n = n_channels
+    d = n // 2
+    k = taps_per_phase * n
+    rng = np.random.default_rng(seed)
+    t = d * 512
+    x = jnp.asarray(rng.normal(size=t).astype(np.float32))
+    # analysis + synthesis group delay: empirically K for this bank's
+    # commutator conventions ((K-1)/2 per linear-phase filter + the
+    # one-sample commutator wrap), verified by correlation in the tests
+    delay = k
+
+    # stopband grid: beyond the oversampled channel edge 2/N (Nyquist units)
+    f_stop = np.linspace(2.2 / n, 1.0, 200)
+    m_cos = jnp.asarray(
+        np.cos(np.pi * np.outer(f_stop, np.arange(k))), jnp.float32
+    )
+    m_sin = jnp.asarray(
+        np.sin(np.pi * np.outer(f_stop, np.arange(k))), jnp.float32
+    )
+
+    def loss(h):
+        yi, yq = _analyze_planar(x, h, n)
+        rec = _synthesize_planar(yi, yq, h * d, n)
+        a = rec[delay:]
+        b = x[: a.shape[0]]
+        guard = 2 * k
+        err = a[guard:-guard] - b[guard:-guard]
+        recon = jnp.mean(err**2)
+        hre = m_cos @ h
+        him = m_sin @ h
+        stop = jnp.mean(hre**2 + him**2)
+        return recon + stopband_weight * stop
+
+    h0 = jnp.asarray(design_lowpass(k, 1.0 / n))
+    tx = optax.adam(lr)
+    opt = tx.init(h0)
+
+    @jax.jit
+    def step(h, opt):
+        val, grad = jax.value_and_grad(loss)(h)
+        upd, opt = tx.update(grad, opt, h)
+        return optax.apply_updates(h, upd), opt, val
+
+    h = h0
+    for _ in range(steps):
+        h, opt, val = step(h, opt)
+    return np.asarray(h, np.float32)
+
+
+__all__ = ["pfb_analyze_os", "pfb_synthesize_os", "design_pr_prototype"]
