@@ -29,6 +29,52 @@ import numpy as np
 from .fir import design_lowpass
 
 
+def branch_fir(u: jax.Array, hq: jax.Array, *, dilation: int = 1) -> jax.Array:
+    """Per-phase causal FIR over block index m: ONE dense diagonal conv.
+
+    ``u``: (batch, M, N) float32 branch signals; ``hq``: (P, N) per-phase
+    taps; ``dilation`` spreads the taps over the block axis (the
+    2x-oversampled bank's stride-2 branch filters, ops/pfb_os.py). A
+    grouped depthwise conv lowers at ~1/N MXU utilization — the diagonal
+    banded (N in -> N out) rhs keeps the feature dims full.
+    """
+    p, n = hq.shape
+    eye = np.eye(n, dtype=np.float32)
+    rhs = jnp.asarray(eye[None, :, :]) * hq[::-1][:, None, :]  # (P, N, N)
+    return jax.lax.conv_general_dilated(
+        u,
+        rhs,
+        window_strides=(1,),
+        padding=((dilation * (p - 1), 0),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def dft_matmul(
+    re_in: jax.Array, im_in: jax.Array | None, n: int, *, sign: int = 1
+) -> tuple[jax.Array, jax.Array]:
+    """(..., N) @ DFT_N as two MXU matmuls: sum_q v[q] e^{sign*2πi q k / N}.
+
+    XLA's length-N FFT over millions of rows lowers poorly on TPU; for
+    N <= 128 the explicit matmul keeps the transform on the MXU, and the
+    planar form never builds complex constants (PJRT portability).
+    """
+    qk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
+    cos = jnp.asarray(np.cos(qk), jnp.float32)
+    sin = jnp.asarray(np.sin(qk) * sign, jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    if im_in is None:
+        return (
+            jnp.dot(re_in, cos, precision=hp),
+            jnp.dot(re_in, sin, precision=hp),
+        )
+    re = jnp.dot(re_in, cos, precision=hp) - jnp.dot(im_in, sin, precision=hp)
+    im = jnp.dot(re_in, sin, precision=hp) + jnp.dot(im_in, cos, precision=hp)
+    return re, im
+
+
 def design_prototype(
     n_channels: int, taps_per_phase: int = 8, *, window: str | tuple = "hamming"
 ) -> np.ndarray:
@@ -75,50 +121,11 @@ def pfb_channelize(
         axis=1,
     )
 
-    # per-branch causal FIR as ONE dense conv over m: rhs[w, qi, qo] is the
-    # diagonal banded matrix h[(P-1-w)N + qo] * delta(qi, qo)
+    # per-branch causal FIR + channel transform (both MXU; see helpers)
     hq = h.reshape(p, n)  # hq[r, q] = h[rN + q]
-    eye = np.eye(n, dtype=np.float32)
-    rhs = jnp.asarray(eye[None, :, :]) * hq[::-1][:, None, :]  # (P, N, N)
-    v = jax.lax.conv_general_dilated(
-        u[None, :, :],
-        rhs,
-        window_strides=(1,),
-        padding=((p - 1, 0),),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=jax.lax.Precision.HIGHEST,
-    )[0]  # (M, N)
-
-    # channel transform: Y[m, k] = sum_q v[m, q] e^{+2πi q k / N} (N·ifft).
-    # For N <= 128 an explicit DFT matmul keeps the work on the MXU (XLA's
-    # length-N FFT over millions of rows lowers poorly); complex values are
-    # formed on device only (no 1j constants — PJRT portability)
-    qk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
-    cos = jnp.asarray(np.cos(qk), jnp.float32)
-    sin = jnp.asarray(np.sin(qk), jnp.float32)
-    hp = jax.lax.Precision.HIGHEST
-    re = jnp.dot(v, cos, precision=hp)
-    im = jnp.dot(v, sin, precision=hp)
+    v = branch_fir(u[None, :, :], hq)[0]  # (M, N)
+    re, im = dft_matmul(v, None, n)  # Y[m, k] = sum_q v e^{+2πi qk/N}
     return jax.lax.complex(re, im).T  # (N, M)
-
-
-def _branch_fir(u: jax.Array, hq: jax.Array) -> jax.Array:
-    """Per-phase causal FIR over block index m: ONE dense diagonal conv.
-
-    ``u``: (batch, M, N) float32 branch signals; ``hq``: (P, N) per-phase
-    taps. Same dense-feature trick as the analysis bank.
-    """
-    p, n = hq.shape
-    eye = np.eye(n, dtype=np.float32)
-    rhs = jnp.asarray(eye[None, :, :]) * hq[::-1][:, None, :]  # (P, N, N)
-    return jax.lax.conv_general_dilated(
-        u,
-        rhs,
-        window_strides=(1,),
-        padding=((p - 1, 0),),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -150,11 +157,13 @@ def pfb_synthesize(
     p = -(-k // n)
     g = jnp.pad(taps.astype(jnp.float32) * n, (0, p * n - k)).reshape(p, n)
 
-    s = (jnp.fft.ifft(channels.astype(jnp.complex64), axis=0) * n).T  # (M, N)
-    planes = jnp.stack([jnp.real(s), jnp.imag(s)]).astype(jnp.float32)
-    v = _branch_fir(planes, g)  # (2, M, N)
-    wide = jax.lax.complex(v[0].reshape(-1), v[1].reshape(-1))
-    return wide
+    # s[m, p] = sum_k Y[k, m] e^{+2πi k p / N} — MXU DFT matmul, like the
+    # analysis direction (XLA's batched small FFT lowers poorly)
+    yi = jnp.real(channels).astype(jnp.float32).T  # (M, N)
+    yq = jnp.imag(channels).astype(jnp.float32).T
+    s_re, s_im = dft_matmul(yi, yq, n)
+    v = branch_fir(jnp.stack([s_re, s_im]), g)  # (2, M, N)
+    return jax.lax.complex(v[0].reshape(-1), v[1].reshape(-1))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -212,10 +221,31 @@ def pfb_channelize_chunk(
     """
     n = n_channels
     halo = state.shape[0]
+    taps_len = 8 * n if taps is None else taps.shape[0]
+    need = -(-taps_len // n) * n
+    if halo != need:
+        raise ValueError(
+            f"carried state holds {halo} samples but these taps need {need} "
+            f"(pfb_stream_init(n_channels, taps_len={taps_len}))"
+        )
     ext = jnp.concatenate([state, x.astype(jnp.float32)])
     y = pfb_channelize(ext, n, taps)[:, halo // n :]
     new_state = ext[ext.shape[0] - halo :]
     return new_state, y
+
+
+@functools.partial(jax.jit, static_argnames=("n_channels",))
+def pfb_channelize_chunk_planar(
+    state: jax.Array,
+    x: jax.Array,
+    n_channels: int,
+    taps: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`pfb_channelize_chunk` returning (state, I, Q) float32 —
+    the streaming path stays usable on PJRT backends without complex
+    host transfer (same caveat as the one-shot planar wrappers)."""
+    state, y = pfb_channelize_chunk(state, x, n_channels, taps)
+    return state, jnp.real(y).astype(jnp.float32), jnp.imag(y).astype(jnp.float32)
 
 
 __all__ = [
@@ -225,5 +255,8 @@ __all__ = [
     "pfb_synthesize_planar",
     "pfb_stream_init",
     "pfb_channelize_chunk",
+    "pfb_channelize_chunk_planar",
+    "branch_fir",
+    "dft_matmul",
     "design_prototype",
 ]

@@ -46,6 +46,11 @@ def agc(
         raise ValueError(f"attack must be in (0,1), got {attack}")
     xf = x.astype(jnp.float32)
     env = iir_first_order(jnp.abs(xf), 1.0 - attack, b=attack)
+    # debias the zero-initialized EMA (its mass at sample n is
+    # 1-(1-attack)^(n+1)); without this the startup gain overshoots by
+    # ~1/attack and every stream begins with a full-scale spike
+    n = jnp.arange(xf.shape[-1], dtype=jnp.float32)
+    env = env / (1.0 - (1.0 - attack) ** (n + 1.0))
     return xf * (target / jnp.maximum(env, floor))
 
 

@@ -31,32 +31,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .channelizer import branch_fir, dft_matmul
 from .fir import design_lowpass
 
 
-def _idft_mats(n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    qk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
-    return (
-        jnp.asarray(np.cos(qk), jnp.float32),
-        jnp.asarray(np.sin(qk), jnp.float32),
-    )
+def _kms_sign(n: int, s: int) -> jax.Array:
+    """(-1)^{km} as an on-device iota product — -1 iff k and m both odd.
 
-
-def _diag_conv(u: jax.Array, taps_qn: jax.Array, dilation: int) -> jax.Array:
-    """Per-column causal FIR over axis 0: u (S, N), taps (P, N) -> (S, N)."""
-    p, n = taps_qn.shape
-    eye = jnp.asarray(np.eye(n, dtype=np.float32))
-    rhs = eye[None, :, :] * taps_qn[::-1][:, None, :]  # (P, N, N)
-    span = dilation * (p - 1)
-    return jax.lax.conv_general_dilated(
-        u[None],
-        rhs,
-        window_strides=(1,),
-        padding=((span, 0),),
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=jax.lax.Precision.HIGHEST,
-    )[0]
+    (A trace-time numpy power would bake an input-length-sized constant
+    into the HLO — ~34 MB at the target scale, twice per round trip.)
+    """
+    k_odd = jnp.arange(n, dtype=jnp.int32)[:, None] & 1
+    m_odd = jnp.arange(s, dtype=jnp.int32)[None, :] & 1
+    return (1 - 2 * (k_odd & m_odd)).astype(jnp.float32)
 
 
 def _analyze_planar(x: jax.Array, h: jax.Array, n: int):
@@ -77,17 +64,11 @@ def _analyze_planar(x: jax.Array, h: jax.Array, n: int):
     k = h.shape[0]
     p = -(-k // n)
     hq = jnp.pad(h.astype(jnp.float32), (0, p * n - k)).reshape(p, n)
-    v = _diag_conv(w, hq, dilation=2)  # (S, N)
+    v = branch_fir(w[None], hq, dilation=2)[0]  # (S, N)
 
-    cos, sin = _idft_mats(n)
-    re = jnp.dot(v, cos, precision=jax.lax.Precision.HIGHEST).T  # (N, S)
-    im = jnp.dot(v, sin, precision=jax.lax.Precision.HIGHEST).T
-    # modulation (-1)^{km}
-    sgn = jnp.asarray(
-        (-1.0) ** (np.arange(n)[:, None] * np.arange(s)[None, :] % 2),
-        jnp.float32,
-    )
-    return re * sgn, im * sgn
+    re, im = dft_matmul(v, None, n)
+    sgn = _kms_sign(n, s)
+    return re.T * sgn, im.T * sgn
 
 
 @functools.partial(jax.jit, static_argnames=("n_channels",))
@@ -111,25 +92,18 @@ def pfb_analyze_os(
 def _synthesize_planar(yi: jax.Array, yq: jax.Array, g: jax.Array, n: int):
     d = n // 2
     s = yi.shape[1]
-    sgn = jnp.asarray(
-        (-1.0) ** (np.arange(n)[:, None] * np.arange(s)[None, :] % 2),
-        jnp.float32,
-    )
+    sgn = _kms_sign(n, s)
     ti = (yi * sgn).T  # demodulated, (S, N)
     tq = (yq * sgn).T
-    cos, sin = _idft_mats(n)
-    # T[m, φ] = sum_k (ti + i tq)[m, k] e^{2πikφ/N}; real part only — the
-    # imaginary part of the reconstruction cancels for conjugate-symmetric
-    # channel sets and is discarded (real synthesis)
+    # T[m, φ] = Re sum_k (ti + i tq)[m, k] e^{2πikφ/N} — the imaginary part
+    # of a real-signal reconstruction cancels and is discarded
     hp = jax.lax.Precision.HIGHEST
-    t_re = jnp.dot(ti, cos.T, precision=hp) - jnp.dot(tq, sin.T, precision=hp)
+    t_re, _t_im = dft_matmul(ti, tq, n)  # imaginary part unused (XLA DCEs it)
 
     k = g.shape[0]
     p = -(-k // d)
     gq = jnp.pad(g.astype(jnp.float32), (0, p * d - k)).reshape(p, d)
     # rhs[w, φ, p]: lag r = p_taps-1-w uses phase p for even r, p+D for odd
-    rhs = np.zeros((p, n, d), np.float32)
-    idx_r = np.arange(p)
     rhs_np = np.zeros((p, n, d), np.float32)
     for w in range(p):
         r = p - 1 - w

@@ -129,3 +129,34 @@ def test_pfb_streaming_chunks_match_one_shot(rng):
     got = np.concatenate(outs, axis=1)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pfb_chunk_state_taps_mismatch_rejected(rng):
+    from digital_signal_processsing_tpu.ops.channelizer import (
+        design_prototype,
+        pfb_channelize_chunk,
+        pfb_stream_init,
+    )
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    n = 16
+    state = pfb_stream_init(n)  # sized for the default 8 taps/phase
+    taps16 = jnp.asarray(design_prototype(n, 16))
+    with _pytest.raises(ValueError, match="carried state"):
+        pfb_channelize_chunk(state, np.zeros(n * 64, np.float32), n, taps16)
+
+
+def test_pfb_chunk_planar(rng):
+    from digital_signal_processsing_tpu.ops.channelizer import (
+        pfb_channelize_chunk_planar,
+        pfb_stream_init,
+    )
+
+    n = 16
+    x = rng.normal(size=n * 256).astype(np.float32)
+    state = pfb_stream_init(n)
+    state, i, q = pfb_channelize_chunk_planar(state, x, n)
+    want = np.asarray(pfb_channelize(x, n))
+    np.testing.assert_allclose(np.asarray(i), want.real, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q), want.imag, rtol=1e-4, atol=1e-5)

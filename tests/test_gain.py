@@ -65,3 +65,11 @@ def test_db():
         atol=1e-4,
     )
     assert float(np.asarray(db(np.zeros(1, np.float32)))[0]) == -200.0
+
+
+def test_agc_no_startup_spike(rng):
+    # the debiased envelope must not overshoot at stream start
+    t = np.arange(8000)
+    x = (0.25 * np.sin(2 * np.pi * 0.01 * t)).astype(np.float32)
+    y = np.asarray(agc(x, target=0.5, attack=0.01))
+    assert np.abs(y[:200]).max() < 3.0 * np.abs(y[4000:]).max()
