@@ -321,14 +321,17 @@ def _lane_prefix_and_totals_mxu(ext, channels: int):
     same_class = (r2 - r1) % channels == 0
     u = ((r2 >= r1) & same_class).astype(jnp.bfloat16)
     f = same_class.astype(jnp.bfloat16)
-    hi = jnp.right_shift(ext, 8).astype(jnp.bfloat16)
+    # scaled-limb split: hi*256 has the same 8-bit significand as hi (exact
+    # in bf16), and (hi256 + lo)-sums stay < 2^23 — so the two limb matmuls
+    # recombine with ONE f32 add + ONE cast (no *256 integer multiply)
+    hi256 = (jnp.right_shift(ext, 8) << 8).astype(jnp.bfloat16)
     lo = jnp.bitwise_and(ext, 255).astype(jnp.bfloat16)
 
     def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(jnp.int32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-    p = mm(hi, u) * 256 + mm(lo, u)
-    rt = mm(hi, f) * 256 + mm(lo, f)
+    p = (mm(hi256, u) + mm(lo, u)).astype(jnp.int32)
+    rt = (mm(hi256, f) + mm(lo, f)).astype(jnp.int32)
     return p, rt
 
 
