@@ -157,3 +157,65 @@ def write_wav(
         data_bytes,
     )
     Path(path).write_bytes(header + samples.tobytes())
+
+
+class WavWriter:
+    """Streaming 16-bit PCM WAV writer: header now, frames as they come.
+
+    The serving path's sink — bounded memory for unbounded streams. The
+    RIFF/data sizes are patched on close() (or use as a context manager),
+    so a crash mid-stream leaves a recognizably-truncated file rather than
+    a silently wrong one.
+    """
+
+    def __init__(self, path: str | Path, sample_rate: int, num_channels: int):
+        if num_channels < 1:
+            raise ValueError(f"channels must be >= 1, got {num_channels}")
+        self.path = Path(path)
+        self.num_channels = num_channels
+        self.sample_rate = sample_rate
+        self._samples = 0
+        self._f = open(self.path, "wb")
+        self._f.write(self._header(0))
+
+    def _header(self, data_bytes: int) -> bytes:
+        bits = 16
+        return struct.pack(
+            _HEADER_FMT,
+            b"RIFF",
+            36 + data_bytes,
+            b"WAVE",
+            b"fmt ",
+            16,
+            1,
+            self.num_channels,
+            self.sample_rate,
+            self.sample_rate * self.num_channels * bits // 8,
+            self.num_channels * bits // 8,
+            bits,
+            b"data",
+            data_bytes,
+        )
+
+    def append(self, samples: np.ndarray) -> None:
+        s = np.ascontiguousarray(np.asarray(samples, dtype="<i2"))
+        if s.ndim != 1 or s.size % self.num_channels != 0:
+            raise ValueError(
+                f"append expects flat whole frames of {self.num_channels} "
+                f"channels, got shape {s.shape}"
+            )
+        self._f.write(s.tobytes())
+        self._samples += s.size
+
+    def close(self) -> None:
+        if self._f.closed:
+            return
+        self._f.seek(0)
+        self._f.write(self._header(self._samples * 2))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

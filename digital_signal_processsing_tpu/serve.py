@@ -1,0 +1,75 @@
+"""Serving: unbounded WAV streams through stateful chunk ops, end to end.
+
+The production deployment loop the reference's one-WAV-per-binary design
+implies but never builds: decode (native C++ fast path when built) ->
+stateful chunked compute on the TPU -> streaming WAV sink, all with
+bounded memory. JAX's async dispatch overlaps the host decode of chunk
+i+1 with the device compute of chunk i for free — the host only blocks
+when it fetches an already-finished result.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+from .io.dataset import WavChunkLoader
+from .io.wav import WavWriter, read_wav_info
+
+
+def run_chunks(
+    chunk_fn: Callable,
+    state,
+    chunks: Iterable[np.ndarray],
+) -> Iterator[np.ndarray]:
+    """Drive any (state, chunk) -> (state, out) op over a chunk iterator.
+
+    Works with every streaming op in the framework (moving_average_chunk,
+    fir_chunk, sosfilt_chunk, chain_stream_chunk, pfb_channelize_chunk...)
+    — anything whose state is a pytree and whose chunk shapes are fixed.
+    """
+    for chunk in chunks:
+        state, out = chunk_fn(state, chunk)
+        yield np.asarray(out)
+
+
+def stream_moving_average(
+    paths,
+    out_path: str | Path,
+    window: int,
+    *,
+    chunk_samples: int = 1 << 20,
+) -> int:
+    """Filter a list of WAVs as ONE stream into an output WAV, chunked.
+
+    Bit-exact with the one-shot averager on the concatenated stream
+    (ops/streaming.py carries the raw halo); memory stays bounded by the
+    chunk size regardless of total input length. Returns samples written.
+    """
+    from .ops.streaming import moving_average_chunk, moving_average_init
+
+    paths = list(paths)
+    infos = [read_wav_info(p) for p in paths]
+    total = sum(i.num_samples for i in infos)
+    channels = infos[0].num_channels
+    rate = infos[0].sample_rate
+    chunk_samples -= chunk_samples % max(channels, 1)
+
+    loader = WavChunkLoader(paths, chunk_samples)
+    state = moving_average_init(window, channels)
+    written = 0
+    with WavWriter(out_path, rate, channels) as sink:
+        for chunk in loader:
+            state, out = moving_average_chunk(state, chunk, window, channels)
+            out = np.asarray(out)
+            keep = min(out.size, total - written)  # drop loader tail padding
+            if keep <= 0:
+                break
+            sink.append(out[:keep])
+            written += keep
+    return written
+
+
+__all__ = ["run_chunks", "stream_moving_average"]
