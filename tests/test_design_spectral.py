@@ -202,3 +202,27 @@ class TestFirls:
             design_firls(50, [0, 0.5, 0.6, 1], [1, 1, 0, 0])
         with pytest.raises(ValueError, match="band"):
             design_firls(51, [0.5, 0.2, 0.6, 1], [1, 1, 0, 0])
+
+
+class TestEquiripple:
+    def test_near_minimax_vs_scipy_remez(self):
+        from digital_signal_processsing_tpu.ops.fir import (
+            design_equiripple,
+            design_firls,
+        )
+
+        bands, des, n = [0, 0.35, 0.45, 1], [1, 1, 0, 0], 61
+        h_eq = design_equiripple(n, bands, des)
+        h_ls = design_firls(n, bands, des)
+        h_sp = sps.remez(n, [0, 0.35, 0.45, 1], [1, 0], fs=2.0)
+
+        def ripple(h):
+            f1 = np.linspace(0.001, 0.35, 400)
+            f2 = np.linspace(0.45, 0.999, 400)
+            _, r1 = sps.freqz(h, worN=f1 * np.pi)
+            _, r2 = sps.freqz(h, worN=f2 * np.pi)
+            return max(np.max(np.abs(np.abs(r1) - 1)), np.max(np.abs(r2)))
+
+        # within 1.5x of the true minimax, and clearly better than plain LS
+        assert ripple(h_eq) < 1.5 * ripple(h_sp)
+        assert ripple(h_eq) < 0.6 * ripple(h_ls)
