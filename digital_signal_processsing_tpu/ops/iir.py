@@ -164,6 +164,75 @@ def design_biquad_bandpass(center: float, q: float = 1.0) -> np.ndarray:
     return row[None, :]
 
 
+def _pair_poles(z_poles: np.ndarray) -> list[np.ndarray]:
+    """Group digital poles into conjugate (or real-real) biquad pairs."""
+    eps = 1e-9
+    cplx = [p for p in z_poles if p.imag > eps]
+    reals = sorted(p.real for p in z_poles if abs(p.imag) <= eps)
+    pairs = [np.array([p, np.conj(p)]) for p in cplx]
+    for i in range(0, len(reals) - 1, 2):
+        pairs.append(np.array([reals[i], reals[i + 1]], dtype=complex))
+    if len(reals) % 2:  # lone real pole -> first-order section
+        pairs.append(np.array([reals[-1], 0.0], dtype=complex))
+    return pairs
+
+
+def design_butterworth_band(
+    order: int, low: float, high: float, btype: str = "bandpass"
+) -> np.ndarray:
+    """Butterworth bandpass/bandstop as an SOS cascade (scipy layout).
+
+    LP->BP (s -> (s^2+w0^2)/(BW s)) / LP->BS (s -> BW s/(s^2+w0^2)) analog
+    pole transforms with bilinear prewarping; digital order is 2*order.
+    Matches scipy.signal.butter(btype=...) magnitude response to float
+    tolerance (tests/test_design_spectral.py).
+    """
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    if not 0.0 < low < high < 1.0:
+        raise ValueError(f"need 0 < low < high < 1 (Nyquist), got {low}, {high}")
+    if btype not in ("bandpass", "bandstop"):
+        raise ValueError(f"btype must be bandpass or bandstop, got {btype!r}")
+    w1, w2 = np.tan(np.pi * low / 2), np.tan(np.pi * high / 2)
+    w0 = np.sqrt(w1 * w2)
+    bw = w2 - w1
+    k = np.arange(order)
+    proto = np.exp(1j * np.pi * (2 * k + order + 1) / (2 * order))  # Re < 0
+    s_poles = []
+    for p in proto:
+        if btype == "bandpass":
+            b = bw * p / 2.0
+            disc = np.sqrt(b**2 - w0**2 + 0j)
+            s_poles += [b + disc, b - disc]
+        else:
+            b = bw / (2.0 * p)
+            disc = np.sqrt(b**2 - w0**2 + 0j)
+            s_poles += [b + disc, b - disc]
+    z_poles = np.array([(1 + s) / (1 - s) for s in s_poles])
+
+    if btype == "bandpass":
+        sec_b = np.array([1.0, 0.0, -1.0])  # zeros at z = +1 and z = -1
+        # unity at the WARPED analog center (s = j*w0 <-> z = e^{j*2*atan w0})
+        ref = np.exp(2j * np.arctan(w0))
+    else:
+        zc = (1 + 1j * w0) / (1 - 1j * w0)  # zeros at the notch frequency
+        sec_b = np.array([1.0, -2.0 * zc.real, 1.0])
+        ref = 1.0 + 0.0j  # unity at DC
+
+    pairs = _pair_poles(z_poles)
+    rows = []
+    gain = 1.0
+    for pp in pairs:
+        a = np.array([1.0, -(pp[0] + pp[1]).real, (pp[0] * pp[1]).real])
+        num = sec_b[0] * ref**2 + sec_b[1] * ref + sec_b[2]
+        den = ref**2 + a[1] * ref + a[2]
+        gain *= abs(den / num)
+        rows.append(np.concatenate([sec_b.copy(), a]))
+    rows = np.asarray(rows, dtype=np.float64)
+    rows[:, :3] *= gain ** (1.0 / len(rows))  # distribute gain evenly
+    return rows.astype(np.float32)
+
+
 def design_butterworth(
     order: int, cutoff: float, btype: str = "lowpass"
 ) -> np.ndarray:
@@ -175,6 +244,7 @@ def design_butterworth(
     conjugate pole pairs become biquads, each normalized to unity gain at
     DC (lowpass) or Nyquist (highpass). Matches scipy.signal.butter to
     float32 tolerance (tests/test_design_spectral.py::TestButterworth).
+    Band types live in :func:`design_butterworth_band`.
     """
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")

@@ -226,3 +226,36 @@ class TestEquiripple:
         # within 1.5x of the true minimax, and clearly better than plain LS
         assert ripple(h_eq) < 1.5 * ripple(h_sp)
         assert ripple(h_eq) < 0.6 * ripple(h_ls)
+
+
+class TestButterworthBand:
+    @pytest.mark.parametrize("order", [1, 2, 3, 4])
+    @pytest.mark.parametrize("btype", ["bandpass", "bandstop"])
+    def test_matches_scipy_response(self, order, btype):
+        from digital_signal_processsing_tpu.ops.iir import design_butterworth_band
+
+        sos = design_butterworth_band(order, 0.2, 0.5, btype)
+        ref = sps.butter(order, [0.2, 0.5], btype=btype, output="sos")
+        w, h = sps.sosfreqz(sos.astype(np.float64), worN=512)
+        _, href = sps.sosfreqz(ref, worN=512)
+        np.testing.assert_allclose(np.abs(h), np.abs(href), atol=2e-4)
+
+    def test_filter_runs(self, rng):
+        from digital_signal_processsing_tpu.ops.iir import (
+            design_butterworth_band,
+            sosfilt,
+        )
+
+        x = rng.normal(size=2000).astype(np.float32)
+        sos = design_butterworth_band(3, 0.2, 0.5)
+        got = np.asarray(sosfilt(sos, x))
+        want = sps.sosfilt(sos.astype(np.float64), x)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_rejections(self):
+        from digital_signal_processsing_tpu.ops.iir import design_butterworth_band
+
+        with pytest.raises(ValueError):
+            design_butterworth_band(2, 0.5, 0.2)
+        with pytest.raises(ValueError):
+            design_butterworth_band(2, 0.2, 0.5, "lowpass")
