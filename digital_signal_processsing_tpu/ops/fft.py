@@ -160,6 +160,30 @@ def spectrogram(
     return (jnp.abs(s) ** 2).astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def tone_power(x: jax.Array, freqs: jax.Array) -> jax.Array:
+    """Power of x at EXACT (non-bin) frequencies — the Goertzel use case.
+
+    ``freqs``: (K,) in cycles/sample. Returns (..., K) mean-square
+    amplitude estimates (a unit-amplitude sine at freq f reports ~0.25 +
+    0.25 = |a/2|^2 x 2... normalized so it reports (amplitude/2)^2 * 2 =
+    amplitude^2/2, the tone's mean power). On TPU the classic Goertzel
+    recurrence is the wrong shape — a dot against the exact-phase
+    oscillator bank (ops/demod.py) is one MXU/VPU reduction per frequency
+    and stays phase-accurate at any length.
+    """
+    from .demod import oscillator_bank
+
+    t = x.shape[-1]
+    f = jnp.atleast_1d(jnp.asarray(freqs, jnp.float32))
+    c, s = oscillator_bank(f, t)  # (K, t)
+    xf = x.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.tensordot(xf, c, axes=((-1,), (1,)), precision=hp) / t
+    im = jnp.tensordot(xf, s, axes=((-1,), (1,)), precision=hp) / t
+    return 2.0 * (re**2 + im**2)
+
+
 @jax.jit
 def hilbert(x: jax.Array) -> jax.Array:
     """Analytic signal of a real input (FFT method) over the last axis.

@@ -131,3 +131,22 @@ def test_istft_validation(rng):
 
     with pytest.raises(ValueError, match="hop"):
         istft(np.zeros((4, 129), np.complex64), nfft=256, hop=100)
+
+
+def test_tone_power_exact_frequency(rng):
+    # a non-bin tone measured exactly; off-tone frequencies near zero
+    from digital_signal_processsing_tpu.ops.fft import tone_power
+
+    t = np.arange(100_000)
+    f0 = 0.123456  # not any FFT bin
+    x = (0.8 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    p = np.asarray(tone_power(x, np.array([f0, 0.2, 0.05], np.float32)))
+    np.testing.assert_allclose(p[0], 0.8**2 / 2, rtol=1e-3)
+    assert p[1] < 1e-6 and p[2] < 1e-6
+
+
+def test_tone_power_batched(rng):
+    from digital_signal_processsing_tpu.ops.fft import tone_power
+
+    x = rng.normal(size=(3, 4096)).astype(np.float32)
+    assert np.asarray(tone_power(x, np.array([0.1], np.float32))).shape == (3, 1)
