@@ -276,3 +276,111 @@ def design_butterworth(
         g = np.polyval(a[:2], ref) / np.polyval(b[:2], ref)
         rows.append(np.concatenate([b * g, a]))
     return np.asarray(rows, dtype=np.float32)
+
+
+# --- Pallas first-order scan ------------------------------------------------
+#
+# XLA's associative_scan unrolls log2(T) levels of full-size HLO — minutes of
+# (remote) compile at T ~ 1M+. The Pallas kernel below runs the same
+# first-order composition ((a2,b2)∘(a1,b1) = (a1*a2, a2*b1 + b2)) inside one
+# VMEM tile with log-depth roll-composes (identity fill: alpha<-1, beta<-0)
+# and carries the scalar state across the sequential grid — one small tile
+# program regardless of T.
+
+
+def _roll_fill(v, s, axis, fill):
+    import jax as _jax
+    from jax.experimental.pallas import tpu as _pltpu
+
+    idx = _jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    return jnp.where(idx >= s, _pltpu.roll(v, s, axis=axis), fill)
+
+
+def _fill_all_from_tail1(v):
+    """Broadcast lane 127's value to every lane (c=1 fill, zero-based)."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    out = _pltpu.roll(v, 1, axis=1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    out = jnp.where(idx == 0, out, 0.0)
+    s = 1
+    while s < 128:
+        out = out + _roll_fill(out, s, 1, 0.0)
+        s *= 2
+    return out
+
+
+def _iir1_kernel(x_ref, o_ref, carry_ref, *, a, b, rows):
+    import functools as _ft  # noqa: F401 (kept minimal)
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        carry_ref[:] = jnp.zeros((1, 128), jnp.float32)
+
+    beta = x_ref[:].astype(jnp.float32) * b
+    alpha = jnp.full_like(beta, a)
+    # lane scan: compose with the left-adjacent segment
+    s = 1
+    while s < 128:
+        pa = _roll_fill(alpha, s, 1, 1.0)
+        pb = _roll_fill(beta, s, 1, 0.0)
+        beta = alpha * pb + beta
+        alpha = alpha * pa
+        s *= 2
+    # per-row totals (lane 127) -> row-prefix compose down the rows
+    ra = _fill_all_from_tail1(alpha)
+    rb = _fill_all_from_tail1(beta)
+    s = 1
+    while s < rows:
+        pa = _roll_fill(ra, s, 0, 1.0)
+        pb = _roll_fill(rb, s, 0, 0.0)
+        rb = ra * pb + rb
+        ra = ra * pa
+        s *= 2
+    # exclusive row state applied to the carried y: S_r = Aex*carry + Bex
+    aex = _roll_fill(ra, 1, 0, 1.0)
+    bex = _roll_fill(rb, 1, 0, 0.0)
+    state = aex * carry_ref[:] + bex  # (rows, 128), row-constant
+    o_ref[:] = alpha * state + beta
+    # inclusive composition at the last row updates the carry
+    carry_ref[:] = ra[rows - 1 :, :] * carry_ref[:] + rb[rows - 1 :, :]
+
+
+def iir_first_order_pallas(
+    x: jax.Array, a: float, b: float = 1.0, *, tile_rows: int = 512
+) -> jax.Array:
+    """y[t] = a*y[t-1] + b*x[t] over a flat float stream — Pallas kernel.
+
+    Same semantics as :func:`iir_first_order` (zero initial state) but the
+    compiled program is one small tile regardless of length (the XLA
+    associative_scan unrolls log2(T) full-size levels — minutes of compile
+    at T ~ 1M). Scalar ``a``/``b`` only; batch via jax.vmap.
+    """
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..utils import layout
+
+    n = x.shape[0]
+    x2d, n_orig = layout.pad_flat_to_tiles(x.astype(jnp.float32), tile_rows)
+    out = pl.pallas_call(
+        functools.partial(
+            _iir1_kernel, a=float(a), b=float(b), rows=tile_rows
+        ),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.float32),
+        grid=(x2d.shape[0] // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, 128), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, 128), lambda t: (t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=jax.default_backend() != "tpu",
+    )(x2d)
+    return layout.unpad_flat(out, n_orig)

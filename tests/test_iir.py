@@ -92,3 +92,17 @@ def test_sosfilt_chunked_matches_one_shot(rng):
         outs.append(np.asarray(y))
     got = np.concatenate(outs, axis=-1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_iir_first_order_pallas_matches_xla(rng):
+    from digital_signal_processsing_tpu.ops.iir import (
+        iir_first_order,
+        iir_first_order_pallas,
+    )
+
+    for n, a, b in [(1000, 0.95, 1.0), (100_000, 0.999, 0.001), (70_001, 0.5, 2.0)]:
+        x = rng.normal(size=n).astype(np.float32)
+        want = np.asarray(iir_first_order(x, a, b))
+        got = np.asarray(iir_first_order_pallas(x, a, b))
+        scale = np.max(np.abs(want)) + 1e-9
+        assert np.max(np.abs(got - want)) / scale < 1e-4
