@@ -384,3 +384,120 @@ def iir_first_order_pallas(
         interpret=jax.default_backend() != "tpu",
     )(x2d)
     return layout.unpad_flat(out, n_orig)
+
+
+def _compose_affine(l, r):
+    """right∘left for 6-component affine maps x -> A x + c (2x2 A)."""
+    l11, l12, l21, l22, lc1, lc2 = l
+    r11, r12, r21, r22, rc1, rc2 = r
+    return (
+        r11 * l11 + r12 * l21,
+        r11 * l12 + r12 * l22,
+        r21 * l11 + r22 * l21,
+        r21 * l12 + r22 * l22,
+        r11 * lc1 + r12 * lc2 + rc1,
+        r21 * lc1 + r22 * lc2 + rc2,
+    )
+
+
+def _biquad_kernel(x_ref, o_ref, carry_ref, *, b, a, rows):
+    """One biquad (DF2T) over a flat stream tile — affine-map block scan.
+
+    Same structure as _iir1_kernel with the scalar (a,b) map replaced by
+    the 6-component (A, c) map (A 2x2, c 2-vector); the carry is the
+    section state, kept lane-broadcast so no narrow slices are needed.
+    """
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        carry_ref[:] = jnp.zeros((2, 128), jnp.float32)
+
+    b0, b1, b2 = b
+    a1, a2 = a
+    xf = x_ref[:].astype(jnp.float32)
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    m = (
+        jnp.full_like(xf, -a1),
+        jnp.ones_like(xf),
+        jnp.full_like(xf, -a2),
+        jnp.zeros_like(xf),
+        xf * (b1 - a1 * b0),
+        xf * (b2 - a2 * b0),
+    )
+
+    def scan_axis(m, axis, size):
+        s = 1
+        while s < size:
+            left = tuple(_roll_fill(v, s, axis, f) for v, f in zip(m, ident))
+            m = _compose_affine(left, m)
+            s *= 2
+        return m
+
+    m = scan_axis(m, 1, 128)  # inclusive lane maps within each row
+    # per-row totals (lane 127) broadcast to every lane, then row-prefix
+    rowm = tuple(_fill_all_from_tail1(v) for v in m)
+    rowm = scan_axis(rowm, 0, rows)  # inclusive row maps, lane-broadcast
+    # row-exclusive maps applied to the tile carry -> state at row starts
+    exm = tuple(_roll_fill(v, 1, 0, f) for v, f in zip(rowm, ident))
+    c1 = carry_ref[0:1, :]
+    c2 = carry_ref[1:2, :]
+    s1_row = exm[0] * c1 + exm[1] * c2 + exm[4]
+    s2_row = exm[2] * c1 + exm[3] * c2 + exm[5]
+    # lane-exclusive maps compose the row-start state to each element
+    exl = tuple(_roll_fill(v, 1, 1, f) for v, f in zip(m, ident))
+    s1 = exl[0] * s1_row + exl[1] * s2_row + exl[4]
+    o_ref[:] = b0 * xf + s1
+    # carry update: the last row's inclusive map (already lane-broadcast)
+    lr = tuple(v[rows - 1 :, :] for v in rowm)
+    carry_ref[0:1, :] = lr[0] * c1 + lr[1] * c2 + lr[4]
+    carry_ref[1:2, :] = lr[2] * c1 + lr[3] * c2 + lr[5]
+
+
+def sosfilt_pallas(
+    sos: jax.Array | np.ndarray, x: jax.Array, *, tile_rows: int = 256
+) -> jax.Array:
+    """SOS cascade over a flat float stream via the Pallas block scan.
+
+    Same semantics as :func:`sosfilt` (zero initial state per section) but
+    the compiled program is one small tile per section regardless of
+    length — the XLA associative_scan over 2x2-matrix pytrees unrolls
+    log2(T) full-size HLO levels and takes unbounded compile time past
+    T ~ 1M. Flat (time,) streams; batch via jax.vmap.
+    """
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..utils import layout
+
+    sos_np = np.asarray(sos, np.float64)
+    y = x.astype(jnp.float32)
+    for row in sos_np:
+        b = (float(row[0]), float(row[1]), float(row[2]))
+        a = (float(row[4]), float(row[5]))  # a0 == 1 (scipy layout)
+        y2d, n = layout.pad_flat_to_tiles(y, tile_rows)
+        y = layout.unpad_flat(
+            pl.pallas_call(
+                functools.partial(_biquad_kernel, b=b, a=a, rows=tile_rows),
+                out_shape=jax.ShapeDtypeStruct(y2d.shape, jnp.float32),
+                grid=(y2d.shape[0] // tile_rows,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (tile_rows, 128), lambda t: (t, 0), memory_space=pltpu.VMEM
+                    )
+                ],
+                out_specs=pl.BlockSpec(
+                    (tile_rows, 128), lambda t: (t, 0), memory_space=pltpu.VMEM
+                ),
+                scratch_shapes=[pltpu.VMEM((2, 128), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)
+                ),
+                interpret=jax.default_backend() != "tpu",
+            )(y2d),
+            n,
+        )
+    return y

@@ -106,3 +106,20 @@ def test_iir_first_order_pallas_matches_xla(rng):
         got = np.asarray(iir_first_order_pallas(x, a, b))
         scale = np.max(np.abs(want)) + 1e-9
         assert np.max(np.abs(got - want)) / scale < 1e-4
+
+
+def test_sosfilt_pallas_matches_xla(rng):
+    from digital_signal_processsing_tpu.ops.iir import (
+        design_butterworth,
+        design_butterworth_band,
+        sosfilt,
+        sosfilt_pallas,
+    )
+
+    for n in (1000, 70_001):
+        x = rng.normal(size=n).astype(np.float32)
+        for sos in (design_butterworth(4, 0.2), design_butterworth_band(2, 0.2, 0.5)):
+            want = np.asarray(sosfilt(sos, x))
+            got = np.asarray(sosfilt_pallas(sos, x))
+            scale = np.max(np.abs(want)) + 1e-9
+            assert np.max(np.abs(got - want)) / scale < 1e-4
