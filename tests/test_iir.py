@@ -116,7 +116,7 @@ def test_sosfilt_pallas_matches_xla(rng):
         sosfilt_pallas,
     )
 
-    for n in (1000, 70_001):
+    for n in (1000, 20_001):  # interpret-mode cost: keep sizes modest
         x = rng.normal(size=n).astype(np.float32)
         for sos in (design_butterworth(4, 0.2), design_butterworth_band(2, 0.2, 0.5)):
             want = np.asarray(sosfilt(sos, x))
