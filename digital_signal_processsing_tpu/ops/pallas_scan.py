@@ -60,10 +60,11 @@ LANES = layout.LANES
 MAX_TILE_ROWS = 2048
 # The carry-free windowed kernel keeps only a (hr+1)-row raw-sample tail in
 # scratch, so its live int32 tiles (ext/p/rt/partials) set the VMEM budget:
-# 4096 rows x 128 x 4B = 2 MiB per live value. Measured on v5e at 64M
-# samples, k=1024: 2048 rows 84.5 GS/s, 4096 rows 55.8 -> default 2048.
+# 4096 rows x 128 x 4B = 2 MiB per live value. Tile sweep on v5e (64M,
+# k=1024, final kernel): 1024/1536/2048/3072/4096 rows -> 66/71/70/73-76/72
+# GS/s; 3072 repeats consistently fastest.
 MAX_WINDOWED_TILE_ROWS = 4096
-DEFAULT_WINDOWED_TILE_ROWS = 2048
+DEFAULT_WINDOWED_TILE_ROWS = 3072
 
 
 def _interpret() -> bool:
