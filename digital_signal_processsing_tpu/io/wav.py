@@ -28,9 +28,6 @@ _HEADER_FMT = "<4sI4s4sIHHIIHH4sI"  # 44 bytes, packed (wav_header.h:8-24)
 _HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 assert _HEADER_SIZE == 44
 
-_UNSUPPORTED_BITS = (8, 24, 32, 64)
-
-
 @dataclasses.dataclass(frozen=True)
 class WavInfo:
     """Parsed header fields (WAVHeader analog, wav_header.h:9-23)."""
@@ -75,7 +72,7 @@ def _parse_header(raw: bytes, path: Path) -> WavInfo:
         raise ValueError(f"{path}: not a canonical 44-byte PCM WAV file")
     if audio_format != 1:
         raise ValueError(f"{path}: only PCM (format 1) supported, got {audio_format}")
-    if bits_per_sample in _UNSUPPORTED_BITS or bits_per_sample != 16:
+    if bits_per_sample != 16:  # rejects 8/24/32/64 like wav_header.h:34-37
         raise ValueError(
             f"{path}: unsupported bits per sample: {bits_per_sample} (16-bit only)"
         )
@@ -122,6 +119,19 @@ def read_wav_widened(path: str | Path) -> tuple[WavInfo, np.ndarray]:
     return info, samples.astype(np.int64)
 
 
+def _as_int16_samples(samples: np.ndarray) -> np.ndarray:
+    """int16 view with an explicit guard: float input silently truncates
+    toward zero and wraps out of range under an unsafe cast — require the
+    caller to quantize deliberately (e.g. np.clip(x*32767, -32768, 32767))."""
+    arr = np.asarray(samples)
+    if np.issubdtype(arr.dtype, np.floating):
+        raise TypeError(
+            "WAV sinks take int16 samples; quantize float audio explicitly, "
+            "e.g. np.clip(x * 32767, -32768, 32767).astype(np.int16)"
+        )
+    return np.ascontiguousarray(arr, dtype="<i2")
+
+
 def write_wav(
     path: str | Path,
     samples: np.ndarray,
@@ -129,7 +139,7 @@ def write_wav(
     num_channels: int,
 ) -> None:
     """Write a canonical 16-bit PCM WAV (writeSamples analog, wav_header.h:50-59)."""
-    samples = np.ascontiguousarray(np.asarray(samples, dtype="<i2"))
+    samples = _as_int16_samples(samples)
     if samples.ndim != 1:
         samples = samples.reshape(-1)
     if num_channels < 1:
@@ -198,7 +208,7 @@ class WavWriter:
         )
 
     def append(self, samples: np.ndarray) -> None:
-        s = np.ascontiguousarray(np.asarray(samples, dtype="<i2"))
+        s = _as_int16_samples(samples)
         if s.ndim != 1 or s.size % self.num_channels != 0:
             raise ValueError(
                 f"append expects flat whole frames of {self.num_channels} "

@@ -25,7 +25,11 @@ def tone(
     phase: float = 0.0,
     t0: jax.Array | int = 0,
 ) -> jax.Array:
-    """amplitude * sin(2π f (t0+n) + phase), exact at any offset."""
+    """amplitude * sin(2π f (t0+n) + phase).
+
+    Phase from the exact fractional multiply — accurate for any offset that
+    fits int32 (t0 < 2^31; reduce larger offsets modulo 2^24/f yourself).
+    """
     f = jnp.asarray(freq, jnp.float32).reshape(1, 1)
     p0 = _frac_mul_int(f, jnp.asarray(t0, jnp.int32))
     pn = _frac_mul_int(f, jnp.arange(t, dtype=jnp.int32)[None, :])

@@ -52,7 +52,14 @@ def stream_moving_average(
 
     paths = list(paths)
     infos = [read_wav_info(p) for p in paths]
-    total = sum(i.num_samples for i in infos)
+    # actual decodable samples: the header's data size clamped to the BODY
+    # actually present (a truncated file must not cause filtered padding to
+    # be emitted as audio; a streaming-capture 0xFFFFFFFF size must not
+    # inflate the count)
+    total = sum(
+        min(i.num_samples, max(Path(p).stat().st_size - 44, 0) // 2)
+        for i, p in zip(infos, paths)
+    )
     channels = infos[0].num_channels
     rate = infos[0].sample_rate
     chunk_samples -= chunk_samples % max(channels, 1)
