@@ -25,7 +25,6 @@ mesh raises NotImplementedError here.
 from __future__ import annotations
 
 import functools
-import itertools
 
 import jax
 import jax.numpy as jnp
@@ -60,16 +59,30 @@ def _interpret() -> bool:
 # Every ring instantiation in a traced program needs its OWN collective_id:
 # two pallas collectives sharing an id can cross-match their DMA semaphores
 # (device A's send from exchange 1 paired with device B's wait from exchange
-# 2 — a hang or wrong-data halo). Trace order is identical on every SPMD
-# process, so a trace-time counter assigns consistent ids across devices.
-_COLLECTIVE_IDS = itertools.count(7)
+# 2 — a hang or wrong-data halo). A trace-time counter would only stay
+# consistent across SPMD processes if every process traced ring collectives
+# in exactly the same order — divergent jit-cache histories break that. The
+# id is instead derived deterministically from the exchange's stable
+# properties (shape/dtype/axis), which every process computes identically
+# regardless of trace history; callers issuing several SAME-shaped exchanges
+# in one traced program must pass distinct explicit ``collective_id``s.
+def _stable_collective_id(shape, dtype, axis: str) -> int:
+    import zlib
+
+    key = f"{tuple(shape)}|{jnp.dtype(dtype).name}|{axis}".encode()
+    # ids 0-15 are left free for explicit caller-assigned ids
+    return 16 + (zlib.crc32(key) % 1008)
 
 
-def ring_shift_right_shard(x_loc: jax.Array, axis: str = TIME_AXIS) -> jax.Array:
+def ring_shift_right_shard(
+    x_loc: jax.Array, axis: str = TIME_AXIS, *, collective_id: int | None = None
+) -> jax.Array:
     """Inside shard_map: receive the LEFT neighbor's shard; device 0 gets zeros.
 
     x_loc must be 2-D (sublanes, lanes)-shaped for the DMA; callers reshape.
     """
+    if collective_id is None:
+        collective_id = _stable_collective_id(x_loc.shape, x_loc.dtype, axis)
     out = pl.pallas_call(
         functools.partial(_ring_kernel, axis=axis),
         out_shape=jax.ShapeDtypeStruct(x_loc.shape, x_loc.dtype),
@@ -77,7 +90,7 @@ def ring_shift_right_shard(x_loc: jax.Array, axis: str = TIME_AXIS) -> jax.Array
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=next(_COLLECTIVE_IDS)
+            has_side_effects=True, collective_id=collective_id
         ),
         interpret=_interpret(),
     )(x_loc)

@@ -90,8 +90,14 @@ def load_pytree(path, template):
         raise ValueError(
             f"checkpoint has {n} leaves, template has {treedef.num_leaves}"
         )
-    leaves = [
-        np.asarray(leaf).astype(tl.dtype) if hasattr(tl, "dtype") else leaf
-        for leaf, tl in zip(leaves, t_leaves)
-    ]
+    # dtype must match exactly: a silent astype (e.g. float64 checkpoint into
+    # a float32 state, int32 into int16) truncates values and breaks the
+    # bit-exact-resume guarantee
+    for i, (leaf, tl) in enumerate(zip(leaves, t_leaves)):
+        if hasattr(tl, "dtype") and np.asarray(leaf).dtype != np.dtype(tl.dtype):
+            raise ValueError(
+                f"checkpoint leaf {i} has dtype {np.asarray(leaf).dtype}, "
+                f"template expects {np.dtype(tl.dtype)} — refusing a lossy "
+                "cast; re-save the checkpoint or fix the template"
+            )
     return jax.tree.unflatten(treedef, leaves)

@@ -106,3 +106,18 @@ def test_streaming_state_checkpoint_resume(rng, tmp_path):
     _, y2 = moving_average_chunk(restored, x[3000:], w, c)
     got = np.concatenate([np.asarray(y1), np.asarray(y2)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_checkpoint_dtype_mismatch_raises(tmp_path):
+    # a lossy silent cast (float64 -> float32, int32 -> int16) would break
+    # the bit-exact-resume guarantee; load must refuse instead
+    import pytest
+
+    from digital_signal_processsing_tpu.utils.checkpoint import (
+        load_pytree,
+        save_pytree,
+    )
+
+    save_pytree(tmp_path / "s.npz", {"a": np.ones(4, np.float64)})
+    with pytest.raises(ValueError, match="dtype"):
+        load_pytree(tmp_path / "s.npz", {"a": np.ones(4, np.float32)})
