@@ -386,6 +386,209 @@ def _type1_amplitude(h: np.ndarray, freqs: np.ndarray) -> np.ndarray:
     return np.cos(np.pi * np.outer(freqs, np.arange(m + 1))) @ a
 
 
+def design_remez(
+    num_taps: int,
+    bands,
+    desired,
+    *,
+    weights=None,
+    grid_density: int = 16,
+    max_iterations: int = 250,
+) -> np.ndarray:
+    """True minimax (Parks-McClellan) linear-phase FIR via Remez exchange.
+
+    ``bands``: flat band-edge pairs in [0, 1] Nyquist units; ``desired``:
+    ONE amplitude per band (scipy.signal.remez semantics, with scipy's
+    [0, 0.5]-of-fs edges rescaled to Nyquist units); ``weights``: one
+    relative error weight per band. Type-I only (odd ``num_taps``).
+
+    The exchange iterates the optimal-alternation characterization exactly
+    (Chebyshev/barycentric interpolation over x = cos(pi f), candidate
+    extrema from the dense grid, alternation-preserving trimming) rather
+    than approximating it with Lawson reweighting — converged max ripple
+    matches scipy.signal.remez to ~1e-6 across the spec grid in
+    tests/test_design_spectral.py. Barycentric weights are computed in the
+    log domain so tap counts in the hundreds don't underflow the
+    prod(x_k - x_j) terms.
+    """
+    if num_taps % 2 == 0:
+        raise ValueError(f"design_remez needs odd num_taps (type I), got {num_taps}")
+    bands = np.asarray(bands, np.float64).reshape(-1, 2)
+    desired = np.asarray(desired, np.float64).ravel()
+    if desired.size != bands.shape[0]:
+        raise ValueError(
+            f"desired needs one amplitude per band: {desired.size} values for "
+            f"{bands.shape[0]} bands"
+        )
+    if np.any(bands[:, 0] >= bands[:, 1]) or np.any(bands < 0) or np.any(bands > 1):
+        raise ValueError(f"band edges must satisfy 0 <= f1 < f2 <= 1: {bands}")
+    if np.any(bands.ravel()[1:] < bands.ravel()[:-1]):
+        raise ValueError(f"bands must be sorted and non-overlapping: {bands}")
+    w_bands = (
+        np.ones(bands.shape[0])
+        if weights is None
+        else np.asarray(weights, np.float64).ravel()
+    )
+    if w_bands.size != bands.shape[0]:
+        raise ValueError("weights needs one value per band")
+
+    m = (num_taps - 1) // 2
+    r = m + 2  # number of alternation extrema
+
+    # dense grid: points proportional to band width, edges always included
+    total_w = float(np.sum(bands[:, 1] - bands[:, 0]))
+    grid_f, grid_d, grid_w, grid_band = [], [], [], []
+    for bi, ((f1, f2), d, wb) in enumerate(zip(bands, desired, w_bands)):
+        npts = max(int(round(grid_density * (m + 1) * (f2 - f1) / total_w)), 8)
+        f = np.linspace(f1, f2, npts)
+        grid_f.append(f)
+        grid_d.append(np.full(npts, d))
+        grid_w.append(np.full(npts, wb))
+        grid_band.append(np.full(npts, bi))
+    grid_f = np.concatenate(grid_f)
+    grid_d = np.concatenate(grid_d)
+    grid_w = np.concatenate(grid_w)
+    grid_band = np.concatenate(grid_band)
+    # dedupe any coincident band edges
+    keep = np.concatenate([[True], np.diff(grid_f) > 1e-12])
+    grid_f, grid_d, grid_w = grid_f[keep], grid_d[keep], grid_w[keep]
+    grid_band = grid_band[keep]
+    L = grid_f.size
+    # per-band [start, end] index ranges: extremum detection must not span
+    # the gap between bands, and every band edge is an extremum candidate
+    seg_bounds = [
+        (int(np.argmax(grid_band == bi)), int(L - 1 - np.argmax(grid_band[::-1] == bi)))
+        for bi in range(bands.shape[0])
+    ]
+    if L < r:
+        raise ValueError(
+            f"grid of {L} points cannot hold {r} alternations; raise "
+            f"grid_density or widen the bands"
+        )
+    grid_x = np.cos(np.pi * grid_f)
+
+    # initial extrema: uniform over the grid
+    ext = np.round(np.linspace(0, L - 1, r)).astype(np.int64)
+
+    def _bary_weights(x):
+        # d_k = 1/prod_{j!=k}(x_k - x_j), computed as sign * exp(log) and
+        # normalized (only ratios matter) so hundreds of factors don't
+        # underflow float64
+        diff = x[:, None] - x[None, :]
+        np.fill_diagonal(diff, 1.0)
+        sign = np.prod(np.sign(diff), axis=1)
+        logs = -np.sum(np.log(np.abs(diff)), axis=1)
+        return sign * np.exp(logs - logs.max())
+
+    last_delta = None
+    for _ in range(max_iterations):
+        x_e = grid_x[ext]
+        d_e = grid_d[ext]
+        w_e = grid_w[ext]
+        gamma = _bary_weights(x_e)
+        alt = (-1.0) ** np.arange(r)
+        delta = float(np.sum(gamma * d_e) / np.sum(gamma * alt / w_e))
+        # interpolation points: first r-1 extrema, value D - (-1)^k d/W
+        c = d_e[:-1] - alt[:-1] * delta / w_e[:-1]
+        # barycentric weights for the r-1 subset: beta_k = d_k*(x_k - x_last)
+        beta = gamma[:-1] * (x_e[:-1] - x_e[-1])
+
+        # A(f) on the whole grid via barycentric interpolation
+        dx = grid_x[:, None] - x_e[None, :-1]
+        hit = np.isclose(dx, 0.0, atol=1e-14)
+        dx_safe = np.where(hit, 1.0, dx)
+        num = np.sum(beta * c / dx_safe, axis=1)
+        den = np.sum(beta / dx_safe, axis=1)
+        amp = num / den
+        row_hit = hit.any(axis=1)
+        if row_hit.any():
+            amp[row_hit] = c[np.argmax(hit[row_hit], axis=1)]
+        err = grid_w * (amp - grid_d)
+
+        # candidate extrema per band: interior local maxima of |err| plus
+        # both band edges (extrema of the optimal solution sit at edges)
+        e = err
+        cand_list: list[int] = []
+        for s, t in seg_bounds:
+            cand_list.append(s)
+            for i in range(s + 1, t):
+                if abs(e[i]) >= abs(e[i - 1]) and abs(e[i]) >= abs(e[i + 1]):
+                    cand_list.append(i)
+            if t > s:
+                cand_list.append(t)
+        cand = np.unique(cand_list)
+        # collapse consecutive same-sign candidates to the largest |err|
+        sel: list[int] = []
+        for i in cand:
+            if sel and np.sign(e[i]) == np.sign(e[sel[-1]]):
+                if abs(e[i]) > abs(e[sel[-1]]):
+                    sel[-1] = int(i)
+            else:
+                sel.append(int(i))
+        # trim to exactly r alternations, dropping the weakest endpoint(s)
+        while len(sel) > r:
+            if len(sel) - r == 1:
+                # drop whichever endpoint is weaker (keeps alternation)
+                if abs(e[sel[0]]) <= abs(e[sel[-1]]):
+                    sel.pop(0)
+                else:
+                    sel.pop()
+            else:
+                # drop the globally weakest extremum and its weaker neighbor
+                k = int(np.argmin(np.abs(e[sel])))
+                if k == 0:
+                    sel.pop(0)
+                elif k == len(sel) - 1:
+                    sel.pop()
+                else:
+                    nb = k - 1 if abs(e[sel[k - 1]]) < abs(e[sel[k + 1]]) else k + 1
+                    for idx in sorted((k, nb), reverse=True):
+                        sel.pop(idx)
+        if len(sel) < r:
+            # degenerate spec (grid too coarse for the alternation count)
+            break
+        new_ext = np.asarray(sel, np.int64)
+        converged = np.array_equal(new_ext, ext) or (
+            last_delta is not None
+            and abs(abs(delta) - last_delta) <= 1e-14 + 1e-9 * abs(delta)
+            and np.max(np.abs(err)) - abs(delta) <= 1e-9 * max(abs(delta), 1e-12)
+        )
+        ext = new_ext
+        last_delta = abs(delta)
+        if converged:
+            break
+
+    # final coefficients: evaluate A at num_taps uniform points, inverse DFT
+    x_e = grid_x[ext]
+    d_e = grid_d[ext]
+    w_e = grid_w[ext]
+    gamma = _bary_weights(x_e)
+    alt = (-1.0) ** np.arange(r)
+    delta = float(np.sum(gamma * d_e) / np.sum(gamma * alt / w_e))
+    c = d_e[:-1] - alt[:-1] * delta / w_e[:-1]
+    beta = gamma[:-1] * (x_e[:-1] - x_e[-1])
+
+    # DFT sampling points omega_k = 2 pi k / N -> f_k = 2k/N Nyquist units,
+    # folded into [0, 1] (A is even and 2-periodic in f)
+    fs = 2.0 * np.arange(num_taps, dtype=np.float64) / num_taps
+    xs = np.cos(np.pi * np.minimum(fs, 2.0 - fs))
+    dx = xs[:, None] - x_e[None, :-1]
+    hit = np.isclose(dx, 0.0, atol=1e-14)
+    dx_safe = np.where(hit, 1.0, dx)
+    amp = np.sum(beta * c / dx_safe, axis=1) / np.sum(beta / dx_safe, axis=1)
+    row_hit = hit.any(axis=1)
+    if row_hit.any():
+        amp[row_hit] = c[np.argmax(hit[row_hit], axis=1)]
+    # type-I synthesis: h[m+n] = h[m-n] = (1/N) sum_k A_k cos(2 pi k n / N)
+    n = np.arange(m + 1)
+    k = np.arange(num_taps)
+    half = (amp[None, :] * np.cos(2.0 * np.pi * np.outer(n, k) / num_taps)).sum(
+        axis=1
+    ) / num_taps
+    h = np.concatenate([half[:0:-1], half])
+    return h.astype(np.float32)
+
+
 def design_equiripple(
     num_taps: int,
     bands,
@@ -394,17 +597,21 @@ def design_equiripple(
     iterations: int = 60,
     segments: int = 24,
 ) -> np.ndarray:
-    """Near-minimax (Parks-McClellan-class) FIR via Lawson-iterated firls.
+    """Equiripple FIR design (per-edge ``desired``, firls-style signature).
 
-    Each band is subdivided into ``segments`` constant-weight pieces and the
-    weighted least-squares design is re-solved with weights scaled by each
-    piece's peak error (Lawson's algorithm) — the error equalizes toward
-    equiripple. Measured within ~1.3x of scipy.signal.remez's optimal
-    ripple (vs ~3.5x for unweighted least squares) with no Remez exchange
-    machinery; type-I (odd taps) like design_firls.
+    Constant-per-band specs (d1 == d2 for every band — the common case)
+    route to :func:`design_remez`, the true minimax exchange. Sloped
+    (linear-desired) bands fall back to Lawson-iterated least squares —
+    each band subdivided into ``segments`` constant-weight pieces, the
+    weighted LS design re-solved with weights scaled by each piece's peak
+    error (~1.3x optimal ripple); the Remez alternation theorem doesn't
+    directly cover sloped desired, so the fallback stays.
+    Type-I (odd taps) like design_firls.
     """
     bands = np.asarray(bands, np.float64).reshape(-1, 2)
     desired = np.asarray(desired, np.float64).reshape(-1, 2)
+    if np.all(desired[:, 0] == desired[:, 1]):
+        return design_remez(num_taps, bands.ravel(), desired[:, 0])
     sub_b, sub_d = [], []
     for (f1, f2), (d1, d2) in zip(bands, desired):
         edges = np.linspace(f1, f2, segments + 1)

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 from .iir import iir_first_order
 
 
-@functools.partial(jax.jit, static_argnames=())
+# pole is static so it reaches the iir dispatcher as a concrete float — the
+# Pallas block-scan path (long streams) bakes coefficients into the kernel
+@functools.partial(jax.jit, static_argnames=("pole",))
 def dc_block(x: jax.Array, pole: float = 0.995) -> jax.Array:
     """One-pole DC blocker: y[n] = x[n] - x[n-1] + pole*y[n-1].
 

@@ -25,9 +25,60 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# T above which the XLA associative-scan spelling is no longer viable: its
+# log2(T) unrolled full-size HLO levels take minutes of (remote) compile at
+# T ~ 1M, and the Pallas block scan is faster at runtime well before that.
+PALLAS_IIR_MIN_T = 65536
+
+
+def _is_tracer(*vals) -> bool:
+    return any(isinstance(v, jax.core.Tracer) for v in vals)
+
+
+def iir_first_order(
+    x: jax.Array,
+    a: jax.Array | float,
+    b: jax.Array | float = 1.0,
+    *,
+    method: str = "auto",
+) -> jax.Array:
+    """y[t] = a*y[t-1] + b*x[t] over the last axis, zero initial state.
+
+    ``method``:
+    - ``auto`` (default): the Pallas block-scan kernel when the stream is
+      long (T >= PALLAS_IIR_MIN_T) and the coefficients are concrete (they
+      are baked into the kernel as constants — always the case for design-
+      function output); otherwise the XLA associative scan. The XLA scan
+      CANNOT compile at T >~ 1M (log-depth full-size HLO unroll), so the
+      dispatch is what makes this public API usable at production sizes.
+    - ``pallas`` / ``xla_scan``: force a path.
+    """
+    if method == "auto":
+        scalar_coeffs = np.ndim(a) == 0 and np.ndim(b) == 0
+        if (
+            _is_tracer(a, b)
+            or not scalar_coeffs
+            or x.shape[-1] < PALLAS_IIR_MIN_T
+        ):
+            method = "xla_scan"
+        else:
+            method = "pallas"
+    from ..utils.dispatch import record_choice
+
+    record_choice("iir_first_order", method)
+    if method == "pallas":
+        return iir_first_order_pallas(x, float(a), float(b))
+    if method != "xla_scan":
+        raise ValueError(
+            f"unknown method {method!r}; options ('auto', 'pallas', 'xla_scan')"
+        )
+    return _iir_first_order_xla(x, a, b)
+
+
 @jax.jit
-def iir_first_order(x: jax.Array, a: jax.Array | float, b: jax.Array | float = 1.0) -> jax.Array:
-    """y[t] = a*y[t-1] + b*x[t] over the last axis, zero initial state."""
+def _iir_first_order_xla(
+    x: jax.Array, a: jax.Array | float, b: jax.Array | float = 1.0
+) -> jax.Array:
     xf = x.astype(jnp.float32)
     a = jnp.asarray(a, jnp.float32)
     bx = jnp.asarray(b, jnp.float32) * xf
@@ -112,9 +163,34 @@ def _biquad_scan(
     return b0 * xf + s1_prev, s_last
 
 
+def sosfilt(sos: jax.Array, x: jax.Array, *, method: str = "auto") -> jax.Array:
+    """Cascade of second-order sections (scipy layout: (n, 6), a0 == 1).
+
+    Applies over the last axis; leading axes are independent streams.
+    ``method='auto'`` routes long concrete-coefficient calls (the output of
+    every design_* function) to the Pallas block-scan kernel — the XLA
+    associative scan cannot compile at T >~ 1M, so without the dispatch the
+    documented API would fail at production sizes. See :func:`iir_first_order`.
+    """
+    if method == "auto":
+        if _is_tracer(sos) or x.shape[-1] < PALLAS_IIR_MIN_T:
+            method = "xla_scan"
+        else:
+            method = "pallas"
+    from ..utils.dispatch import record_choice
+
+    record_choice("sosfilt", method)
+    if method == "pallas":
+        return sosfilt_pallas(sos, x)
+    if method != "xla_scan":
+        raise ValueError(
+            f"unknown method {method!r}; options ('auto', 'pallas', 'xla_scan')"
+        )
+    return _sosfilt_xla(sos, x)
+
+
 @jax.jit
-def sosfilt(sos: jax.Array, x: jax.Array) -> jax.Array:
-    """Cascade of second-order sections (scipy layout: (n, 6), a0 == 1)."""
+def _sosfilt_xla(sos: jax.Array, x: jax.Array) -> jax.Array:
     sos = jnp.asarray(sos, jnp.float32)
     y = x.astype(jnp.float32)
     for i in range(sos.shape[0]):
@@ -337,13 +413,15 @@ def _fill_all_from_tail1(v):
 def _iir1_kernel(x_ref, o_ref, carry_ref, *, a, b, rows):
     from jax.experimental import pallas as pl
 
-    t = pl.program_id(0)
+    # grid = (channels, time_tiles): time is the minor (fastest) grid axis,
+    # so each channel's tiles run in order and the carry resets per channel
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _init():
         carry_ref[:] = jnp.zeros((1, 128), jnp.float32)
 
-    beta = x_ref[:].astype(jnp.float32) * b
+    beta = x_ref[0].astype(jnp.float32) * b
     alpha = jnp.full_like(beta, a)
     # lane scan: compose with the left-adjacent segment
     s = 1
@@ -367,45 +445,72 @@ def _iir1_kernel(x_ref, o_ref, carry_ref, *, a, b, rows):
     aex = _roll_fill(ra, 1, 0, 1.0)
     bex = _roll_fill(rb, 1, 0, 0.0)
     state = aex * carry_ref[:] + bex  # (rows, 128), row-constant
-    o_ref[:] = alpha * state + beta
+    o_ref[0] = alpha * state + beta
     # inclusive composition at the last row updates the carry
     carry_ref[:] = ra[rows - 1 :, :] * carry_ref[:] + rb[rows - 1 :, :]
+
+
+def _to_planar_tiles(x: jax.Array, tile_rows: int):
+    """(…, T) float32 -> ((C, R, 128) tiles, batch_shape, T).
+
+    Leading axes flatten to independent channel streams; each stream pads to
+    a tile multiple (causal filters: tail garbage never reaches kept output).
+    """
+    from ..utils import layout
+
+    batch = x.shape[:-1]
+    n = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape((-1, n))
+    tile = tile_rows * 128
+    padded = layout.round_up(max(n, 1), tile)
+    if padded != n:
+        xf = jnp.pad(xf, ((0, 0), (0, padded - n)))
+    return xf.reshape(xf.shape[0], padded // 128, 128), batch, n
+
+
+def _from_planar_tiles(out, batch, n: int):
+    return out.reshape(out.shape[0], -1)[:, :n].reshape(batch + (n,))
 
 
 def iir_first_order_pallas(
     x: jax.Array, a: float, b: float = 1.0, *, tile_rows: int = 512
 ) -> jax.Array:
-    """y[t] = a*y[t-1] + b*x[t] over a flat float stream — Pallas kernel.
+    """y[t] = a*y[t-1] + b*x[t] over the last axis — Pallas block scan.
 
     Same semantics as :func:`iir_first_order` (zero initial state) but the
     compiled program is one small tile regardless of length (the XLA
     associative_scan unrolls log2(T) full-size levels — minutes of compile
-    at T ~ 1M). Scalar ``a``/``b`` only; batch via jax.vmap.
+    at T ~ 1M). Scalar ``a``/``b`` only (baked into the kernel). Planar
+    batching: any leading axes are independent streams, walked by an outer
+    grid axis with a per-stream carry reset — one compile for all channels.
     """
     import functools
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from ..utils import layout
-
-    x2d, n_orig = layout.pad_flat_to_tiles(x.astype(jnp.float32), tile_rows)
+    x3d, batch, n = _to_planar_tiles(x, tile_rows)
+    nch, rtot = x3d.shape[0], x3d.shape[1]
     out = pl.pallas_call(
         functools.partial(
             _iir1_kernel, a=float(a), b=float(b), rows=tile_rows
         ),
-        out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.float32),
-        grid=(x2d.shape[0] // tile_rows,),
+        out_shape=jax.ShapeDtypeStruct(x3d.shape, jnp.float32),
+        grid=(nch, rtot // tile_rows),
         in_specs=[
-            pl.BlockSpec((tile_rows, 128), lambda t: (t, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, tile_rows, 128), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=pl.BlockSpec(
-            (tile_rows, 128), lambda t: (t, 0), memory_space=pltpu.VMEM
+            (1, tile_rows, 128), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
         interpret=jax.default_backend() != "tpu",
-    )(x2d)
-    return layout.unpad_flat(out, n_orig)
+    )(x3d)
+    return _from_planar_tiles(out, batch, n)
 
 
 def _compose_affine(l, r):
@@ -431,7 +536,8 @@ def _biquad_kernel(x_ref, o_ref, carry_ref, *, b, a, rows):
     """
     from jax.experimental import pallas as pl
 
-    t = pl.program_id(0)
+    # grid = (channels, time_tiles); see _iir1_kernel
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _init():
@@ -439,7 +545,7 @@ def _biquad_kernel(x_ref, o_ref, carry_ref, *, b, a, rows):
 
     b0, b1, b2 = b
     a1, a2 = a
-    xf = x_ref[:].astype(jnp.float32)
+    xf = x_ref[0].astype(jnp.float32)
     ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     m = (
         jnp.full_like(xf, -a1),
@@ -471,7 +577,7 @@ def _biquad_kernel(x_ref, o_ref, carry_ref, *, b, a, rows):
     # lane-exclusive maps compose the row-start state to each element
     exl = tuple(_roll_fill(v, 1, 1, f) for v, f in zip(m, ident))
     s1 = exl[0] * s1_row + exl[1] * s2_row + exl[4]
-    o_ref[:] = b0 * xf + s1
+    o_ref[0] = b0 * xf + s1
     # carry update: the last row's inclusive map (already lane-broadcast)
     lr = tuple(v[rows - 1 :, :] for v in rowm)
     carry_ref[0:1, :] = lr[0] * c1 + lr[1] * c2 + lr[4]
@@ -481,45 +587,50 @@ def _biquad_kernel(x_ref, o_ref, carry_ref, *, b, a, rows):
 def sosfilt_pallas(
     sos: jax.Array | np.ndarray, x: jax.Array, *, tile_rows: int = 256
 ) -> jax.Array:
-    """SOS cascade over a flat float stream via the Pallas block scan.
+    """SOS cascade over the last axis via the Pallas block scan.
 
     Same semantics as :func:`sosfilt` (zero initial state per section) but
     the compiled program is one small tile per section regardless of
     length — the XLA associative_scan over 2x2-matrix pytrees unrolls
     log2(T) full-size HLO levels and takes unbounded compile time past
-    T ~ 1M. Flat (time,) streams; batch via jax.vmap.
+    T ~ 1M. Coefficients must be concrete (baked into the kernel). Planar
+    batching: leading axes are independent streams, walked by an outer grid
+    axis with a per-stream carry reset — one compile for all channels.
     """
     import functools
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from ..utils import layout
-
     sos_np = np.asarray(sos, np.float64)
     # pad ONCE: the tail sits after position n and every section is causal,
     # so tail garbage can never reach a kept output of a later section
-    y2d, n = layout.pad_flat_to_tiles(x.astype(jnp.float32), tile_rows)
+    y3d, batch, n = _to_planar_tiles(x, tile_rows)
+    nch, rtot = y3d.shape[0], y3d.shape[1]
     for row in sos_np:
         b = (float(row[0]), float(row[1]), float(row[2]))
         a = (float(row[4]), float(row[5]))  # a0 == 1 (scipy layout)
-        y2d = (
+        y3d = (
             pl.pallas_call(
                 functools.partial(_biquad_kernel, b=b, a=a, rows=tile_rows),
-                out_shape=jax.ShapeDtypeStruct(y2d.shape, jnp.float32),
-                grid=(y2d.shape[0] // tile_rows,),
+                out_shape=jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
+                grid=(nch, rtot // tile_rows),
                 in_specs=[
                     pl.BlockSpec(
-                        (tile_rows, 128), lambda t: (t, 0), memory_space=pltpu.VMEM
+                        (1, tile_rows, 128),
+                        lambda c, t: (c, t, 0),
+                        memory_space=pltpu.VMEM,
                     )
                 ],
                 out_specs=pl.BlockSpec(
-                    (tile_rows, 128), lambda t: (t, 0), memory_space=pltpu.VMEM
+                    (1, tile_rows, 128),
+                    lambda c, t: (c, t, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[pltpu.VMEM((2, 128), jnp.float32)],
                 compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("arbitrary",)
+                    dimension_semantics=("arbitrary", "arbitrary")
                 ),
                 interpret=jax.default_backend() != "tpu",
-            )(y2d)
+            )(y3d)
         )
-    return layout.unpad_flat(y2d, n)
+    return _from_planar_tiles(y3d, batch, n)

@@ -71,6 +71,8 @@ def moving_average(
         raise ValueError(
             f"stream length {x.shape[0]} not a multiple of channels {channels}"
         )
+    from ..utils.dispatch import record_choice
+
     if method == "auto":
         from .pallas_scan import supports_channels
 
@@ -81,6 +83,7 @@ def moving_average(
         else:
             method = "windowed"
     if method == "golden":
+        record_choice("moving_average", "golden")
         return moving_average_golden(np.asarray(x), window, channels)
     if method == "windowed":
         from .pallas_scan import (
@@ -90,7 +93,10 @@ def moving_average(
         )
 
         if not windowed_supported(window, channels):
+            # bit-exact but a different perf class (~3x) — keep it observable
+            record_choice("moving_average", "windowed:two_pass_fallback")
             return moving_average_two_pass(x, window, channels)
+        record_choice("moving_average", "windowed")
         return windowed_averager_pallas(x, window, channels)
     if method in ("scan", "scan_hillis", "scan_mxu"):
         variant = {"scan": "blelloch", "scan_hillis": "hillis_steele",
@@ -98,7 +104,9 @@ def moving_average(
         from .pallas_scan import MAX_TILE_ROWS, moving_average_two_pass
 
         if window * channels > MAX_TILE_ROWS * 128:
+            record_choice("moving_average", f"{method}:two_pass_fallback")
             return moving_average_two_pass(x, window, channels, variant=variant)
+        record_choice("moving_average", method)
         return scan_averager_pallas(x, window, channels, variant=variant)
     if method == "direct":
         if window > MAX_DIRECT_WINDOW:
@@ -106,10 +114,13 @@ def moving_average(
                 f"direct method supports window <= {MAX_DIRECT_WINDOW}; "
                 f"use method='scan' for window={window}"
             )
+        record_choice("moving_average", "direct")
         return direct_averager_pallas(x, window, channels)
     if method == "xla_scan":
+        record_choice("moving_average", "xla_scan")
         return moving_average_xla(x, window, channels)
     if method == "xla_direct":
+        record_choice("moving_average", "xla_direct")
         return moving_average_reduce_window(x, window, channels)
     raise ValueError(f"unknown method {method!r}; options {METHODS}")
 

@@ -223,9 +223,81 @@ class TestEquiripple:
             _, r2 = sps.freqz(h, worN=f2 * np.pi)
             return max(np.max(np.abs(np.abs(r1) - 1)), np.max(np.abs(r2)))
 
-        # within 1.5x of the true minimax, and clearly better than plain LS
-        assert ripple(h_eq) < 1.5 * ripple(h_sp)
+        # constant-band equiripple now routes through the true Remez
+        # exchange: ripple matches scipy's optimum (grid discretization
+        # aside) and clearly beats plain LS
+        assert ripple(h_eq) < 1.02 * ripple(h_sp)
         assert ripple(h_eq) < 0.6 * ripple(h_ls)
+
+
+def _remez_specs():
+    """20 specs spanning lowpass/highpass/bandpass/bandstop/multiband,
+    tap counts 15..201, weighted and unweighted."""
+    return [
+        (15, [0, 0.3, 0.5, 1], [1, 0], None),
+        (21, [0, 0.4, 0.55, 1], [1, 0], [1, 2]),
+        (31, [0, 0.3, 0.4, 1], [1, 0], None),
+        (33, [0, 0.45, 0.6, 1], [0, 1], None),  # highpass
+        (41, [0, 0.2, 0.3, 0.65, 0.75, 1], [0, 1, 0], None),  # bandpass
+        (45, [0, 0.15, 0.25, 0.6, 0.7, 1], [1, 0, 1], [1, 3, 1]),  # bandstop
+        (51, [0, 0.25, 0.35, 1], [1, 0], [1, 10]),
+        (55, [0, 0.05, 0.1, 0.3, 0.35, 1], [0, 1, 0], None),
+        (61, [0, 0.35, 0.45, 1], [1, 0], None),
+        (63, [0, 0.2, 0.25, 1], [1, 0], [1, 10]),
+        (67, [0, 0.5, 0.6, 1], [0, 1], [5, 1]),
+        (71, [0, 0.1, 0.2, 0.45, 0.55, 0.8, 0.9, 1], [1, 0, 1, 0], None),
+        (75, [0, 0.3, 0.36, 1], [1, 0], None),
+        (81, [0, 0.12, 0.2, 0.5, 0.58, 1], [0, 1, 0], [1, 1, 2]),
+        (91, [0, 0.42, 0.5, 1], [1, 0], [2, 1]),
+        (101, [0, 0.1, 0.15, 0.5, 0.55, 1], [0, 1, 0], None),
+        (121, [0, 0.24, 0.28, 1], [1, 0], None),
+        (129, [0, 0.4, 0.45, 1], [1, 0], [3, 1]),
+        (151, [0, 0.3, 0.33, 1], [1, 0], [1, 4]),
+        (201, [0, 0.2, 0.22, 1], [1, 0], None),
+    ]
+
+
+class TestRemez:
+    @pytest.mark.parametrize("n,edges,des,w", _remez_specs())
+    def test_matches_scipy_remez(self, n, edges, des, w):
+        # the true exchange: converged minimax ripple agrees with
+        # scipy.signal.remez at matching grid density; residual differences
+        # are grid discretization on both sides
+        from digital_signal_processsing_tpu.ops.fir import (
+            _type1_amplitude,
+            design_remez,
+        )
+
+        gd = 64
+        h = design_remez(n, edges, des, weights=w, grid_density=gd)
+        h_sp = sps.remez(
+            n, edges, des, weight=w, fs=2.0, grid_density=gd
+        )
+
+        def max_ripple(h64):
+            worst = 0.0
+            pairs = np.asarray(edges, float).reshape(-1, 2)
+            wts = np.ones(len(pairs)) if w is None else np.asarray(w, float)
+            for (f1, f2), d, wt in zip(pairs, des, wts):
+                f = np.linspace(f1, f2, 4000)
+                amp = _type1_amplitude(h64, f)
+                worst = max(worst, wt * np.max(np.abs(amp - d)))
+            return worst
+
+        r_ours = max_ripple(h.astype(np.float64))
+        r_sp = max_ripple(h_sp.astype(np.float64))
+        assert abs(r_ours - r_sp) <= max(2e-5, 1e-3 * r_sp), (r_ours, r_sp)
+        np.testing.assert_allclose(h, h_sp, atol=2e-5)
+
+    def test_rejections(self):
+        from digital_signal_processsing_tpu.ops.fir import design_remez
+
+        with pytest.raises(ValueError, match="odd"):
+            design_remez(50, [0, 0.5, 0.6, 1], [1, 0])
+        with pytest.raises(ValueError, match="band"):
+            design_remez(51, [0.5, 0.2, 0.6, 1], [1, 0])
+        with pytest.raises(ValueError, match="one amplitude per band"):
+            design_remez(51, [0, 0.5, 0.6, 1], [1, 0, 0])
 
 
 class TestButterworthBand:

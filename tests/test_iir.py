@@ -102,10 +102,26 @@ def test_iir_first_order_pallas_matches_xla(rng):
 
     for n, a, b in [(1000, 0.95, 1.0), (100_000, 0.999, 0.001), (70_001, 0.5, 2.0)]:
         x = rng.normal(size=n).astype(np.float32)
-        want = np.asarray(iir_first_order(x, a, b))
+        want = np.asarray(iir_first_order(x, a, b, method="xla_scan"))
         got = np.asarray(iir_first_order_pallas(x, a, b))
         scale = np.max(np.abs(want)) + 1e-9
         assert np.max(np.abs(got - want)) / scale < 1e-4
+
+
+def test_iir_first_order_pallas_batched(rng):
+    # planar (C, T): one compile walks every channel with a per-channel
+    # carry reset — each row must match its own independent scan
+    from digital_signal_processsing_tpu.ops.iir import (
+        iir_first_order,
+        iir_first_order_pallas,
+    )
+
+    x = rng.normal(size=(3, 70_000)).astype(np.float32)
+    got = np.asarray(iir_first_order_pallas(x, 0.97, 0.5))
+    for c in range(3):
+        want = np.asarray(iir_first_order(x[c], 0.97, 0.5, method="xla_scan"))
+        scale = np.max(np.abs(want)) + 1e-9
+        assert np.max(np.abs(got[c] - want)) / scale < 1e-4
 
 
 def test_sosfilt_pallas_matches_xla(rng):
@@ -119,7 +135,59 @@ def test_sosfilt_pallas_matches_xla(rng):
     for n in (1000, 20_001):  # interpret-mode cost: keep sizes modest
         x = rng.normal(size=n).astype(np.float32)
         for sos in (design_butterworth(4, 0.2), design_butterworth_band(2, 0.2, 0.5)):
-            want = np.asarray(sosfilt(sos, x))
+            want = np.asarray(sosfilt(sos, x, method="xla_scan"))
             got = np.asarray(sosfilt_pallas(sos, x))
             scale = np.max(np.abs(want)) + 1e-9
             assert np.max(np.abs(got - want)) / scale < 1e-4
+
+
+def test_sosfilt_pallas_batched(rng):
+    from digital_signal_processsing_tpu.ops.iir import (
+        design_butterworth,
+        sosfilt,
+        sosfilt_pallas,
+    )
+
+    sos = design_butterworth(4, 0.25)
+    x = rng.normal(size=(3, 9_000)).astype(np.float32)
+    got = np.asarray(sosfilt_pallas(sos, x))
+    for c in range(3):
+        want = np.asarray(sosfilt(sos, x[c], method="xla_scan"))
+        scale = np.max(np.abs(want)) + 1e-9
+        assert np.max(np.abs(got[c] - want)) / scale < 1e-4
+
+
+def test_auto_dispatch_routes_long_concrete_calls_to_pallas(rng):
+    # the documented public API must stay usable at production sizes: long
+    # concrete-coefficient calls take the Pallas block scan (the XLA
+    # associative scan cannot compile at T >~ 1M), short ones stay on XLA
+    import jax
+
+    from digital_signal_processsing_tpu.ops.iir import (
+        PALLAS_IIR_MIN_T,
+        design_biquad_lowpass,
+        iir_first_order,
+        sosfilt,
+    )
+    from digital_signal_processsing_tpu.utils.dispatch import last_choice
+
+    long = rng.normal(size=PALLAS_IIR_MIN_T).astype(np.float32)
+    short = rng.normal(size=512).astype(np.float32)
+
+    iir_first_order(long, 0.9)
+    assert last_choice("iir_first_order") == "pallas"
+    iir_first_order(short, 0.9)
+    assert last_choice("iir_first_order") == "xla_scan"
+
+    sos = design_biquad_lowpass(0.2)
+    sosfilt(sos, long)
+    assert last_choice("sosfilt") == "pallas"
+    sosfilt(sos, short)
+    assert last_choice("sosfilt") == "xla_scan"
+
+    # traced coefficients can't be baked into a kernel -> XLA path
+    jax.jit(lambda s, v: sosfilt(s, v))(sos, long).block_until_ready()
+    assert last_choice("sosfilt") == "xla_scan"
+    # ...but a traced SIGNAL with concrete coefficients still gets Pallas
+    jax.jit(lambda v: sosfilt(sos, v))(long).block_until_ready()
+    assert last_choice("sosfilt") == "pallas"
