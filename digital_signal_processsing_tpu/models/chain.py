@@ -46,6 +46,13 @@ class ChainConfig:
     # the explicit two-stage pipeline (BASELINE.json names both stages, so
     # that is the reference shape and the default).
     fused_frontend: bool = False
+    # lock the audio output to a NON-INTEGER rate ratio (output/input of the
+    # post-decimation audio rate): e.g. input 2.048 MS/s, decimation 8 ->
+    # 256 kS/s audio, audio_resample=44100/256000 locks to 44.1 kHz. None
+    # keeps the integer-decimated rate. Applied as a cubic-Lagrange Farrow
+    # stage (ops/farrow.py) after the audio lowpass; float ratios are
+    # snapped once to an exact rational (see farrow.as_rational_rate).
+    audio_resample: float | tuple[int, int] | None = None
 
     def lo_frequencies(self) -> np.ndarray:
         """Default LO comb: evenly spaced channels in (-0.4, 0.4) cyc/sample."""
@@ -104,7 +111,12 @@ class DspChain:
             dq = decimate(fq, c.decimation)
         # FM discriminator + audio lowpass
         audio = fm_demodulate(jax.lax.complex(di, dq), gain=c.fm_gain)
-        return fir_direct(audio, self.audio_taps)
+        audio = fir_direct(audio, self.audio_taps)
+        if c.audio_resample is not None:
+            from ..ops.farrow import resample_farrow
+
+            audio = resample_farrow(audio, c.audio_resample)
+        return audio
 
     @functools.partial(jax.jit, static_argnums=0)
     def forward_planar(

@@ -1,5 +1,7 @@
 """Models: zoo registry, flagship chain, adaptive FIR training."""
 
+import dataclasses
+
 import numpy as np
 import optax
 import pytest
@@ -175,3 +177,30 @@ def test_chain_stream_chunks_match_one_shot(rng):
     # skip the global ramp-up where near-zero FM phasors amplify float noise
     ramp = (cfg.channel_taps + 8 * cfg.decimation) // cfg.decimation + cfg.audio_taps
     np.testing.assert_allclose(got[:, ramp:], want[:, ramp:], rtol=1e-3, atol=1e-4)
+
+
+def test_chain_locks_to_non_integer_audio_rate(rng):
+    # BASELINE configs[4] north star: the chain output locked to a rate that
+    # is NOT an integer divisor of the input (e.g. 44.1k from 256k)
+    from digital_signal_processsing_tpu.models.chain import ChainConfig, DspChain
+    from digital_signal_processsing_tpu.ops.farrow import (
+        farrow_output_len,
+        resample_farrow,
+    )
+
+    rate = (441, 2560)  # 44.1 kHz from 256 kHz
+    cfg = ChainConfig(
+        channels=2, decimation=4, channel_taps=33, audio_taps=17,
+        audio_resample=rate,
+    )
+    chain = DspChain(cfg)
+    t = 1 << 13
+    i = rng.normal(size=(2, t)).astype(np.float32)
+    q = rng.normal(size=(2, t)).astype(np.float32)
+    got = np.asarray(chain.forward_planar(i, q))
+    assert got.shape == (2, farrow_output_len(t // 4, rate))
+    # identical to resampling the unlocked chain's audio (same ops)
+    base = DspChain(dataclasses.replace(cfg, audio_resample=None))
+    want = np.asarray(resample_farrow(base.forward_planar(i, q), rate))
+    # one jit vs two: XLA fusion across the boundary shifts the last ulp
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
