@@ -184,13 +184,39 @@ def tone_power(x: jax.Array, freqs: jax.Array) -> jax.Array:
     return 2.0 * (re**2 + im**2)
 
 
-@jax.jit
-def hilbert(x: jax.Array) -> jax.Array:
-    """Analytic signal of a real input (FFT method) over the last axis.
+# Full-length-FFT hilbert stops being viable somewhere past ~4M on the
+# remote-compile tunnel (minutes of compile, BENCH_NOTES round 1 "deferred");
+# the blocked FIR spelling compiles in seconds at any length.
+HILBERT_BLOCKED_MIN_T = 1 << 22
 
-    z = x + i*H(x): zero the negative frequencies, double the positive
-    ones. Complex values are built on-device only (PJRT portability).
+
+def hilbert(x: jax.Array, *, method: str = "auto", num_taps: int = 513) -> jax.Array:
+    """Analytic signal of a real input over the last axis.
+
+    ``method='fft'``: exact one-shot spectral method (zero the negative
+    frequencies, double the positive ones) — the textbook definition, used
+    for short/medium signals. ``method='fir'``: the production-scale blocked
+    spelling — a windowed ideal-Hilbert-kernel FIR transformer on the
+    lane-blocked MXU conv (ops/fir.py), group-delay aligned, which compiles
+    at 64M where the full-length FFT cannot; approximation error is the
+    FIR's ripple (~1e-4 mid-band at the default 513 Kaiser taps, degrading
+    near DC/Nyquist like every FIR Hilbert). ``auto`` switches to ``fir``
+    at T >= HILBERT_BLOCKED_MIN_T.
     """
+    if method == "auto":
+        method = "fir" if x.shape[-1] >= HILBERT_BLOCKED_MIN_T else "fft"
+    from ..utils.dispatch import record_choice
+
+    record_choice("hilbert", method)
+    if method == "fir":
+        return hilbert_fir(x, num_taps=num_taps)
+    if method != "fft":
+        raise ValueError(f"unknown method {method!r}; options ('auto','fft','fir')")
+    return _hilbert_fft(x)
+
+
+@jax.jit
+def _hilbert_fft(x: jax.Array) -> jax.Array:
     t = x.shape[-1]
     xf = jnp.fft.fft(
         jax.lax.complex(x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32))
@@ -205,7 +231,46 @@ def hilbert(x: jax.Array) -> jax.Array:
     return jnp.fft.ifft(xf * jnp.asarray(h))
 
 
-@jax.jit
-def envelope(x: jax.Array) -> jax.Array:
+def design_hilbert_fir(num_taps: int, *, beta: float = 8.0) -> np.ndarray:
+    """Kaiser-windowed ideal-Hilbert-kernel FIR (type III: odd, antisymmetric).
+
+    h[m] = 2/(pi*m) for odd offsets m from center, 0 for even — the ideal
+    transformer's impulse response — windowed to ``num_taps``. Frequency
+    response approximates -j*sign(f) over the band, rolling off near DC and
+    Nyquist (inherent to every FIR Hilbert).
+    """
+    if num_taps % 2 == 0 or num_taps < 3:
+        raise ValueError(f"hilbert FIR needs odd num_taps >= 3, got {num_taps}")
+    mid = (num_taps - 1) // 2
+    m = np.arange(num_taps) - mid
+    with np.errstate(divide="ignore"):
+        h = np.where(m % 2 != 0, 2.0 / (np.pi * m), 0.0)
+    h[mid] = 0.0
+    return (h * np.kaiser(num_taps, beta)).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_taps",))
+def hilbert_fir(x: jax.Array, *, num_taps: int = 513) -> jax.Array:
+    """Blocked analytic signal: FIR Hilbert transformer + delay alignment.
+
+    One lane-blocked causal MXU conv (fir.py:blocked_causal_conv) over a
+    right-padded stream, shifted back by the group delay so the imaginary
+    part aligns with the real input. Edge samples within half the FIR of
+    either end see zero padding (same halo semantics as every causal op).
+    """
+    from .fir import blocked_causal_conv
+
+    h = jnp.asarray(design_hilbert_fir(num_taps))
+    d = (num_taps - 1) // 2
+    squeeze = x.ndim == 1
+    xp = (x[None, :] if squeeze else x).astype(jnp.float32)
+    t = xp.shape[-1]
+    ext = jnp.pad(xp, ((0, 0), (0, d)))  # future halo for the delay shift
+    im = blocked_causal_conv(ext, h)[..., d : d + t]
+    z = jax.lax.complex(xp, im)
+    return z[0] if squeeze else z
+
+
+def envelope(x: jax.Array, *, method: str = "auto") -> jax.Array:
     """Instantaneous amplitude of a real signal: |hilbert(x)|."""
-    return jnp.abs(hilbert(x)).astype(jnp.float32)
+    return jnp.abs(hilbert(x, method=method)).astype(jnp.float32)

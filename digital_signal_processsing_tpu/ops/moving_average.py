@@ -64,9 +64,18 @@ def moving_average(
     interleaved as in the source stream. Semantics are bit-exact with the
     reference CPU model (profilable_moving_averager.cpp:14-37) for
     window <= 65535.
+
+    **Packed transport**: an int32 ``x`` is interpreted as the little-endian
+    PAIR view of the int16 stream (``np.ndarray.view(np.int32)`` — free on
+    the host, emitted by io/dataset.py's ``packed=True`` loaders) and the
+    packed output view is returned. int16 tiles relayout at ~358 GB/s on
+    v5e vs 637 GB/s for int32 — packing at the transport layer buys the
+    difference for lane-aligned even-channel streams.
     """
     if channels < 1:
         raise ValueError(f"channels must be >= 1, got {channels}")
+    if getattr(x, "dtype", None) == np.int32:
+        return _moving_average_packed(x, window, channels, method=method)
     if x.shape[0] % channels != 0:
         raise ValueError(
             f"stream length {x.shape[0]} not a multiple of channels {channels}"
@@ -123,6 +132,42 @@ def moving_average(
         record_choice("moving_average", "xla_direct")
         return moving_average_reduce_window(x, window, channels)
     raise ValueError(f"unknown method {method!r}; options {METHODS}")
+
+
+def _moving_average_packed(x32, window: int, channels: int, *, method: str):
+    """Dispatch for int32 pair-view input (see moving_average docstring)."""
+    from ..utils.dispatch import record_choice
+    from .pallas_scan import packed_supported, windowed_averager_packed
+
+    if method not in ("auto", "windowed"):
+        raise ValueError(
+            f"packed (int32 pair-view) input supports method='auto'/'windowed', "
+            f"got {method!r}"
+        )
+    n32 = x32.shape[0]
+    if (2 * n32) % channels != 0:
+        raise ValueError(
+            f"packed stream of {n32} pairs not a multiple of channels {channels}"
+        )
+    if packed_supported(window, channels) and n32 > 0 and n32 % 128 == 0:
+        record_choice("moving_average", "windowed_packed")
+        return windowed_averager_packed(x32, window, channels)
+    # rare fallback (odd channels/odd shapes): unpack on device — two
+    # shifts + interleave, NOT a bitcast (device bitcasts relayout at
+    # catastrophic cost on this backend; see BENCH_NOTES.md)
+    import jax.numpy as jnp
+
+    lo = jnp.right_shift(jnp.left_shift(x32, 16), 16)
+    hi = jnp.right_shift(x32, 16)
+    x16 = jnp.stack([lo, hi], axis=-1).reshape(-1).astype(jnp.int16)
+    y16 = moving_average(x16, window, channels, method="auto")
+    # recorded AFTER the recursive dispatch so the observable choice names
+    # the fallback, not the inner int16 method it borrowed
+    record_choice("moving_average", "windowed_packed:unpack_fallback")
+    pair = y16.reshape(-1, 2).astype(jnp.int32)
+    return jnp.bitwise_or(
+        jnp.left_shift(pair[:, 1], 16), jnp.bitwise_and(pair[:, 0], 0xFFFF)
+    )
 
 
 __all__ = ["moving_average", "METHODS", "MAX_EXACT_WINDOW"]

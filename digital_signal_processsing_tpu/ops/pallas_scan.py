@@ -65,6 +65,9 @@ MAX_TILE_ROWS = 2048
 # GS/s; 3072 repeats consistently fastest.
 MAX_WINDOWED_TILE_ROWS = 4096
 DEFAULT_WINDOWED_TILE_ROWS = 3072
+# The packed kernel's VPU variant holds two live int32 planes per pass;
+# measured OOM at 4096 rows on v5e, so its budget stops at 2048.
+MAX_PACKED_VPU_TILE_ROWS = 2048
 
 
 def _interpret() -> bool:
@@ -97,6 +100,33 @@ def windowed_supported(window: int, channels: int) -> bool:
         supports_channels(channels)
         and window >= 1
         and windowed_tail_rows(window, channels) <= MAX_WINDOWED_TILE_ROWS
+    )
+
+
+def packed_tail_rows(window: int, channels: int) -> int:
+    """Rows of packed-word tail the packed kernel carries between tiles.
+
+    Also the halo a seeded (sharded) call must supply, in int32 PAIR words:
+    ``packed_tail_rows(...) * 128`` packed words = twice that in samples.
+    """
+    c2 = channels // 2
+    return layout.round_up(window * c2 // LANES + 1, 8)
+
+
+def packed_supported(window: int, channels: int) -> bool:
+    """True iff the int32 pair-packed windowed kernel can run this config.
+
+    Needs even channels whose half respects the lane layout (each 16-bit
+    plane is an interleaved stream of channels//2 channels) and a per-plane
+    tail within the VMEM budget. Stream-shape requirements (even length,
+    pair count | 128) are checked at call sites — they depend on n, not
+    the config.
+    """
+    return (
+        channels % 2 == 0
+        and supports_channels(channels // 2)
+        and window >= 1
+        and packed_tail_rows(window, channels) <= MAX_WINDOWED_TILE_ROWS
     )
 
 
@@ -407,7 +437,7 @@ def _trunc_div_i32(wsum, window: int):
 
 
 def _windowed_packed_kernel(
-    x_ref, o_ref, tail_ref, *, window, channels, rows, tail_rows, lane_via_mxu
+    *refs, window, channels, rows, tail_rows, lane_via_mxu, seeded
 ):
     """Windowed averager over an int32-PACKED int16 stream (2 samples/word).
 
@@ -419,11 +449,21 @@ def _windowed_packed_kernel(
     streams of channels//2 channels and the same windowed math runs on each
     plane (sign-extend, compute, repack — all elementwise).
     """
+    if seeded:
+        seed_ref, x_ref, o_ref, tail_ref = refs
+    else:
+        x_ref, o_ref, tail_ref = refs
+        seed_ref = None
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _init():
-        tail_ref[:] = jnp.zeros((tail_rows, LANES), jnp.int32)
+        if seeded:
+            # tail seeded with the left neighbor's trailing packed words
+            # (sharded halo exchange, parallel/sharded_scan.py)
+            tail_ref[:] = seed_ref[:]
+        else:
+            tail_ref[:] = jnp.zeros((tail_rows, LANES), jnp.int32)
 
     x32 = x_ref[:]
     ext32 = jnp.concatenate([tail_ref[:], x32], axis=0)
@@ -576,36 +616,39 @@ def windowed_averager_packed(
     *,
     tile_rows: int | None = None,
     lane_via_mxu: bool = True,
+    seed: jax.Array | None = None,
 ) -> jax.Array:
     """Windowed averager over an int32-packed int16 stream (2 samples/word).
 
     ``x32`` is the little-endian pair view of the flat interleaved int16
     stream (``np.ndarray.view(np.int32)`` — free on the host; on-device
-    bitcasts are NOT free on this backend, so pack at the transport layer).
-    Returns the packed int16 output (same view convention). Requires even
-    ``channels`` with ``channels//2 | 128`` and an even-length stream whose
-    pair count is a lane multiple; other shapes use the int16 kernel.
-    Bit-exact with :func:`windowed_averager_pallas` (tests/ verify both
-    against the golden model).
+    bitcasts are NOT free on this backend, so pack at the transport layer:
+    io/dataset.py's ``packed=True`` loaders emit these views). Returns the
+    packed int16 output (same view convention). Requires even ``channels``
+    with ``channels//2 | 128`` and an even-length stream whose pair count
+    is a lane multiple; other shapes use the int16 kernel. ``seed``: the
+    left neighbor's trailing ``packed_tail_rows*128`` packed words (sharded
+    halo exchange). Bit-exact with :func:`windowed_averager_pallas`
+    (tests/ verify both against the golden model).
     """
-    if channels % 2 != 0 or not supports_channels(channels // 2):
+    if not packed_supported(window, channels):
         raise ValueError(
-            f"packed kernel needs even channels with channels//2 | 128, got "
-            f"{channels}; use windowed_averager_pallas"
+            f"packed kernel needs even channels with channels//2 | 128 and "
+            f"the tail within VMEM, got window={window} channels={channels}; "
+            "use windowed_averager_pallas"
         )
     layout.validate_window(window, MAX_EXACT_WINDOW)
     c2 = channels // 2
     halo2 = window * c2  # per-plane halo, in packed words
-    hr2 = halo2 // LANES
-    tail_rows = layout.round_up(hr2 + 1, 8)
+    tail_rows = packed_tail_rows(window, channels)
     # two int32 planes live at once: the VPU variant's extra live tiles blow
     # the 16 MiB VMEM budget past 2048 rows (measured OOM at 4096)
-    max_rows = DEFAULT_WINDOWED_TILE_ROWS if not lane_via_mxu else MAX_WINDOWED_TILE_ROWS
+    max_rows = MAX_PACKED_VPU_TILE_ROWS if not lane_via_mxu else MAX_WINDOWED_TILE_ROWS
     if tile_rows is None:
         tile_rows = max(
             DEFAULT_WINDOWED_TILE_ROWS, layout.round_up(halo2, LANES) // LANES
         )
-        tile_rows = layout.round_up(tile_rows, 16)
+        tile_rows = min(layout.round_up(tile_rows, 16), max_rows)
     rows = _pick_tile_rows(halo2, tile_rows, max_rows)
     if tail_rows > rows:
         rows = layout.round_up(tail_rows, 16)
@@ -621,7 +664,25 @@ def windowed_averager_packed(
             f"packed stream needs a lane-aligned pair count (n32 % {LANES} "
             f"== 0), got {n32}; use windowed_averager_pallas"
         )
+    in_specs = [
+        pl.BlockSpec((rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    ]
     x2d = x32.reshape(-1, LANES)
+    operands = [x2d]
+    if seed is not None:
+        if seed.shape != (tail_rows * LANES,):
+            raise ValueError(
+                f"seed must be the left neighbor's trailing "
+                f"{tail_rows * LANES} packed words (packed_tail_rows*128), "
+                f"got shape {seed.shape}"
+            )
+        in_specs.insert(
+            0,
+            pl.BlockSpec(
+                (tail_rows, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        )
+        operands.insert(0, seed.reshape(tail_rows, LANES))
     return pl.pallas_call(
         functools.partial(
             _windowed_packed_kernel,
@@ -630,12 +691,11 @@ def windowed_averager_packed(
             rows=rows,
             tail_rows=tail_rows,
             lane_via_mxu=lane_via_mxu,
+            seeded=seed is not None,
         ),
         out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.int32),
         grid=(layout.cdiv(x2d.shape[0], rows),),
-        in_specs=[
-            pl.BlockSpec((rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
         ),
@@ -644,7 +704,7 @@ def windowed_averager_packed(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(x2d).reshape(-1)
+    )(*operands).reshape(-1)
 
 
 def _shift_from_concat(concat_ref, h: int, rows: int):

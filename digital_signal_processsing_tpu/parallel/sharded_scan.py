@@ -112,6 +112,25 @@ def _shard_body_windowed(
     return windowed_averager_pallas(xs, window, channels, seed=left)
 
 
+def _shard_body_windowed_packed(
+    xs32: jax.Array, *, window: int, channels: int, axis: str
+) -> jax.Array:
+    """Packed-transport variant: the halo ppermute moves int32 PAIR words.
+
+    Same single-collective structure as _shard_body_windowed, but the shard
+    is the int32 little-endian pair view (io/dataset.py packed loaders) and
+    both the halo exchange and the kernel stay in the int32 tile layout —
+    no pack/unpack relayout anywhere on the device path.
+    """
+    from ..ops.pallas_scan import packed_tail_rows, windowed_averager_packed
+
+    h32 = packed_tail_rows(window, channels) * layout.LANES
+    ndev = jax.lax.axis_size(axis)
+    tail = xs32[xs32.shape[0] - h32 :]
+    left = jax.lax.ppermute(tail, axis, perm=[(d, d + 1) for d in range(ndev - 1)])
+    return windowed_averager_packed(xs32, window, channels, seed=left)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -146,9 +165,18 @@ def sharded_moving_average(
     ``method='scan'`` keeps the explicit cumsum + all-gather carry +
     cumsum-tail halo decomposition (the reference's carry-tree analog),
     honoring ``use_pallas``/``halo_impl``.
+
+    An int32 ``x`` is the packed little-endian pair view of the int16
+    stream (io/dataset.py packed loaders, ops/moving_average.py docstring):
+    the windowed path then exchanges packed-word halos and runs the packed
+    kernel end-to-end in the int32 tile layout.
     """
     layout.validate_window(window, MAX_EXACT_WINDOW)
     ndev = mesh.shape[TIME_AXIS]
+    if x.dtype == jnp.int32:
+        return _sharded_moving_average_packed(
+            x, window, channels, mesh=mesh, method=method
+        )
     n = x.shape[0]
     if n % (ndev * channels) != 0:
         raise ValueError(
@@ -203,6 +231,52 @@ def sharded_moving_average(
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     return fn(x)
+
+
+def _sharded_moving_average_packed(
+    x32: jax.Array, window: int, channels: int, *, mesh: Mesh, method: str
+) -> jax.Array:
+    """Packed pair-view entry for the sharded averager (windowed only)."""
+    from ..ops.pallas_scan import packed_supported, packed_tail_rows
+
+    if method != "windowed":
+        raise ValueError(
+            f"packed (int32 pair-view) input supports method='windowed', "
+            f"got {method!r}"
+        )
+    ndev = mesh.shape[TIME_AXIS]
+    n32 = x32.shape[0]
+    if (2 * n32) % (ndev * channels) != 0:
+        raise ValueError(
+            f"packed stream of {n32} pairs must divide into {ndev} shards "
+            f"of whole frames of {channels} channels"
+        )
+    n_loc = n32 // ndev
+    h32 = packed_tail_rows(window, channels) * layout.LANES
+    if not (
+        packed_supported(window, channels)
+        and n32 % ndev == 0
+        and n_loc % layout.LANES == 0
+        and n_loc >= h32
+    ):
+        raise ValueError(
+            f"packed sharded path needs packed_supported(window={window}, "
+            f"channels={channels}), lane-aligned shards and a single-hop "
+            f"halo (shard {n_loc} pairs >= halo {h32}); unpack and use the "
+            "int16 path instead"
+        )
+    return jax.shard_map(
+        functools.partial(
+            _shard_body_windowed_packed,
+            window=window,
+            channels=channels,
+            axis=TIME_AXIS,
+        ),
+        mesh=mesh,
+        in_specs=P(TIME_AXIS),
+        out_specs=P(TIME_AXIS),
+        check_vma=False,
+    )(x32)
 
 
 @functools.partial(jax.jit, static_argnames=("channels", "mesh", "use_pallas"))

@@ -89,3 +89,20 @@ def test_prefetch_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_packed_loader_yields_pair_views(tmp_path, rng):
+    # packed=True chunks are the int32 pair view of the identical samples
+    from digital_signal_processsing_tpu.io.dataset import WavChunkLoader
+    from digital_signal_processsing_tpu.io.wav import write_wav
+
+    x = rng.integers(-32768, 32768, size=2048, dtype=np.int16)
+    write_wav(tmp_path / "a.wav", x, 44100, 2)
+    plain = np.concatenate(list(WavChunkLoader([tmp_path / "a.wav"], 512)))
+    packed = list(WavChunkLoader([tmp_path / "a.wav"], 512, packed=True))
+    assert all(c.dtype == np.int32 and c.shape == (256,) for c in packed)
+    np.testing.assert_array_equal(
+        np.concatenate(packed).view(np.int16), plain
+    )
+    with pytest.raises(ValueError, match="256"):
+        WavChunkLoader([tmp_path / "a.wav"], 100, packed=True)

@@ -150,3 +150,57 @@ def test_tone_power_batched(rng):
 
     x = rng.normal(size=(3, 4096)).astype(np.float32)
     assert np.asarray(tone_power(x, np.array([0.1], np.float32))).shape == (3, 1)
+
+
+def test_hilbert_fir_matches_fft_midband(rng):
+    # the blocked FIR spelling approximates the exact spectral method to
+    # the FIR's ripple for mid-band content (interior samples)
+    from digital_signal_processsing_tpu.ops.fft import hilbert, hilbert_fir
+
+    t = np.arange(1 << 14)
+    x = (
+        np.sin(2 * np.pi * 0.11 * t)
+        + 0.5 * np.cos(2 * np.pi * 0.31 * t + 0.7)
+    ).astype(np.float32)
+    z_fft = np.asarray(hilbert(x, method="fft"))
+    z_fir = np.asarray(hilbert_fir(x, num_taps=513))
+    d = 513 // 2
+    err = np.max(np.abs(z_fir.imag[d:-d] - z_fft.imag[d:-d]))
+    assert err < 2e-3, err
+    np.testing.assert_array_equal(z_fir.real, x)
+
+
+def test_hilbert_auto_dispatch_and_planar(rng):
+    from digital_signal_processsing_tpu.ops.fft import (
+        HILBERT_BLOCKED_MIN_T,
+        hilbert,
+        hilbert_fir,
+    )
+    from digital_signal_processsing_tpu.utils.dispatch import last_choice
+
+    hilbert(np.zeros(4096, np.float32))
+    assert last_choice("hilbert") == "fft"
+    # planar batch through the FIR path
+    x = rng.normal(size=(3, 4096)).astype(np.float32)
+    z = np.asarray(hilbert(x, method="fir"))
+    assert last_choice("hilbert") == "fir"
+    assert z.shape == x.shape
+    for c in range(3):
+        np.testing.assert_allclose(
+            z[c], np.asarray(hilbert_fir(x[c])), rtol=1e-6, atol=1e-6
+        )
+    assert HILBERT_BLOCKED_MIN_T >= 1 << 20
+
+
+def test_design_hilbert_fir_response():
+    # frequency response ~ -j sign(f): |H| ~ 1 over the band, antisymmetric
+    import scipy.signal as sps
+
+    from digital_signal_processsing_tpu.ops.fft import design_hilbert_fir
+
+    h = design_hilbert_fir(513)
+    np.testing.assert_allclose(h, -h[::-1], atol=0)  # type III antisymmetry
+    w, resp = sps.freqz(h.astype(np.float64), worN=2048)
+    f = w / np.pi
+    band = (f > 0.05) & (f < 0.95)
+    assert np.max(np.abs(np.abs(resp[band]) - 1.0)) < 1e-3

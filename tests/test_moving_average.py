@@ -177,3 +177,48 @@ def test_packed_windowed_rejects_odd_shapes(rng):
         windowed_averager_packed(np.zeros(256, np.int32), 4, 1)
     with pytest.raises(ValueError, match="lane-aligned"):
         windowed_averager_packed(np.zeros(100, np.int32), 4, 2)
+
+
+def test_moving_average_dispatches_packed_input(rng):
+    # int32 input = the documented pair view: auto must route to the packed
+    # kernel and the packed output view must round-trip to the int16 answer
+    from digital_signal_processsing_tpu.utils.dispatch import last_choice
+
+    w, c = 64, 2
+    x = make_interleaved(rng, 1 << 15, c)
+    want = moving_average_golden(x, w, c)
+    got32 = np.asarray(moving_average(x.view(np.int32), w, c))
+    assert last_choice("moving_average") == "windowed_packed"
+    np.testing.assert_array_equal(got32.view(np.int16), want)
+
+
+def test_moving_average_packed_unpack_fallback(rng):
+    # shapes the packed kernel can't take still give the right answer
+    from digital_signal_processsing_tpu.utils.dispatch import last_choice
+
+    w, c = 16, 6  # channels//2 = 3 does not divide 128
+    x = make_interleaved(rng, 1536, c)
+    got32 = np.asarray(moving_average(x.view(np.int32), w, c))
+    assert last_choice("moving_average") == "windowed_packed:unpack_fallback"
+    np.testing.assert_array_equal(
+        got32.view(np.int16), moving_average_golden(x, w, c)
+    )
+
+
+def test_packed_seeded_matches_unseeded_suffix(rng):
+    # the seed path: running the second half seeded with the first half's
+    # trailing packed words must reproduce the one-shot second half
+    from digital_signal_processsing_tpu.ops.pallas_scan import (
+        packed_tail_rows,
+        windowed_averager_packed,
+    )
+
+    w, c = 300, 2
+    x = make_interleaved(rng, 1 << 15, c)
+    x32 = x.view(np.int32)
+    want = np.asarray(windowed_averager_packed(x32, w, c))
+    half = x32.shape[0] // 2
+    h32 = packed_tail_rows(w, c) * 128
+    seed = x32[half - h32 : half]
+    got = np.asarray(windowed_averager_packed(x32[half:], w, c, seed=seed))
+    np.testing.assert_array_equal(got, want[half:])

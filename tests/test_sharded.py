@@ -225,3 +225,33 @@ def test_sharded_use_pallas_false_respected(rng, mesh8):
         sharded_moving_average(x, 64, 2, mesh=mesh8, use_pallas=False)
     )
     np.testing.assert_array_equal(got, moving_average_golden(x, 64, 2))
+
+
+def test_sharded_packed_windowed_bit_exact(rng, mesh8):
+    # packed transport end-to-end on the mesh: int32 pair shards, packed
+    # halo ppermute, packed kernel — output view matches golden
+    from digital_signal_processsing_tpu.parallel.sharded_scan import (
+        sharded_moving_average,
+    )
+
+    w, c = 700, 2
+    n = 8 * (1 << 15)
+    x = make_interleaved(rng, n, c)
+    got32 = np.asarray(
+        sharded_moving_average(x.view(np.int32), w, c, mesh=mesh8)
+    )
+    np.testing.assert_array_equal(
+        got32.view(np.int16), moving_average_golden(x, w, c)
+    )
+
+
+def test_sharded_packed_rejects_bad_shapes(rng, mesh8):
+    from digital_signal_processsing_tpu.parallel.sharded_scan import (
+        sharded_moving_average,
+    )
+
+    with pytest.raises(ValueError, match="packed"):
+        # odd channel count has no packed plane decomposition
+        sharded_moving_average(
+            np.zeros(8 * 1024, np.int32), 16, 3, mesh=mesh8
+        )
