@@ -199,13 +199,27 @@ def sharded_moving_average(
             and n_loc % layout.LANES == 0
             and n_loc >= windowed_tail_rows(window, channels) * layout.LANES
         ):
-            fn = jax.shard_map(
-                functools.partial(
+            if halo_impl == "fused_ring":
+                # in-kernel halo RDMA overlapped with interior tiles
+                # (ring_pallas.fused_ring_windowed_shard); needs the 1-named-
+                # axis mesh (make_time_mesh) — Pallas dma_start restriction
+                from .ring_pallas import fused_ring_windowed_shard
+
+                body = functools.partial(
+                    fused_ring_windowed_shard,
+                    window=window,
+                    channels=channels,
+                    axis=TIME_AXIS,
+                )
+            else:
+                body = functools.partial(
                     _shard_body_windowed,
                     window=window,
                     channels=channels,
                     axis=TIME_AXIS,
-                ),
+                )
+            fn = jax.shard_map(
+                body,
                 mesh=mesh,
                 in_specs=P(TIME_AXIS),
                 out_specs=P(TIME_AXIS),

@@ -1,0 +1,86 @@
+"""Worker for tests/test_multiprocess.py: one jax.distributed process.
+
+Run as: python multiprocess_worker.py <process_id> <num_processes> <port>
+Each process owns 4 virtual CPU devices; together they form the first real
+multi-controller exercise of parallel/multihost.py (round-1 gap: the module
+was wrapper-thin and never executed).
+"""
+
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from digital_signal_processsing_tpu.golden import moving_average_golden  # noqa: E402
+from digital_signal_processsing_tpu.parallel.multihost import (  # noqa: E402
+    assert_same_across_hosts,
+    initialize_multihost,
+)
+
+
+def main() -> None:
+    topo = initialize_multihost(f"localhost:{port}", nproc, pid)
+    assert topo["process_count"] == nproc, topo
+    assert topo["global_devices"] == 4 * nproc, topo
+
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from digital_signal_processsing_tpu.models.adaptive import (
+        make_sharded_train_step,
+    )
+    from digital_signal_processsing_tpu.parallel import (
+        make_mesh,
+        sharded_moving_average,
+        time_sharding,
+    )
+
+    # the process-spanning mesh: make_mesh over the GLOBAL device list
+    mesh = make_mesh(n_time=2 * nproc, n_channel=2)
+    assert mesh.devices.size == 4 * nproc
+
+    # --- sharded averager across processes, bit-exact vs golden
+    w, c = 64, 2
+    n = 4 * nproc * 8192
+    rng = np.random.default_rng(0)  # same seed every process: global data
+    x = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    sharding = time_sharding(mesh)
+    xd = jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+    out = sharded_moving_average(xd, w, c, mesh=mesh)
+    want = moving_average_golden(x, w, c)
+    for shard in out.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data), want[shard.index])
+
+    # --- LMS training step with psum-combined grads across processes
+    tx = optax.adam(1e-2)
+    step = make_sharded_train_step(mesh, tx)
+    taps0 = jax.numpy.zeros((8,), jax.numpy.float32)
+    opt_state = tx.init(taps0)
+    bshape = (8, 2048 * 2 * nproc)
+    bx = rng.normal(size=bshape).astype(np.float32)
+    bd = rng.normal(size=bshape).astype(np.float32)
+    bsharding = NamedSharding(mesh, P("ch", "t"))
+    bxd = jax.make_array_from_callback(bshape, bsharding, lambda i: bx[i])
+    bdd = jax.make_array_from_callback(bshape, bsharding, lambda i: bd[i])
+    taps1, opt_state, loss = jax.block_until_ready(step(taps0, opt_state, bxd, bdd))
+    loss_f = float(np.asarray(loss))
+    assert np.isfinite(loss_f)
+    # first true exercise of the cross-host agreement check
+    assert_same_across_hosts(loss_f, "lms_loss")
+
+    print(f"MULTIPROC_OK pid={pid} loss={loss_f:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -255,3 +255,51 @@ def test_sharded_packed_rejects_bad_shapes(rng, mesh8):
         sharded_moving_average(
             np.zeros(8 * 1024, np.int32), 16, 3, mesh=mesh8
         )
+
+
+def test_fused_ring_windowed_bit_exact(rng, mesh8):
+    # the fused kernel (in-kernel halo RDMA overlapped with interior tiles)
+    # must match golden bit-exactly — same contract as the ppermute path
+    import functools
+
+    from digital_signal_processsing_tpu.parallel.mesh import make_time_mesh
+    from digital_signal_processsing_tpu.parallel.ring_pallas import (
+        fused_ring_windowed_shard,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    tmesh = make_time_mesh()  # Pallas remote DMA needs a 1-named-axis mesh
+    for w, c, n in [(1024, 2, 8 * (1 << 16)), (16, 1, 8 * 4096), (700, 4, 8 * (1 << 15))]:
+        x = make_interleaved(rng, n, c)
+        fn = jax.shard_map(
+            functools.partial(fused_ring_windowed_shard, window=w, channels=c),
+            mesh=tmesh,
+            in_specs=P("t"),
+            out_specs=P("t"),
+            check_vma=False,
+        )
+        got = np.asarray(jax.jit(fn)(x))
+        np.testing.assert_array_equal(got, moving_average_golden(x, w, c))
+
+
+def test_fused_ring_single_device_degenerate(rng):
+    # ndev=1: the ring wraps to self; device 0 zero-halo semantics hold
+    import functools
+
+    from digital_signal_processsing_tpu.parallel.ring_pallas import (
+        fused_ring_windowed_shard,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    mesh1 = jax.make_mesh((1,), ("t",), devices=jax.devices()[:1])
+    w, c = 300, 2
+    x = make_interleaved(rng, 1 << 15, c)
+    fn = jax.shard_map(
+        functools.partial(fused_ring_windowed_shard, window=w, channels=c),
+        mesh=mesh1,
+        in_specs=P("t"),
+        out_specs=P("t"),
+        check_vma=False,
+    )
+    got = np.asarray(jax.jit(fn)(x))
+    np.testing.assert_array_equal(got, moving_average_golden(x, w, c))
