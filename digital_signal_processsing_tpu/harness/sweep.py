@@ -164,7 +164,8 @@ def run_suite(
             if grade >= frames:  # run_benchmarks.py:78-79 skip rule
                 continue
             for variant in variants:
-                if variant == "direct" and grade > max_direct:
+                if variant in ("direct", "xla_direct") and grade > max_direct:
+                    # both O(N*k) naive analogs: unrunnable at 64M x k=1024
                     continue
                 if variant == "golden_cpu" and n > 10_000_000:
                     continue  # host loop too slow to sweep at 50M

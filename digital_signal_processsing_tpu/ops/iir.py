@@ -31,10 +31,6 @@ import numpy as np
 PALLAS_IIR_MIN_T = 65536
 
 
-def _is_tracer(*vals) -> bool:
-    return any(isinstance(v, jax.core.Tracer) for v in vals)
-
-
 def iir_first_order(
     x: jax.Array,
     a: jax.Array | float,
@@ -46,20 +42,17 @@ def iir_first_order(
 
     ``method``:
     - ``auto`` (default): the Pallas block-scan kernel when the stream is
-      long (T >= PALLAS_IIR_MIN_T) and the coefficients are concrete (they
-      are baked into the kernel as constants — always the case for design-
-      function output); otherwise the XLA associative scan. The XLA scan
-      CANNOT compile at T >~ 1M (log-depth full-size HLO unroll), so the
-      dispatch is what makes this public API usable at production sizes.
+      long (T >= PALLAS_IIR_MIN_T); otherwise the XLA associative scan.
+      The XLA scan CANNOT compile at T >~ 1M (log-depth full-size HLO
+      unroll), so the dispatch is what makes this public API usable at
+      production sizes. Coefficients reach the kernel through SMEM, so
+      traced/changing (a, b) never recompile; array-valued (per-sample)
+      coefficients take the XLA path.
     - ``pallas`` / ``xla_scan``: force a path.
     """
     if method == "auto":
         scalar_coeffs = np.ndim(a) == 0 and np.ndim(b) == 0
-        if (
-            _is_tracer(a, b)
-            or not scalar_coeffs
-            or x.shape[-1] < PALLAS_IIR_MIN_T
-        ):
+        if not scalar_coeffs or x.shape[-1] < PALLAS_IIR_MIN_T:
             method = "xla_scan"
         else:
             method = "pallas"
@@ -67,7 +60,7 @@ def iir_first_order(
 
     record_choice("iir_first_order", method)
     if method == "pallas":
-        return iir_first_order_pallas(x, float(a), float(b))
+        return iir_first_order_pallas(x, a, b)
     if method != "xla_scan":
         raise ValueError(
             f"unknown method {method!r}; options ('auto', 'pallas', 'xla_scan')"
@@ -167,13 +160,15 @@ def sosfilt(sos: jax.Array, x: jax.Array, *, method: str = "auto") -> jax.Array:
     """Cascade of second-order sections (scipy layout: (n, 6), a0 == 1).
 
     Applies over the last axis; leading axes are independent streams.
-    ``method='auto'`` routes long concrete-coefficient calls (the output of
-    every design_* function) to the Pallas block-scan kernel — the XLA
-    associative scan cannot compile at T >~ 1M, so without the dispatch the
-    documented API would fail at production sizes. See :func:`iir_first_order`.
+    ``method='auto'`` routes long calls to the Pallas block-scan kernel —
+    the XLA associative scan cannot compile at T >~ 1M, so without the
+    dispatch the documented API would fail at production sizes. Section
+    coefficients reach the kernel through SMEM inside a lax.scan over
+    sections, so compile time is independent of the section count and a
+    changed/traced ``sos`` never recompiles. See :func:`iir_first_order`.
     """
     if method == "auto":
-        if _is_tracer(sos) or x.shape[-1] < PALLAS_IIR_MIN_T:
+        if x.shape[-1] < PALLAS_IIR_MIN_T:
             method = "xla_scan"
         else:
             method = "pallas"
@@ -410,8 +405,13 @@ def _fill_all_from_tail1(v):
     return out
 
 
-def _iir1_kernel(x_ref, o_ref, carry_ref, *, a, b, rows):
+def _iir1_kernel(c_ref, x_ref, o_ref, carry_ref, *, rows):
     from jax.experimental import pallas as pl
+
+    # coefficients arrive through SMEM, NOT baked as constants: one compiled
+    # kernel serves every (a, b) — measured 4 baked-constant section kernels
+    # cost ~65 s of remote compile EACH at (16, 4M)
+    a, b = c_ref[0], c_ref[1]
 
     # grid = (channels, time_tiles): time is the minor (fastest) grid axis,
     # so each channel's tiles run in order and the carry resets per channel
@@ -480,9 +480,10 @@ def iir_first_order_pallas(
     Same semantics as :func:`iir_first_order` (zero initial state) but the
     compiled program is one small tile regardless of length (the XLA
     associative_scan unrolls log2(T) full-size levels — minutes of compile
-    at T ~ 1M). Scalar ``a``/``b`` only (baked into the kernel). Planar
-    batching: any leading axes are independent streams, walked by an outer
-    grid axis with a per-stream carry reset — one compile for all channels.
+    at T ~ 1M). Scalar ``a``/``b`` only, delivered through SMEM (changing
+    coefficients never recompile). Planar batching: any leading axes are
+    independent streams, walked by an outer grid axis with a per-stream
+    carry reset — one compile for all channels.
     """
     import functools
     from jax.experimental import pallas as pl
@@ -490,16 +491,18 @@ def iir_first_order_pallas(
 
     x3d, batch, n = _to_planar_tiles(x, tile_rows)
     nch, rtot = x3d.shape[0], x3d.shape[1]
+    coeffs = jnp.stack(
+        [jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)]
+    )
     out = pl.pallas_call(
-        functools.partial(
-            _iir1_kernel, a=float(a), b=float(b), rows=tile_rows
-        ),
+        functools.partial(_iir1_kernel, rows=tile_rows),
         out_shape=jax.ShapeDtypeStruct(x3d.shape, jnp.float32),
         grid=(nch, rtot // tile_rows),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, tile_rows, 128), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM
-            )
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, tile_rows, 128), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM
@@ -509,7 +512,7 @@ def iir_first_order_pallas(
             dimension_semantics=("arbitrary", "arbitrary")
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x3d)
+    )(coeffs, x3d)
     return _from_planar_tiles(out, batch, n)
 
 
@@ -527,12 +530,15 @@ def _compose_affine(l, r):
     )
 
 
-def _biquad_kernel(x_ref, o_ref, carry_ref, *, b, a, rows):
+def _biquad_kernel(c_ref, x_ref, o_ref, carry_ref, *, rows):
     """One biquad (DF2T) over a flat stream tile — affine-map block scan.
 
     Same structure as _iir1_kernel with the scalar (a,b) map replaced by
     the 6-component (A, c) map (A 2x2, c 2-vector); the carry is the
     section state, kept lane-broadcast so no narrow slices are needed.
+    Coefficients come through SMEM (scipy row layout) so ONE compiled
+    kernel serves every section of every filter — baking them as constants
+    cost ~65 s of remote compile per section at (16, 4M).
     """
     from jax.experimental import pallas as pl
 
@@ -543,8 +549,8 @@ def _biquad_kernel(x_ref, o_ref, carry_ref, *, b, a, rows):
     def _init():
         carry_ref[:] = jnp.zeros((2, 128), jnp.float32)
 
-    b0, b1, b2 = b
-    a1, a2 = a
+    b0, b1, b2 = c_ref[0], c_ref[1], c_ref[2]
+    a1, a2 = c_ref[4], c_ref[5]  # a0 == 1 (scipy layout)
     xf = x_ref[0].astype(jnp.float32)
     ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     m = (
@@ -593,7 +599,10 @@ def sosfilt_pallas(
     the compiled program is one small tile per section regardless of
     length — the XLA associative_scan over 2x2-matrix pytrees unrolls
     log2(T) full-size HLO levels and takes unbounded compile time past
-    T ~ 1M. Coefficients must be concrete (baked into the kernel). Planar
+    T ~ 1M. Coefficients stream through SMEM inside a lax.scan over
+    sections: ONE kernel compile regardless of section count or sos
+    values (4 baked-constant section kernels measured ~260 s of remote
+    compile; this spelling is section-count-free). Planar
     batching: leading axes are independent streams, walked by an outer grid
     axis with a per-stream carry reset — one compile for all channels.
     """
@@ -601,36 +610,38 @@ def sosfilt_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    sos_np = np.asarray(sos, np.float64)
+    sos_rows = jnp.asarray(sos, jnp.float32).reshape(-1, 6)
     # pad ONCE: the tail sits after position n and every section is causal,
     # so tail garbage can never reach a kept output of a later section
     y3d, batch, n = _to_planar_tiles(x, tile_rows)
     nch, rtot = y3d.shape[0], y3d.shape[1]
-    for row in sos_np:
-        b = (float(row[0]), float(row[1]), float(row[2]))
-        a = (float(row[4]), float(row[5]))  # a0 == 1 (scipy layout)
-        y3d = (
-            pl.pallas_call(
-                functools.partial(_biquad_kernel, b=b, a=a, rows=tile_rows),
-                out_shape=jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
-                grid=(nch, rtot // tile_rows),
-                in_specs=[
-                    pl.BlockSpec(
-                        (1, tile_rows, 128),
-                        lambda c, t: (c, t, 0),
-                        memory_space=pltpu.VMEM,
-                    )
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, tile_rows, 128),
-                    lambda c, t: (c, t, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                scratch_shapes=[pltpu.VMEM((2, 128), jnp.float32)],
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("arbitrary", "arbitrary")
-                ),
-                interpret=jax.default_backend() != "tpu",
-            )(y3d)
-        )
+
+    section = pl.pallas_call(
+        functools.partial(_biquad_kernel, rows=tile_rows),
+        out_shape=jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
+        grid=(nch, rtot // tile_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, tile_rows, 128),
+                lambda c, t: (c, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, 128),
+            lambda c, t: (c, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((2, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+    # scan over sections: the cascade is ONE traced kernel applied
+    # n_sections times at runtime — compile time is section-count-free
+    y3d, _ = jax.lax.scan(
+        lambda y, row: (section(row, y), None), y3d, sos_rows
+    )
     return _from_planar_tiles(y3d, batch, n)

@@ -185,9 +185,9 @@ def test_auto_dispatch_routes_long_concrete_calls_to_pallas(rng):
     sosfilt(sos, short)
     assert last_choice("sosfilt") == "xla_scan"
 
-    # traced coefficients can't be baked into a kernel -> XLA path
+    # coefficients stream through SMEM: even traced sos keeps the Pallas
+    # path (and changing sos values never recompile)
     jax.jit(lambda s, v: sosfilt(s, v))(sos, long).block_until_ready()
-    assert last_choice("sosfilt") == "xla_scan"
-    # ...but a traced SIGNAL with concrete coefficients still gets Pallas
+    assert last_choice("sosfilt") == "pallas"
     jax.jit(lambda v: sosfilt(sos, v))(long).block_until_ready()
     assert last_choice("sosfilt") == "pallas"
