@@ -249,14 +249,22 @@ def design_hilbert_fir(num_taps: int, *, beta: float = 8.0) -> np.ndarray:
     return (h * np.kaiser(num_taps, beta)).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("num_taps",))
-def hilbert_fir(x: jax.Array, *, num_taps: int = 513) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("num_taps", "row_len"))
+def hilbert_fir(
+    x: jax.Array, *, num_taps: int = 513, row_len: int = 1 << 21
+) -> jax.Array:
     """Blocked analytic signal: FIR Hilbert transformer + delay alignment.
 
-    One lane-blocked causal MXU conv (fir.py:blocked_causal_conv) over a
-    right-padded stream, shifted back by the group delay so the imaginary
-    part aligns with the real input. Edge samples within half the FIR of
-    either end see zero padding (same halo semantics as every causal op).
+    Lane-blocked causal MXU convs (fir.py:blocked_causal_conv) with the
+    imaginary part shifted back by the group delay so it aligns with the
+    real input. Edge samples within half the FIR of either end see zero
+    padding (same halo semantics as every causal op).
+
+    Long flat streams are folded into rows of ``row_len`` with a per-row
+    overlap halo (overlap-save across rows): a (1, T/128, 128) conv at
+    T = 64M drives XLA's TPU conv planner pathological (multi-minute
+    compiles), while the folded (B, row_len/128, 128) shape matches the
+    receiver chain's known-fast geometry.
     """
     from .fir import blocked_causal_conv
 
@@ -265,6 +273,20 @@ def hilbert_fir(x: jax.Array, *, num_taps: int = 513) -> jax.Array:
     squeeze = x.ndim == 1
     xp = (x[None, :] if squeeze else x).astype(jnp.float32)
     t = xp.shape[-1]
+
+    if xp.shape[0] == 1 and t > 2 * row_len:
+        # fold: row i covers [i*L, (i+1)*L); halo = the previous row's
+        # trailing (num_taps-1) samples + d future samples from the next
+        halo = num_taps - 1
+        tp = -(-t // row_len) * row_len
+        rows = jnp.pad(xp[0], (0, tp - t)).reshape(-1, row_len)
+        prev = jnp.pad(rows[:-1, -halo:], ((1, 0), (0, 0)))  # zeros row 0
+        nxt = jnp.pad(rows[1:, :d], ((0, 1), (0, 0)))  # zeros last row
+        ext = jnp.concatenate([prev, rows, nxt], axis=-1)
+        im = blocked_causal_conv(ext, h)[:, halo + d : halo + d + row_len]
+        z = jax.lax.complex(xp, im.reshape(1, tp)[:, :t])
+        return z[0] if squeeze else z
+
     ext = jnp.pad(xp, ((0, 0), (0, d)))  # future halo for the delay shift
     im = blocked_causal_conv(ext, h)[..., d : d + t]
     z = jax.lax.complex(xp, im)

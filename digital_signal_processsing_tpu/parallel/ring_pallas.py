@@ -86,6 +86,10 @@ def ring_shift_right_shard(
     """
     if collective_id is None:
         collective_id = _stable_collective_id(x_loc.shape, x_loc.dtype, axis)
+    # a 1-device axis is a self-copy: Mosaic requires collective_id be None
+    # when no cross-device barrier exists (real-TPU lowering rejects it)
+    if lax.axis_size(axis) == 1:
+        collective_id = None
     out = pl.pallas_call(
         functools.partial(_ring_kernel, axis=axis),
         out_shape=jax.ShapeDtypeStruct(x_loc.shape, x_loc.dtype),
@@ -247,6 +251,8 @@ def fused_ring_windowed_shard(
         first_tail = jnp.zeros((tail_rows, LANES), xs.dtype)  # overwritten
     if collective_id is None:
         collective_id = _stable_collective_id(send.shape, send.dtype, axis)
+    if jax.lax.axis_size(axis) == 1:
+        collective_id = None  # self-copy: Mosaic rejects an id w/o a barrier
     small = pl.BlockSpec(
         (tail_rows, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM
     )

@@ -204,3 +204,17 @@ def test_design_hilbert_fir_response():
     f = w / np.pi
     band = (f > 0.05) & (f < 0.95)
     assert np.max(np.abs(np.abs(resp[band]) - 1.0)) < 1e-3
+
+
+def test_hilbert_fir_folded_rows_match_flat(rng):
+    # long flat streams fold into (B, row_len) with overlap halos; the
+    # folded spelling must equal the unfolded conv exactly (same taps,
+    # same zero-halo semantics), including a non-divisible length
+    from digital_signal_processsing_tpu.ops.fft import hilbert_fir
+
+    for t in (40960, 40000):  # divisible and ragged
+        x = rng.normal(size=t).astype(np.float32)
+        flat = np.asarray(hilbert_fir(x, num_taps=129, row_len=1 << 30))
+        folded = np.asarray(hilbert_fir(x, num_taps=129, row_len=8192))
+        np.testing.assert_allclose(flat.imag, folded.imag, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(flat.real, folded.real)
