@@ -56,26 +56,33 @@ def main() -> None:
     )
     assert warm == per_file
 
-    t0 = time.perf_counter()
-    written = stream_moving_average(
-        paths, tmp / "out.wav", WINDOW, chunk_samples=args.chunk
-    )
-    stream_s = time.perf_counter() - t0
-    assert written == total
-    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-    print(
-        json.dumps(
-            {
-                "metric": "serve_stream_wav_to_wav",
-                "value": round(total / stream_s / 1e6, 1),
-                "unit": "MS/s",
-                "seconds": round(stream_s, 2),
-                "chunk": args.chunk,
-                "peak_rss_mb": round(peak_mb, 1),
-            }
-        ),
-        flush=True,
-    )
+    from digital_signal_processsing_tpu.io import native as _native
+
+    modes = [("python_host", False)]
+    if _native.available():
+        modes.insert(0, ("native_host", True))
+    for label, un in modes:
+        t0 = time.perf_counter()
+        written = stream_moving_average(
+            paths, tmp / "out.wav", WINDOW, chunk_samples=args.chunk,
+            use_native=un,
+        )
+        stream_s = time.perf_counter() - t0
+        assert written == total
+        peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        print(
+            json.dumps(
+                {
+                    "metric": f"serve_stream_wav_to_wav_{label}",
+                    "value": round(total / stream_s / 1e6, 1),
+                    "unit": "MS/s",
+                    "seconds": round(stream_s, 2),
+                    "chunk": args.chunk,
+                    "peak_rss_mb": round(peak_mb, 1),
+                }
+            ),
+            flush=True,
+        )
 
     # one-shot comparison: read everything, one device call, write
     import jax

@@ -93,6 +93,35 @@ def load(auto_build: bool = True):
         ctypes.c_int32,
         ctypes.c_int32,
     ]
+    lib.dsp_stream_open.restype = ctypes.c_void_p
+    lib.dsp_stream_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.dsp_stream_next.restype = ctypes.c_int64
+    lib.dsp_stream_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int16),
+    ]
+    lib.dsp_stream_close.restype = None
+    lib.dsp_stream_close.argtypes = [ctypes.c_void_p]
+    lib.dsp_sink_open.restype = ctypes.c_void_p
+    lib.dsp_sink_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.dsp_sink_append.restype = ctypes.c_int
+    lib.dsp_sink_append.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int64,
+    ]
+    lib.dsp_sink_close.restype = ctypes.c_int64
+    lib.dsp_sink_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -230,3 +259,104 @@ def bench_moving_average_native(
             warmup, rounds,
         )
     )
+
+
+class NativeChunkStream:
+    """Iterator over fixed-size chunks of WAVs-as-one-stream, decoded by a
+    native background thread (the C++ WavChunkLoader+prefetch: host decode
+    runs off the GIL while the consumer drives the device).
+
+    Yields (chunk, valid_count): chunk is always ``chunk_samples`` int16
+    (final partial zero-padded); ``valid_count`` tells how many are real.
+    """
+
+    def __init__(self, paths, chunk_samples: int, *, depth: int = 4):
+        lib = load()
+        self.paths = [str(p) for p in paths]
+        if not self.paths:
+            raise ValueError("no input files")
+        if chunk_samples < 1:
+            raise ValueError(f"chunk_samples must be >= 1, got {chunk_samples}")
+        self.chunk_samples = int(chunk_samples)
+        arr = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths]
+        )
+        self._handle = lib.dsp_stream_open(
+            arr, len(self.paths), self.chunk_samples, depth
+        )
+        if not self._handle:
+            raise NativeUnavailable("dsp_stream_open failed")
+        self._lib = lib
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._handle is None:
+            raise StopIteration
+        out = np.empty(self.chunk_samples, np.int16)
+        got = self._lib.dsp_stream_next(self._handle, _i16ptr(out))
+        if got < 0:
+            self.close()
+            raise IOError(f"native stream decode error ({got})")
+        if got == 0:
+            self.close()
+            raise StopIteration
+        return out, int(got)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.dsp_stream_close(self._handle)
+            self._handle = None
+
+    def __del__(self):  # noqa: D105 — release the worker thread
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeWavSink:
+    """Streaming WAV writer with a native background encode thread.
+
+    Drop-in for io.wav.WavWriter where throughput matters: append() copies
+    into a bounded queue and returns; fwrite happens off the GIL. Header
+    sizes patched on close() (context-manager friendly).
+    """
+
+    def __init__(self, path, sample_rate: int, num_channels: int, *, depth: int = 4):
+        lib = load()
+        if num_channels < 1:
+            raise ValueError(f"channels must be >= 1, got {num_channels}")
+        self.num_channels = num_channels
+        self._handle = lib.dsp_sink_open(
+            str(path).encode(), sample_rate, num_channels, depth
+        )
+        if not self._handle:
+            raise NativeUnavailable(f"dsp_sink_open failed for {path}")
+        self._lib = lib
+
+    def append(self, samples: np.ndarray) -> None:
+        s = np.ascontiguousarray(samples, dtype=np.int16).reshape(-1)
+        if s.size % self.num_channels != 0:
+            raise ValueError(
+                f"append expects whole frames of {self.num_channels} channels"
+            )
+        rc = self._lib.dsp_sink_append(self._handle, _i16ptr(s), s.size)
+        if rc != 0:
+            raise IOError(f"native sink append failed ({rc})")
+
+    def close(self) -> int:
+        if self._handle is None:
+            return 0
+        total = int(self._lib.dsp_sink_close(self._handle))
+        self._handle = None
+        if total < 0:
+            raise IOError("native sink write error")
+        return total
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

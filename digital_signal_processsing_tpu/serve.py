@@ -41,17 +41,31 @@ def stream_moving_average(
     window: int,
     *,
     chunk_samples: int = 1 << 20,
+    use_native: bool | None = None,
 ) -> int:
     """Filter a list of WAVs as ONE stream into an output WAV, chunked.
 
     Bit-exact with the one-shot averager on the concatenated stream
     (ops/streaming.py carries the raw halo); memory stays bounded by the
     chunk size regardless of total input length. Returns samples written.
+
+    ``use_native``: run the host side on the native C++ streaming executor
+    (``io.native.NativeChunkStream`` decode ring + ``NativeWavSink`` encode
+    thread — both off the GIL, so host IO genuinely overlaps device
+    compute). ``None`` auto-selects it when the library is built; the
+    output is byte-identical either way.
     """
     from .ops.streaming import moving_average_chunk, moving_average_init
 
     paths = list(paths)
     infos = [read_wav_info(p) for p in paths]
+    channels = infos[0].num_channels
+    rate = infos[0].sample_rate
+    for p, i in zip(paths, infos):
+        if i.num_channels != channels:
+            raise ValueError(
+                f"{p}: {i.num_channels} channels != first file's {channels}"
+            )
     # actual decodable samples: the header's data size clamped to the BODY
     # actually present (a truncated file must not cause filtered padding to
     # be emitted as audio; a streaming-capture 0xFFFFFFFF size must not
@@ -60,13 +74,35 @@ def stream_moving_average(
         min(i.num_samples, max(Path(p).stat().st_size - 44, 0) // 2)
         for i, p in zip(infos, paths)
     )
-    channels = infos[0].num_channels
-    rate = infos[0].sample_rate
     chunk_samples -= chunk_samples % max(channels, 1)
 
-    loader = WavChunkLoader(paths, chunk_samples)
+    if use_native is None:
+        from .io import native as _native
+
+        use_native = _native.available()
     state = moving_average_init(window, channels)
     written = 0
+    if use_native:
+        from .io.native import NativeChunkStream, NativeWavSink
+
+        stream = NativeChunkStream(paths, chunk_samples)
+        try:
+            with NativeWavSink(out_path, rate, channels) as sink:
+                for chunk, _valid in stream:
+                    state, out = moving_average_chunk(
+                        state, chunk, window, channels
+                    )
+                    out = np.asarray(out)
+                    keep = min(out.size, total - written)
+                    if keep <= 0:
+                        break
+                    sink.append(out[:keep])
+                    written += keep
+        finally:
+            stream.close()
+        return written
+
+    loader = WavChunkLoader(paths, chunk_samples)
     with WavWriter(out_path, rate, channels) as sink:
         for chunk in loader:
             state, out = moving_average_chunk(state, chunk, window, channels)

@@ -20,10 +20,13 @@
 
 #include <atomic>
 #include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <fstream>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -184,6 +187,241 @@ double dsp_bench_moving_average(const int16_t* in, int16_t* out,
   (void)sink;
   return std::chrono::duration<double, std::milli>(t1 - t0).count() /
          (rounds > 0 ? rounds : 1);
+}
+
+}  // extern "C"
+
+// --- streaming executor -----------------------------------------------------
+//
+// The native serving runtime around serve.py: a background decode thread
+// fills a bounded ring of fixed-size chunks from a list of WAVs treated as
+// one concatenated stream (the C++ WavChunkLoader+prefetch), and a
+// background encode thread drains a bounded queue into a streaming WAV
+// sink (header patched on close, like io/wav.py's WavWriter). Host decode/
+// encode runs off the GIL in native threads; the Python side only moves
+// chunk buffers and drives the device.
+
+namespace {
+
+struct DspStream {
+  std::vector<std::string> paths;
+  int64_t chunk_samples = 0;
+  size_t depth = 4;
+  std::deque<std::vector<int16_t>> ring;  // decoded chunks
+  std::deque<int64_t> counts;             // valid samples per chunk
+  std::mutex mu;
+  std::condition_variable can_produce, can_consume;
+  bool done = false, stop = false;
+  int error = 0;  // nonzero: decode failure
+  std::thread worker;
+};
+
+void stream_worker(DspStream* s) {
+  std::vector<int16_t> buf;
+  buf.reserve(s->chunk_samples);
+  auto flush = [&](int64_t valid) {
+    // zero-pad the final partial chunk (loader contract); valid tells the
+    // consumer how many samples are real
+    buf.resize(s->chunk_samples, 0);
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->can_produce.wait(
+        lk, [&] { return s->ring.size() < s->depth || s->stop; });
+    if (s->stop) return false;
+    s->ring.push_back(std::move(buf));
+    s->counts.push_back(valid);
+    buf.clear();
+    buf.reserve(s->chunk_samples);
+    s->can_consume.notify_one();
+    return true;
+  };
+  for (const auto& p : s->paths) {
+    std::ifstream in(p, std::ios::binary);
+    WavHeader h{};
+    in.read(reinterpret_cast<char*>(&h), sizeof(h));
+    if (!in.good() || !header_ok(h)) {
+      std::lock_guard<std::mutex> lk(s->mu);
+      s->error = 1;
+      s->done = true;
+      s->can_consume.notify_all();
+      return;
+    }
+    // clamp to the body actually present (truncated-file guard, serve.py)
+    in.seekg(0, std::ios::end);
+    int64_t body = static_cast<int64_t>(in.tellg()) - 44;
+    if (body < 0) body = 0;
+    in.seekg(44, std::ios::beg);
+    int64_t remaining = static_cast<int64_t>(h.data_bytes / 2);
+    if (body / 2 < remaining) remaining = body / 2;
+    while (remaining > 0) {
+      int64_t want = s->chunk_samples - static_cast<int64_t>(buf.size());
+      int64_t take = want < remaining ? want : remaining;
+      size_t off = buf.size();
+      buf.resize(off + take);
+      in.read(reinterpret_cast<char*>(buf.data() + off), take * 2);
+      if (!in.good()) {
+        std::lock_guard<std::mutex> lk(s->mu);
+        s->error = 2;
+        s->done = true;
+        s->can_consume.notify_all();
+        return;
+      }
+      remaining -= take;
+      if (static_cast<int64_t>(buf.size()) == s->chunk_samples) {
+        if (!flush(s->chunk_samples)) return;
+      }
+    }
+  }
+  if (!buf.empty()) {
+    int64_t valid = static_cast<int64_t>(buf.size());
+    if (!flush(valid)) return;
+  }
+  std::lock_guard<std::mutex> lk(s->mu);
+  s->done = true;
+  s->can_consume.notify_all();
+}
+
+struct DspSink {
+  std::FILE* f = nullptr;
+  int32_t rate = 0, channels = 0;
+  int64_t samples = 0;
+  size_t depth = 4;
+  std::deque<std::vector<int16_t>> q;
+  std::mutex mu;
+  std::condition_variable can_push, can_pop;
+  bool closing = false;
+  int error = 0;
+  std::thread worker;
+};
+
+void write_header(std::FILE* f, int32_t rate, int32_t channels,
+                  int64_t samples) {
+  WavHeader h{};
+  std::memcpy(h.riff, "RIFF", 4);
+  std::memcpy(h.wave, "WAVE", 4);
+  std::memcpy(h.fmt, "fmt ", 4);
+  std::memcpy(h.data, "data", 4);
+  h.fmt_size = 16;
+  h.audio_format = 1;
+  h.num_channels = static_cast<uint16_t>(channels);
+  h.sample_rate = static_cast<uint32_t>(rate);
+  h.byte_rate = static_cast<uint32_t>(rate * channels * 2);
+  h.block_align = static_cast<uint16_t>(channels * 2);
+  h.bits_per_sample = 16;
+  h.data_bytes = static_cast<uint32_t>(samples * 2);
+  h.size_of_file = 36 + h.data_bytes;
+  std::fwrite(&h, sizeof(h), 1, f);
+}
+
+void sink_worker(DspSink* s) {
+  for (;;) {
+    std::vector<int16_t> buf;
+    {
+      std::unique_lock<std::mutex> lk(s->mu);
+      s->can_pop.wait(lk, [&] { return !s->q.empty() || s->closing; });
+      if (s->q.empty()) return;  // closing and drained
+      buf = std::move(s->q.front());
+      s->q.pop_front();
+      s->can_push.notify_one();
+    }
+    if (std::fwrite(buf.data(), 2, buf.size(), s->f) != buf.size()) {
+      std::lock_guard<std::mutex> lk(s->mu);
+      s->error = 1;
+      return;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open a chunked reader over n WAVs as one stream. Returns a handle or
+// nullptr. Channel/rate consistency is the caller's check (headers via
+// dsp_wav_info); decode errors surface as a negative dsp_stream_next.
+void* dsp_stream_open(const char** paths, int32_t n_paths,
+                      int64_t chunk_samples, int32_t depth) {
+  if (n_paths <= 0 || chunk_samples <= 0) return nullptr;
+  auto* s = new DspStream();
+  for (int32_t i = 0; i < n_paths; ++i) s->paths.emplace_back(paths[i]);
+  s->chunk_samples = chunk_samples;
+  s->depth = depth > 0 ? static_cast<size_t>(depth) : 4;
+  s->worker = std::thread(stream_worker, s);
+  return s;
+}
+
+// Copy the next chunk into out (chunk_samples int16, zero-padded tail).
+// Returns valid sample count, 0 at end of stream, <0 on decode error.
+int64_t dsp_stream_next(void* handle, int16_t* out) {
+  auto* s = static_cast<DspStream*>(handle);
+  std::unique_lock<std::mutex> lk(s->mu);
+  s->can_consume.wait(lk, [&] { return !s->ring.empty() || s->done; });
+  if (s->ring.empty()) return s->error ? -s->error : 0;
+  std::vector<int16_t> buf = std::move(s->ring.front());
+  int64_t valid = s->counts.front();
+  s->ring.pop_front();
+  s->counts.pop_front();
+  s->can_produce.notify_one();
+  lk.unlock();
+  std::memcpy(out, buf.data(), buf.size() * 2);
+  return valid;
+}
+
+void dsp_stream_close(void* handle) {
+  auto* s = static_cast<DspStream*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->stop = true;
+    s->can_produce.notify_all();
+  }
+  if (s->worker.joinable()) s->worker.join();
+  delete s;
+}
+
+// Open a streaming WAV sink (background encode thread, bounded queue).
+void* dsp_sink_open(const char* path, int32_t sample_rate, int32_t channels,
+                    int32_t depth) {
+  if (channels < 1) return nullptr;
+  std::FILE* f = std::fopen(path, "wb");
+  if (!f) return nullptr;
+  auto* s = new DspSink();
+  s->f = f;
+  s->rate = sample_rate;
+  s->channels = channels;
+  s->depth = depth > 0 ? static_cast<size_t>(depth) : 4;
+  write_header(f, sample_rate, channels, 0);
+  s->worker = std::thread(sink_worker, s);
+  return s;
+}
+
+// Queue n samples for writing (copies; blocks when the queue is full).
+// Returns 0, or <0 after a write error.
+int dsp_sink_append(void* handle, const int16_t* samples, int64_t n) {
+  auto* s = static_cast<DspSink*>(handle);
+  if (n < 0 || n % s->channels != 0) return -2;
+  std::unique_lock<std::mutex> lk(s->mu);
+  if (s->error) return -1;
+  s->can_push.wait(lk, [&] { return s->q.size() < s->depth; });
+  s->q.emplace_back(samples, samples + n);
+  s->samples += n;
+  s->can_pop.notify_one();
+  return 0;
+}
+
+// Drain, patch the header sizes, close. Returns total samples or <0.
+int64_t dsp_sink_close(void* handle) {
+  auto* s = static_cast<DspSink*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->closing = true;
+    s->can_pop.notify_all();
+  }
+  if (s->worker.joinable()) s->worker.join();
+  int64_t total = s->error ? -1 : s->samples;
+  std::fseek(s->f, 0, SEEK_SET);
+  write_header(s->f, s->rate, s->channels, s->samples);
+  std::fclose(s->f);
+  delete s;
+  return total;
 }
 
 }  // extern "C"

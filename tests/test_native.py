@@ -96,3 +96,78 @@ def test_threaded_batch_reader_mismatch(tmp_path, rng):
     native.write_wav_native(p2, make_interleaved(rng, 100, 1), 44100, 1)
     with pytest.raises(ValueError):
         native.read_wavs_concat_native([p1, p2])
+
+
+def test_native_chunk_stream_matches_loader(tmp_path, rng):
+    # the C++ decode ring yields the identical chunk sequence as the
+    # Python WavChunkLoader, across file boundaries and the padded tail
+    native = pytest.importorskip(
+        "digital_signal_processsing_tpu.io.native", reason="native build"
+    )
+    if not native.available():
+        pytest.skip("native library not built")
+    from digital_signal_processsing_tpu.io.dataset import WavChunkLoader
+    from digital_signal_processsing_tpu.io.wav import write_wav
+
+    sizes = [3000, 1700, 4096]
+    paths = []
+    for i, n in enumerate(sizes):
+        x = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        p = tmp_path / f"s{i}.wav"
+        write_wav(p, x, 8000, 1)
+        paths.append(p)
+    want = list(WavChunkLoader(paths, 1024))
+    stream = native.NativeChunkStream(paths, 1024)
+    got = list(stream)
+    assert len(got) == len(want)
+    total = sum(sizes)
+    seen = 0
+    for (chunk, valid), w in zip(got, want):
+        np.testing.assert_array_equal(chunk, w)
+        assert valid == min(1024, total - seen)
+        seen += valid
+
+
+def test_native_wav_sink_matches_wavwriter(tmp_path, rng):
+    native = pytest.importorskip(
+        "digital_signal_processsing_tpu.io.native", reason="native build"
+    )
+    if not native.available():
+        pytest.skip("native library not built")
+    from digital_signal_processsing_tpu.io.wav import WavWriter, read_wav
+
+    x = rng.integers(-32768, 32768, size=9000, dtype=np.int16)
+    with WavWriter(tmp_path / "py.wav", 44100, 2) as w:
+        for i in range(0, 9000, 1500):
+            w.append(x[i : i + 1500])
+    with native.NativeWavSink(tmp_path / "na.wav", 44100, 2) as s:
+        for i in range(0, 9000, 1500):
+            s.append(x[i : i + 1500])
+    assert (tmp_path / "py.wav").read_bytes() == (tmp_path / "na.wav").read_bytes()
+    info, back = read_wav(tmp_path / "na.wav")
+    np.testing.assert_array_equal(back, x)
+
+
+def test_serve_native_host_bit_identical(tmp_path, rng):
+    native = pytest.importorskip(
+        "digital_signal_processsing_tpu.io.native", reason="native build"
+    )
+    if not native.available():
+        pytest.skip("native library not built")
+    from digital_signal_processsing_tpu.io.wav import write_wav
+    from digital_signal_processsing_tpu.serve import stream_moving_average
+
+    paths = []
+    for i, n in enumerate([40000, 25002]):
+        x = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        p = tmp_path / f"in{i}.wav"
+        write_wav(p, x, 48000, 2)
+        paths.append(p)
+    n_py = stream_moving_average(
+        paths, tmp_path / "py.wav", 64, chunk_samples=8192, use_native=False
+    )
+    n_na = stream_moving_average(
+        paths, tmp_path / "na.wav", 64, chunk_samples=8192, use_native=True
+    )
+    assert n_py == n_na == 65002
+    assert (tmp_path / "py.wav").read_bytes() == (tmp_path / "na.wav").read_bytes()
