@@ -20,6 +20,8 @@ scipy.signal convention for coefficients (b0,b1,b2,a0=1,a1,a2 per row).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -199,15 +201,35 @@ def sosfilt_init(sos, batch_shape=()) -> jax.Array:
     return jnp.zeros((n,) + tuple(batch_shape) + (2,), jnp.float32)
 
 
-@jax.jit
 def sosfilt_chunk(
-    state: jax.Array, sos: jax.Array, x: jax.Array
+    state: jax.Array, sos: jax.Array, x: jax.Array, *, method: str = "auto"
 ) -> tuple[jax.Array, jax.Array]:
     """One chunk of the SOS cascade with carried per-section state.
 
     Chunked output is bit-close to one-shot sosfilt on the concatenated
-    stream (float32 scan ordering differences only).
+    stream (float32 scan ordering differences only). Long chunks
+    (T >= PALLAS_IIR_MIN_T) route to the seeded Pallas block scan — a
+    serving deployment streaming multi-million-sample chunks never pays the
+    XLA associative scan's compile wall (see :func:`sosfilt`).
     """
+    if method == "auto":
+        method = "pallas" if x.shape[-1] >= PALLAS_IIR_MIN_T else "xla_scan"
+    from ..utils.dispatch import record_choice
+
+    record_choice("sosfilt_chunk", method)
+    if method == "pallas":
+        return sosfilt_chunk_pallas(state, sos, x)
+    if method != "xla_scan":
+        raise ValueError(
+            f"unknown method {method!r}; options ('auto', 'pallas', 'xla_scan')"
+        )
+    return _sosfilt_chunk_xla(state, sos, x)
+
+
+@jax.jit
+def _sosfilt_chunk_xla(
+    state: jax.Array, sos: jax.Array, x: jax.Array
+) -> tuple[jax.Array, jax.Array]:
     sos = jnp.asarray(sos, jnp.float32)
     y = x.astype(jnp.float32)
     new_states = []
@@ -530,7 +552,7 @@ def _compose_affine(l, r):
     )
 
 
-def _biquad_kernel(c_ref, x_ref, o_ref, carry_ref, *, rows):
+def _biquad_kernel(*refs, rows, seeded=False):
     """One biquad (DF2T) over a flat stream tile — affine-map block scan.
 
     Same structure as _iir1_kernel with the scalar (a,b) map replaced by
@@ -539,15 +561,30 @@ def _biquad_kernel(c_ref, x_ref, o_ref, carry_ref, *, rows):
     Coefficients come through SMEM (scipy row layout) so ONE compiled
     kernel serves every section of every filter — baking them as constants
     cost ~65 s of remote compile per section at (16, 4M).
+
+    ``seeded``: streaming form — the carry initializes from a per-channel
+    state (SMEM (C, 2)) instead of zeros, and the end-of-chunk state is
+    written to a lane-broadcast (C, 2, 128) output.
     """
     from jax.experimental import pallas as pl
 
+    if seeded:
+        c_ref, s_ref, x_ref, o_ref, so_ref, carry_ref = refs
+    else:
+        c_ref, x_ref, o_ref, carry_ref = refs
+        s_ref = so_ref = None
+
     # grid = (channels, time_tiles); see _iir1_kernel
+    ch = pl.program_id(0)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _init():
-        carry_ref[:] = jnp.zeros((2, 128), jnp.float32)
+        if seeded:
+            carry_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32) + s_ref[ch, 0]
+            carry_ref[1:2, :] = jnp.zeros((1, 128), jnp.float32) + s_ref[ch, 1]
+        else:
+            carry_ref[:] = jnp.zeros((2, 128), jnp.float32)
 
     b0, b1, b2 = c_ref[0], c_ref[1], c_ref[2]
     a1, a2 = c_ref[4], c_ref[5]  # a0 == 1 (scipy layout)
@@ -588,6 +625,9 @@ def _biquad_kernel(c_ref, x_ref, o_ref, carry_ref, *, rows):
     lr = tuple(v[rows - 1 :, :] for v in rowm)
     carry_ref[0:1, :] = lr[0] * c1 + lr[1] * c2 + lr[4]
     carry_ref[1:2, :] = lr[2] * c1 + lr[3] * c2 + lr[5]
+    if seeded:
+        # last write wins (sequential time axis): end-of-chunk state
+        so_ref[0] = carry_ref[:]
 
 
 def sosfilt_pallas(
@@ -645,3 +685,87 @@ def sosfilt_pallas(
         lambda y, row: (section(row, y), None), y3d, sos_rows
     )
     return _from_planar_tiles(y3d, batch, n)
+
+
+def sosfilt_chunk_pallas(
+    state: jax.Array, sos: jax.Array, x: jax.Array, *, tile_rows: int = 256
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming SOS chunk via the seeded Pallas block scan.
+
+    Same contract as :func:`sosfilt_chunk`. The tile-aligned head of the
+    chunk runs the seeded kernel (carry initialized from the incoming
+    per-section state, end state read back); any sub-tile tail runs the
+    XLA chunk op seeded with the head's out-state — state hand-off stays
+    EXACT (padding the kernel input instead would decay the state through
+    fictitious zero samples).
+    """
+    tile = tile_rows * 128
+    n = x.shape[-1]
+    main = (n // tile) * tile
+    if main == 0:
+        return _sosfilt_chunk_xla(state, sos, x)
+    st1, y_main = _sosfilt_chunk_pallas_aligned(
+        state, sos, x[..., :main], tile_rows
+    )
+    if main == n:
+        return st1, y_main
+    st2, y_tail = _sosfilt_chunk_xla(st1, sos, x[..., main:])
+    return st2, jnp.concatenate([y_main, y_tail], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _sosfilt_chunk_pallas_aligned(
+    state: jax.Array, sos: jax.Array, x: jax.Array, tile_rows: int
+) -> tuple[jax.Array, jax.Array]:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sos_rows = jnp.asarray(sos, jnp.float32).reshape(-1, 6)
+    n_sec = sos_rows.shape[0]
+    st = jnp.asarray(state, jnp.float32).reshape(n_sec, -1, 2)  # (S, C, 2)
+    y3d, batch, n = _to_planar_tiles(x, tile_rows)
+    nch, rtot = y3d.shape[0], y3d.shape[1]
+
+    section = pl.pallas_call(
+        functools.partial(_biquad_kernel, rows=tile_rows, seeded=True),
+        out_shape=[
+            jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
+            jax.ShapeDtypeStruct((nch, 2, 128), jnp.float32),
+        ],
+        grid=(nch, rtot // tile_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, tile_rows, 128),
+                lambda c, t: (c, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_rows, 128),
+                lambda c, t: (c, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, 128), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def step(y, xs):
+        row, st_c2 = xs
+        y2, st_out = section(row, st_c2, y)
+        return y2, st_out[:, :, 0]
+
+    y3d, new_st = jax.lax.scan(step, y3d, (sos_rows, st))
+    return (
+        new_st.reshape(jnp.asarray(state).shape),
+        _from_planar_tiles(y3d, batch, n),
+    )

@@ -191,3 +191,45 @@ def test_auto_dispatch_routes_long_concrete_calls_to_pallas(rng):
     assert last_choice("sosfilt") == "pallas"
     jax.jit(lambda v: sosfilt(sos, v))(long).block_until_ready()
     assert last_choice("sosfilt") == "pallas"
+
+
+def test_sosfilt_chunk_pallas_matches_xla_chunks(rng):
+    # the seeded streaming kernel: chunked output + carried state must
+    # continue the stream exactly like the XLA chunk op
+    from digital_signal_processsing_tpu.ops.iir import (
+        design_butterworth,
+        sosfilt,
+        sosfilt_chunk_pallas,
+        sosfilt_init,
+    )
+
+    sos = design_butterworth(4, 0.2)
+    x = rng.normal(size=(2, 90_000)).astype(np.float32)
+    want = np.asarray(sosfilt(sos, x, method="xla_scan"))
+
+    # ragged chunks: aligned head + sub-tile tails exercise the hand-off
+    state = sosfilt_init(sos, batch_shape=(2,))
+    outs = []
+    for a, b in [(0, 40_000), (40_000, 70_123), (70_123, 90_000)]:
+        state, y = sosfilt_chunk_pallas(state, sos, x[:, a:b])
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=-1)
+    scale = np.max(np.abs(want)) + 1e-9
+    assert np.max(np.abs(got - want)) / scale < 1e-4
+
+
+def test_sosfilt_chunk_dispatches_by_length(rng):
+    from digital_signal_processsing_tpu.ops.iir import (
+        PALLAS_IIR_MIN_T,
+        design_biquad_lowpass,
+        sosfilt_chunk,
+        sosfilt_init,
+    )
+    from digital_signal_processsing_tpu.utils.dispatch import last_choice
+
+    sos = design_biquad_lowpass(0.3)
+    st = sosfilt_init(sos)
+    sosfilt_chunk(st, sos, np.zeros(1024, np.float32))
+    assert last_choice("sosfilt_chunk") == "xla_scan"
+    sosfilt_chunk(st, sos, np.zeros(PALLAS_IIR_MIN_T, np.float32))
+    assert last_choice("sosfilt_chunk") == "pallas"
