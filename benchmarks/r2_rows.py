@@ -140,9 +140,13 @@ def main() -> None:
         xf = rng.normal(size=16_000_000).astype(np.float32)
         xfd = jax.device_put(xf)
 
-        for label, rate in (("160_147", (160, 147)), ("pi3", np.pi / 3)):
-            def f(v, rate=rate):
-                y = resample_farrow(v, rate)
+        for label, rate, method in (
+            ("160_147_matmul", (160, 147), "matmul"),
+            ("441_2560_matmul", (441, 2560), "matmul"),
+            ("160_147_gather", (160, 147), "gather"),
+        ):
+            def f(v, rate=rate, method=method):
+                y = resample_farrow(v, rate, method=method)
                 return y[: v.shape[0]] if y.shape[0] >= v.shape[0] else jnp.pad(
                     y, (0, v.shape[0] - y.shape[0])
                 )
@@ -195,8 +199,13 @@ def main() -> None:
                 pad = jnp.pad(v, ((0, 0), (k - 1, nfft)))
                 return overlapping_frames(pad, nblocks, L, nfft)
 
-            per_s = diff_time(lambda v: jnp.sum(segs_only(v), axis=(1, 2)), sd,
-                              k_small=2, k_big=6)
+            def seg_probe(v, segs_only=segs_only):
+                # shape-preserving for the chained timer; the 1e-20-scaled
+                # reduction keeps the frames build from being DCE'd
+                s = segs_only(v)
+                return v + jnp.sum(s, axis=(1, 2))[:, None] * jnp.float32(1e-20)
+
+            per_s = diff_time(seg_probe, sd, k_small=2, k_big=6)
             row(f"osave_segs_k{k}", round(per_s * 1e3, 2), "ms")
 
             segs = segs_only(sd)

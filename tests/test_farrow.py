@@ -77,7 +77,9 @@ def test_planar_channels(rng):
 @pytest.mark.parametrize("rate", [np.pi / 3, (160, 147), 0.731, (3, 7)])
 def test_streaming_bit_exact_with_one_shot(rng, rate):
     x = rng.normal(size=(2, 9973)).astype(np.float32)  # prime length
-    want = np.asarray(resample_farrow(x, rate))
+    # streaming mirrors the pointwise (gather) spelling bit-for-bit; the
+    # matmul path agrees to float rounding (separate test)
+    want = np.asarray(resample_farrow(x, rate, method="gather"))
 
     state = farrow_init(rate, channels=2)
     pieces = []
@@ -119,3 +121,29 @@ def test_float_rate_snaps_to_exact_rational():
     assert (up, down) == (1, 2)
     up, down = as_rational_rate(48000 / 44100)
     assert (up, down) == (160, 147)
+
+
+@pytest.mark.parametrize("rate", [(7, 3), (3, 7), (160, 147), (441, 2560), 1.5])
+def test_matmul_path_matches_gather(rng, rate):
+    # the MXU phase-matrix spelling computes the identical schedule
+    from digital_signal_processsing_tpu.ops.farrow import (
+        MATMUL_MAX_PRODUCT,
+        as_rational_rate,
+    )
+
+    up, down = as_rational_rate(rate)
+    assert up * down <= MATMUL_MAX_PRODUCT
+    x = rng.normal(size=(2, 7001)).astype(np.float32)
+    got = np.asarray(resample_farrow(x, rate, method="matmul"))
+    want = np.asarray(resample_farrow(x, rate, method="gather"))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
+def test_auto_picks_matmul_within_envelope(rng):
+    from digital_signal_processsing_tpu.utils.dispatch import last_choice
+
+    x = rng.normal(size=4096).astype(np.float32)
+    resample_farrow(x, (160, 147))
+    assert last_choice("resample_farrow") == "matmul"
+    resample_farrow(x, np.pi / 3)  # snaps to a ~2^16 fraction: gather
+    assert last_choice("resample_farrow") == "gather"
