@@ -173,6 +173,43 @@ def main() -> None:
             )
             row(f"sharded_windowed_{impl}_64M_k1024", round(64e6 / per / 1e9, 2), "GS/s")
 
+    if "osave_mxu" in rows:
+        from digital_signal_processsing_tpu.ops.fft_mxu import overlap_save_mxu
+        from digital_signal_processsing_tpu.ops.fir import _pick_block, fir_direct
+
+        sig = rng.normal(size=(16, 4_194_304)).astype(np.float32)
+        sd = jax.device_put(sig)
+        for k in (1024, 2048, 4096, 8192):
+            taps = jnp.asarray(rng.normal(size=k).astype(np.float32))
+            per = diff_time(
+                lambda v, taps=taps, k=k: overlap_save_mxu(
+                    v, taps, block=_pick_block(k)
+                ),
+                sd,
+            )
+            row(f"osave_mxu_16x4M_k{k}", round(per * 1e3, 2), "ms")
+            per_d = diff_time(lambda v, taps=taps: fir_direct(v, taps), sd)
+            row(f"fir_direct_16x4M_k{k}", round(per_d * 1e3, 2), "ms")
+
+    if "sosfilt_compile" in rows:
+        # SMEM-coefficient kernels: compile must be seconds, not 260 s
+        from digital_signal_processsing_tpu.ops.iir import (
+            design_butterworth_band,
+            sosfilt,
+        )
+
+        sos = design_butterworth_band(2, 0.1, 0.4)
+        x = rng.normal(size=(16, 4_000_000)).astype(np.float32)
+        xd = jax.device_put(x)
+        t0 = time.perf_counter()
+        np.asarray(sosfilt(sos, xd)[0, :8])
+        row("sosfilt_smem_16x4M_compile", round(time.perf_counter() - t0, 1), "s")
+        # a DIFFERENT filter must reuse the compiled kernel (no recompile)
+        sos2 = design_butterworth_band(2, 0.2, 0.3)
+        t0 = time.perf_counter()
+        np.asarray(sosfilt(sos2, xd)[0, :8])
+        row("sosfilt_smem_second_filter", round(time.perf_counter() - t0, 1), "s")
+
     if "osave" in rows:
         # component profile of the overlap-save FIR (why flat ~38 ms?)
         from digital_signal_processsing_tpu.ops.fir import (

@@ -197,17 +197,26 @@ def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Ar
     """Causal FIR with automatic direct/overlap-save crossover.
 
     Measured on v5e (16x4.2M f32): the lane-blocked direct conv runs
-    1.6-2.0 ms for k in [63, 1025] and 35 ms at k=8192, while overlap-save
-    sits flat ~38-48 ms — direct wins until its O(k) MAC cost passes the
-    FFT path, around k ~ 10^4 at HIGHEST precision.
+    1.6-2.0 ms for k in [63, 1025] and 35 ms at k=8192; the XLA-FFT
+    overlap-save sits flat ~36 ms (the rfft+irfft pair is 29 ms of it —
+    XLA's TPU FFT lowering is the bottleneck, benchmarks/r2_rows.py). The
+    MXU-factorized DFT (ops/fft_mxu.py) replaces the FFT pair with batched
+    matmuls, dropping the crossover to k ~ 2048.
     """
     k = int(taps.shape[0])
+    from ..utils.dispatch import record_choice
+
     if method == "auto":
-        method = "direct" if k <= 8192 else "overlap_save"
+        method = "direct" if k <= 2048 else "overlap_save_mxu"
+    record_choice("fir_filter", method)
     if method == "direct":
         return fir_direct(x, taps)
     if method == "overlap_save":
         return fir_overlap_save(x, taps)
+    if method == "overlap_save_mxu":
+        from .fft_mxu import overlap_save_mxu
+
+        return overlap_save_mxu(x, taps, block=_pick_block(k))
     raise ValueError(f"unknown FIR method {method!r}")
 
 
