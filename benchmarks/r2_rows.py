@@ -191,6 +191,25 @@ def main() -> None:
             per_d = diff_time(lambda v, taps=taps: fir_direct(v, taps), sd)
             row(f"fir_direct_16x4M_k{k}", round(per_d * 1e3, 2), "ms")
 
+    if "osave_fused" in rows:
+        from digital_signal_processsing_tpu.ops.fft_mxu import overlap_save_fused
+        from digital_signal_processsing_tpu.ops.fir import _pick_block
+
+        sig = rng.normal(size=(16, 4_194_304)).astype(np.float32)
+        sd = jax.device_put(sig)
+        import jax as _jax
+
+        for k in (1024, 4096, 8192):
+            taps = rng.normal(size=k).astype(np.float32)
+            for label, prec in (("hi", None), ("h3", _jax.lax.Precision.HIGH)):
+                per = diff_time(
+                    lambda v, taps=taps, k=k, prec=prec: overlap_save_fused(
+                        v, taps, block=_pick_block(k), precision=prec
+                    ),
+                    sd,
+                )
+                row(f"osave_fused_16x4M_k{k}_{label}", round(per * 1e3, 2), "ms")
+
     if "sosfilt_compile" in rows:
         # SMEM-coefficient kernels: compile must be seconds, not 260 s
         from digital_signal_processsing_tpu.ops.iir import (

@@ -161,4 +161,186 @@ def _overlap_save_mxu_jit(x, hr, hi, *, k: int, block: int, n1: int):
     return y[0] if squeeze else y
 
 
-__all__ = ["dft_factored", "overlap_save_mxu", "pick_factored_nfft"]
+# --- fused Pallas overlap-save ----------------------------------------------
+#
+# The XLA spelling above is HBM-bound: each stage (restructure, two matmul
+# passes, twiddle, frequency multiply, and the same again backwards)
+# round-trips the full (c, nblocks, nfft) tensor through HBM — measured
+# ~29 ms at 16x4M/k=1024 where the MXU work alone is ~3 ms. One block's
+# whole chain is only nfft*4 bytes (~36 KB), so the fused kernel below
+# keeps it in VMEM: per grid step it loads G blocks' halo+main columns,
+# runs forward stages, the frequency-domain tap multiply, and the inverse
+# stages entirely on-tile, and writes back only the G*L useful samples.
+
+
+def _fused_kernel(
+    halo_ref,
+    main_ref,
+    wa_r_ref,
+    wa_i_ref,
+    tw_r_ref,
+    tw_i_ref,
+    wb_r_ref,
+    wb_i_ref,
+    h_r_ref,
+    h_i_ref,
+    vb_r_ref,
+    vb_i_ref,
+    twc_r_ref,
+    twc_i_ref,
+    va_r_ref,
+    va_i_ref,
+    o_ref,
+    *,
+    g: int,
+    a_dim: int,
+    precision,
+):
+    """One grid step: g blocks' full overlap-save chains, all in VMEM.
+
+    Factorization n = 128*a + b (b the 128-lane minor), k = ka + A*kb:
+    every stage is a 2-D dot_general whose contraction dim is chosen so NO
+    explicit relayout is ever needed (Mosaic's MXU loads transposed
+    operands natively; a big in-kernel reshape/transpose crashes the
+    lowering). Shapes: (A, 128) time tiles, (128, A) and (A, 128)
+    frequency tiles, consts (A, A) / (128, A) / (128, 128).
+    """
+    import jax
+
+    hp = precision or jax.lax.Precision.HIGHEST
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())), precision=hp,
+            preferred_element_type=jnp.float32,
+        )
+
+    def mm0(x, w):
+        return jax.lax.dot_general(
+            x, w, (((0,), (0,)), ((), ())), precision=hp,
+            preferred_element_type=jnp.float32,
+        )
+
+    n = a_dim * 128
+    inv_n = jnp.float32(1.0 / n)
+    wa_r, wa_i = wa_r_ref[:], wa_i_ref[:]
+    tw_r, tw_i = tw_r_ref[:], tw_i_ref[:]
+    wb_r, wb_i = wb_r_ref[:], wb_i_ref[:]
+    h_r, h_i = h_r_ref[:], h_i_ref[:]
+    vb_r, vb_i = vb_r_ref[:], vb_i_ref[:]
+    twc_r, twc_i = twc_r_ref[:], twc_i_ref[:]
+    va_r, va_i = va_r_ref[:], va_i_ref[:]
+    for gi in range(g):  # static unroll: one block's chain per iteration
+        # time tile x2[a, b] = x[128*a + b]: halo rows then main rows
+        e = jnp.concatenate([halo_ref[gi], main_ref[gi]], axis=0)  # (A, 128)
+        # stage A: P[b, ka] = sum_a x2[a, b] * WA[a, ka]
+        pr = mm0(e, wa_r)
+        pi = mm0(e, wa_i)
+        qr = pr * tw_r - pi * tw_i  # tw in (b, ka) layout
+        qi = pr * tw_i + pi * tw_r
+        # stage B: X[ka, kb] = sum_b Q[b, ka] * WB[b, kb]
+        xr = mm0(qr, wb_r) - mm0(qi, wb_i)
+        xi = mm0(qr, wb_i) + mm0(qi, wb_r)
+        # frequency multiply; H permuted to (ka, kb) on the host
+        yr = xr * h_r - xi * h_i
+        yi = xr * h_i + xi * h_r
+        # inverse stage 1: C[ka, b] = sum_kb Y[ka, kb] * VB[kb, b]
+        cr = mm(yr, vb_r) - mm(yi, vb_i)
+        ci = mm(yr, vb_i) + mm(yi, vb_r)
+        dr = cr * twc_r - ci * twc_i  # conj twiddle in (ka, b) layout
+        di = cr * twc_i + ci * twc_r
+        # inverse stage 2: T[a, b] = sum_ka VA[ka, a] * D[ka, b]; only the
+        # real part survives (real input, real taps)
+        tr = mm0(va_r, dr) - mm0(va_i, di)
+        o_ref[gi] = tr * inv_n
+
+
+def overlap_save_fused(
+    x: jax.Array,
+    taps: jax.Array | np.ndarray,
+    *,
+    block: int = 8192,
+    g: int | None = None,
+    precision=None,
+) -> jax.Array:
+    """Fused-Pallas overlap-save FIR: per-block DFT chain entirely in VMEM.
+
+    Same semantics as :func:`overlap_save_mxu`; concrete taps only (the
+    frequency response is baked as a host-permuted constant). ``block``
+    (useful samples per segment, a multiple of 128) plus len(taps) must
+    fit nfft = the next 128 multiple; ``g`` blocks run per grid step.
+    """
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..utils.layout import overlapping_frames
+    from .fir import _as_planar
+
+    taps_np = np.asarray(taps, np.float64)
+    k = int(taps_np.shape[0])
+    if block % 128 != 0:
+        raise ValueError(f"block must be a multiple of 128, got {block}")
+    nfft = pick_factored_nfft(block + k, 128)
+    a_dim = nfft // 128
+    el = block
+    h = nfft - el  # halo columns per block (>= k-1, multiple of 128)
+
+    xp, squeeze = _as_planar(x)
+    c, t = xp.shape
+    nb = -(-t // el)
+    rows = c * nb
+    if g is None:
+        # ~14 live (A, 128) f32 tiles per in-flight block; stay within a
+        # 10 MB VMEM working set (g=8 at nfft=73728 measured a Mosaic OOM)
+        g = max(1, min(8, (10 << 20) // (14 * nfft * 4)))
+    g_eff = min(g, rows)
+    xpad = jnp.pad(xp.astype(jnp.float32), ((0, 0), (0, nb * el - t)))
+    main = xpad.reshape(rows, el // 128, 128)
+    hal_src = jnp.pad(xpad, ((0, 0), (h, 0)))[:, : nb * el + h]
+    halo = overlapping_frames(hal_src, nb, el, h).reshape(rows, h // 128, 128)
+
+    # host-side constants for the n = 128*a + b factorization
+    ar = np.arange(a_dim)
+    b = np.arange(128)
+
+    def planar(w):
+        return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+    wa = planar(np.exp(-2j * np.pi * np.outer(ar, ar) / a_dim))
+    tw = planar(np.exp(-2j * np.pi * np.outer(b, ar) / nfft))
+    wb = planar(np.exp(-2j * np.pi * np.outer(b, b) / 128))
+    h_f = np.fft.fft(taps_np, n=nfft)
+    h2 = planar(h_f.reshape(128, a_dim).T.copy())  # [ka, kb=128-major flat]
+    vb = planar(np.exp(2j * np.pi * np.outer(b, b) / 128))
+    twc = planar(np.exp(2j * np.pi * np.outer(ar, b) / nfft))  # (ka, b)
+    va = planar(np.exp(2j * np.pi * np.outer(ar, ar) / a_dim))
+    consts = [*wa, *tw, *wb, *h2, *vb, *twc, *va]
+
+    grid = (-(-rows // g_eff),)
+    tile3 = lambda w: pl.BlockSpec(  # noqa: E731
+        (g_eff, w, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    const = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _ft.partial(_fused_kernel, g=g_eff, a_dim=a_dim, precision=precision),
+        out_shape=jax.ShapeDtypeStruct((rows, a_dim, 128), jnp.float32),
+        grid=grid,
+        in_specs=[tile3(h // 128), tile3(el // 128)]
+        + [const(arr) for arr in consts],
+        out_specs=tile3(a_dim),
+        interpret=jax.default_backend() != "tpu",
+    )(halo, main, *[jnp.asarray(arr) for arr in consts])
+    y = out.reshape(rows, nfft)[:, nfft - el :].reshape(c, nb * el)[:, :t]
+    return y[0] if squeeze else y
+
+
+__all__ = [
+    "dft_factored",
+    "overlap_save_fused",
+    "overlap_save_mxu",
+    "pick_factored_nfft",
+]

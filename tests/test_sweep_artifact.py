@@ -1,0 +1,53 @@
+"""C18 artifact trust: the sweep CSV must agree with BENCH_NOTES authority.
+
+Round-1 VERDICT flagged the sweep's Pallas kernel columns as order-of-
+magnitude only (10M rows had tunnel-jitter resolution comparable to the
+kernels). The 64M chain-differential re-run fixes that; this test pins the
+shipped artifact against the authoritative kernel rows so a regressed or
+mis-measured artifact cannot ship silently.
+"""
+
+import csv
+from pathlib import Path
+
+import pytest
+
+CSV = Path(__file__).parents[1] / "logs" / "benchmark_results.csv"
+
+# BENCH_NOTES.md authoritative 64M rows (GS/s); artifact must agree within
+# 2x (the VERDICT's bound — covers session-to-session tunnel variance)
+AUTHORITY_GS = {
+    ("windowed", 1024): 72.0,
+    ("scan", 1024): 25.1,
+    ("scan_hillis", 1024): 17.0,
+}
+N64 = 64_000_000
+
+
+def _rows():
+    if not CSV.exists():
+        pytest.skip("no sweep artifact CSV")
+    with open(CSV) as f:
+        return list(csv.DictReader(f))
+
+
+@pytest.mark.parametrize("variant,grade", sorted(AUTHORITY_GS))
+def test_artifact_kernel_columns_match_authority(variant, grade):
+    rows = [
+        r
+        for r in _rows()
+        if r["Algorithm"] == variant
+        and int(r["Grade"]) == grade
+        and int(r["N_Samples"]) == N64
+        and r["MemoryMode"] == "staged"
+    ]
+    if not rows:
+        pytest.skip(f"no 64M rows for {variant} k={grade} (artifact not re-run)")
+    # most recent row wins (append-mode CSV is resumable history)
+    compute_ms = float(rows[-1]["Compute_ms"])
+    got_gs = N64 / (compute_ms * 1e-3) / 1e9
+    want = AUTHORITY_GS[(variant, grade)]
+    assert want / 2 <= got_gs <= want * 2, (
+        f"{variant} k={grade}: artifact {got_gs:.1f} GS/s vs authority "
+        f"{want} GS/s (beyond 2x)"
+    )
