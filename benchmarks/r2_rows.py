@@ -199,16 +199,18 @@ def main() -> None:
         sd = jax.device_put(sig)
         import jax as _jax
 
-        for k in (1024, 4096, 8192):
+        del _jax, overlap_save_fused  # dispatcher picks the capped block
+        from digital_signal_processsing_tpu.ops.fir import fir_filter
+
+        for k in (4096, 8192):
             taps = rng.normal(size=k).astype(np.float32)
-            for label, prec in (("hi", None), ("h3", _jax.lax.Precision.HIGH)):
-                per = diff_time(
-                    lambda v, taps=taps, k=k, prec=prec: overlap_save_fused(
-                        v, taps, block=_pick_block(k), precision=prec
-                    ),
-                    sd,
-                )
-                row(f"osave_fused_16x4M_k{k}_{label}", round(per * 1e3, 2), "ms")
+            per = diff_time(
+                lambda v, taps=taps: fir_filter(
+                    v, taps, method="overlap_save_fused"
+                ),
+                sd,
+            )
+            row(f"osave_fused_16x4M_k{k}", round(per * 1e3, 2), "ms")
 
     if "sosfilt_compile" in rows:
         # SMEM-coefficient kernels: compile must be seconds, not 260 s

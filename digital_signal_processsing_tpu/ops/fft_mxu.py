@@ -161,6 +161,11 @@ def _overlap_save_mxu_jit(x, hr, hi, *, k: int, block: int, n1: int):
     return y[0] if squeeze else y
 
 
+# VMEM ceiling for the fused kernel's nfft: a_dim = nfft/128 and the four
+# (a_dim, a_dim) stage constants + ~14 live (a_dim, 128) tiles per block
+# must fit 16 MB (g=2 at nfft=73728 still crashed the Mosaic allocator).
+FUSED_MAX_NFFT = 32768
+
 # --- fused Pallas overlap-save ----------------------------------------------
 #
 # The XLA spelling above is HBM-bound: each stage (restructure, two matmul
@@ -283,6 +288,12 @@ def overlap_save_fused(
     if block % 128 != 0:
         raise ValueError(f"block must be a multiple of 128, got {block}")
     nfft = pick_factored_nfft(block + k, 128)
+    if nfft > FUSED_MAX_NFFT:
+        raise ValueError(
+            f"fused overlap-save caps nfft at {FUSED_MAX_NFFT} (the (A, A) "
+            f"stage constants must fit VMEM), got {nfft}; shrink block or "
+            "use overlap_save_mxu"
+        )
     a_dim = nfft // 128
     el = block
     h = nfft - el  # halo columns per block (>= k-1, multiple of 128)

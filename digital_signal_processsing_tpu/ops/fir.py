@@ -197,17 +197,24 @@ def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Ar
     """Causal FIR with automatic direct/overlap-save crossover.
 
     Measured on v5e (16x4.2M f32): the lane-blocked direct conv runs
-    1.6-2.0 ms for k in [63, 1025] and 35 ms at k=8192; the XLA-FFT
-    overlap-save sits flat ~36 ms (the rfft+irfft pair is 29 ms of it —
-    XLA's TPU FFT lowering is the bottleneck, benchmarks/r2_rows.py). The
-    MXU-factorized DFT (ops/fft_mxu.py) replaces the FFT pair with batched
-    matmuls, dropping the crossover to k ~ 2048.
+    5.7 / 9.8 / 18.6 / 35.3 ms at k=1k/2k/4k/8k (HIGHEST precision); the
+    XLA-FFT overlap-save sits flat ~36-64 ms (the rfft+irfft pair is 29 ms
+    of it — XLA's TPU FFT lowering is the bottleneck, benchmarks/
+    r2_rows.py); the FUSED MXU overlap-save (ops/fft_mxu.py, per-block DFT
+    chains in VMEM) runs ~19-21 ms flat, putting the crossover at k ~ 4096.
+    Traced taps fall back to the XLA-composed MXU DFT (the fused kernel
+    bakes the frequency response as a constant).
     """
     k = int(taps.shape[0])
     from ..utils.dispatch import record_choice
 
     if method == "auto":
-        method = "direct" if k <= 2048 else "overlap_save_mxu"
+        if k <= 4096:
+            method = "direct"
+        elif isinstance(taps, jax.core.Tracer):
+            method = "overlap_save_mxu"
+        else:
+            method = "overlap_save_fused"
     record_choice("fir_filter", method)
     if method == "direct":
         return fir_direct(x, taps)
@@ -217,6 +224,18 @@ def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Ar
         from .fft_mxu import overlap_save_mxu
 
         return overlap_save_mxu(x, taps, block=_pick_block(k))
+    if method == "overlap_save_fused":
+        from .fft_mxu import FUSED_MAX_NFFT, overlap_save_fused
+
+        # cap the block so nfft fits the fused kernel's VMEM envelope; the
+        # extra overlap redundancy (<= ~1.35x at k=8192) still beats the
+        # HBM-bound composed path
+        block = min(_pick_block(k), FUSED_MAX_NFFT - ((k + 255) // 128) * 128)
+        if block < k:
+            from .fft_mxu import overlap_save_mxu
+
+            return overlap_save_mxu(x, taps, block=_pick_block(k))
+        return overlap_save_fused(x, taps, block=block)
     raise ValueError(f"unknown FIR method {method!r}")
 
 

@@ -68,7 +68,7 @@ def test_fir_filter_auto_uses_mxu_engine(rng):
     assert last_choice("fir_filter") == "direct"
     h = rng.normal(size=4097).astype(np.float32) / 64
     y = np.asarray(fir_filter(x, h))
-    assert last_choice("fir_filter") == "overlap_save_mxu"
+    assert last_choice("fir_filter") == "overlap_save_fused"
     from digital_signal_processsing_tpu.ops.fir import fir_direct
 
     want = np.asarray(fir_direct(x, h))
@@ -78,3 +78,40 @@ def test_fir_filter_auto_uses_mxu_engine(rng):
 def test_pick_factored_nfft():
     assert pick_factored_nfft(9000) == 9088
     assert pick_factored_nfft(9216) == 9216
+
+
+def test_fused_matches_composed_and_traced_fallback(rng):
+    import jax
+
+    from digital_signal_processsing_tpu.ops.fft_mxu import (
+        overlap_save_fused,
+        overlap_save_mxu,
+    )
+    from digital_signal_processsing_tpu.ops.fir import fir_filter
+    from digital_signal_processsing_tpu.utils.dispatch import last_choice
+
+    x = rng.normal(size=(2, 30_000)).astype(np.float32)
+    h = rng.normal(size=4097).astype(np.float32) / 64
+    a = np.asarray(overlap_save_fused(x, h, block=24576))
+    b = np.asarray(overlap_save_mxu(x, h, block=24576))
+    assert np.max(np.abs(a - b)) / np.max(np.abs(b)) < 1e-5
+    # traced taps cannot bake the frequency response -> composed path
+    jax.jit(lambda v, t: fir_filter(v, t))(x, h).block_until_ready()
+    assert last_choice("fir_filter") == "overlap_save_mxu"
+
+
+def test_fused_nfft_cap(rng):
+    from digital_signal_processsing_tpu.ops.fft_mxu import overlap_save_fused
+    from digital_signal_processsing_tpu.ops.fir import fir_direct, fir_filter
+
+    with pytest.raises(ValueError, match="caps nfft"):
+        overlap_save_fused(
+            np.zeros(100_000, np.float32), np.ones(8192, np.float32),
+            block=65536,
+        )
+    # the auto dispatcher shrinks the block instead
+    x = rng.normal(size=60_000).astype(np.float32)
+    h = rng.normal(size=8192).astype(np.float32) / 91
+    y = np.asarray(fir_filter(x, h))
+    want = np.asarray(fir_direct(x, h))
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-4
