@@ -201,7 +201,8 @@ def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Ar
     XLA-FFT overlap-save sits flat ~36-64 ms (the rfft+irfft pair is 29 ms
     of it — XLA's TPU FFT lowering is the bottleneck, benchmarks/
     r2_rows.py); the FUSED MXU overlap-save (ops/fft_mxu.py, per-block DFT
-    chains in VMEM) runs ~19-21 ms flat, putting the crossover at k ~ 4096.
+    chains in VMEM) runs 18.7/20.2/24.7/27.6 ms at k=1k/2k/4k/8k, putting
+    the measured crossover at k ~ 6000 (was ~10^4 against the XLA FFT).
     Traced taps fall back to the XLA-composed MXU DFT (the fused kernel
     bakes the frequency response as a constant).
     """
@@ -209,7 +210,7 @@ def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Ar
     from ..utils.dispatch import record_choice
 
     if method == "auto":
-        if k <= 4096:
+        if k <= 6000:
             method = "direct"
         elif isinstance(taps, jax.core.Tracer):
             method = "overlap_save_mxu"
