@@ -156,19 +156,29 @@ def time_phases(
         out = jax.block_until_ready(run_big(dev))
         np.asarray(out)
 
+    def force(val):
+        # block_until_ready can return before remote completion on the
+        # tunneled backend (BENCH_NOTES methodology); a tiny fetch is the
+        # reliable fence. Its fixed cost is identical at both chain
+        # lengths, so the K-differential cancels it exactly.
+        if run_small is not None:
+            np.asarray(val[:8] if val.ndim == 1 else val[..., 0, :8])
+            return val
+        return jax.block_until_ready(val)
+
     for _ in range(rounds):
         t0 = time.perf_counter()
         if not resident:
             dev = jax.block_until_ready(put(host_input))
         t1 = time.perf_counter()
-        out = jax.block_until_ready(run_big(dev))
+        out = force(run_big(dev))
         t2 = time.perf_counter()
         np.asarray(out)
         t3 = time.perf_counter()
         compute_ms = (t2 - t1) * 1e3
         if run_small is not None:
             t4 = time.perf_counter()
-            jax.block_until_ready(run_small(dev))
+            force(run_small(dev))
             small_ms = (time.perf_counter() - t4) * 1e3
             compute_ms = max((compute_ms - small_ms) / (chain - k_small), 0.0)
         res.accumulate((t1 - t0) * 1e3, compute_ms, (t3 - t2) * 1e3)

@@ -66,7 +66,7 @@ def test_fir_filter_auto_uses_mxu_engine(rng):
     x = rng.normal(size=30_000).astype(np.float32)
     fir_filter(x, np.ones(257, np.float32) / 257)
     assert last_choice("fir_filter") == "direct"
-    h = rng.normal(size=4097).astype(np.float32) / 64
+    h = rng.normal(size=8193).astype(np.float32) / 91
     y = np.asarray(fir_filter(x, h))
     assert last_choice("fir_filter") == "overlap_save_fused"
     from digital_signal_processsing_tpu.ops.fir import fir_direct
@@ -91,9 +91,9 @@ def test_fused_matches_composed_and_traced_fallback(rng):
     from digital_signal_processsing_tpu.utils.dispatch import last_choice
 
     x = rng.normal(size=(2, 30_000)).astype(np.float32)
-    h = rng.normal(size=4097).astype(np.float32) / 64
-    a = np.asarray(overlap_save_fused(x, h, block=24576))
-    b = np.asarray(overlap_save_mxu(x, h, block=24576))
+    h = rng.normal(size=8193).astype(np.float32) / 91
+    a = np.asarray(overlap_save_fused(x, h, block=24448))
+    b = np.asarray(overlap_save_mxu(x, h, block=24448))
     assert np.max(np.abs(a - b)) / np.max(np.abs(b)) < 1e-5
     # traced taps cannot bake the frequency response -> composed path
     jax.jit(lambda v, t: fir_filter(v, t))(x, h).block_until_ready()
