@@ -251,7 +251,7 @@ def design_hilbert_fir(num_taps: int, *, beta: float = 8.0) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("num_taps", "row_len"))
 def hilbert_fir(
-    x: jax.Array, *, num_taps: int = 513, row_len: int = 1 << 21
+    x: jax.Array, *, num_taps: int = 513, row_len: int = 1 << 20
 ) -> jax.Array:
     """Blocked analytic signal: FIR Hilbert transformer + delay alignment.
 
@@ -261,10 +261,10 @@ def hilbert_fir(
     padding (same halo semantics as every causal op).
 
     Long flat streams are folded into rows of ``row_len`` with a per-row
-    overlap halo (overlap-save across rows): a (1, T/128, 128) conv at
-    T = 64M drives XLA's TPU conv planner pathological (multi-minute
-    compiles), while the folded (B, row_len/128, 128) shape matches the
-    receiver chain's known-fast geometry.
+    overlap halo (overlap-save across rows): XLA's TPU conv planner goes
+    pathological on wide-and-batched shapes (measured 479 s of compile at
+    (32, 2.1M) vs 11 s at (64, 1.05M) for the SAME total work), so the
+    default row keeps the per-row width at 1M samples.
     """
     from .fir import blocked_causal_conv
 

@@ -334,22 +334,43 @@ def _lane_prefix_and_totals_vpu(ext, channels: int):
     return p, rt
 
 
-def _lane_prefix_and_totals_mxu(ext, channels: int):
+def _lane_prefix_and_totals_mxu(ext, channels: int, f32_pass: bool = False):
     """Same two quantities as ONE pair of full-tile bf16-limb matmuls each.
 
     Cross-lane shifts (pltpu.roll axis=1) go through the permute unit and
     dominate the VPU variant's cost; both lane-wise passes are instead exact
     0/1-matrix products on the MXU (x = hi*256 + lo with |limb| <= 255 exact
-    in bfloat16; f32 accumulation of <= 128 such terms < 2^24 is exact):
+    in bfloat16; f32 accumulation of <= 128 terms < 2^24 is exact):
 
       p  = ext @ U  where U[i,j] = 1 iff j >= i and (j-i) % C == 0
                     (the stride-starts-at-C trick as a matrix)
       rt = ext @ F  where F[i,j] = 1 iff (j-i) % C == 0
                     (class-total fold, already broadcast to every lane)
+
+    ``f32_pass``: skip the limb split/recombine (saves ~6 VPU ops/word) and
+    run ONE f32 matmul per matrix at HIGHEST precision — row sums stay
+    <= 128*32768 < 2^23, exactly representable in f32, so a faithful f32
+    dot is bit-exact. Costs 3x the MXU passes (6-pass f32 vs 2x 1-pass
+    bf16 limbs); whether it nets out is measured per chip generation
+    (benchmarks/ab_packed.py --lane f32).
     """
     r1 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     r2 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     same_class = (r2 - r1) % channels == 0
+    if f32_pass:
+        uf = ((r2 >= r1) & same_class).astype(jnp.float32)
+        ff = same_class.astype(jnp.float32)
+        xf = ext.astype(jnp.float32)
+
+        def mmx(a, b):
+            return jnp.dot(
+                a,
+                b,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        return mmx(xf, uf).astype(jnp.int32), mmx(xf, ff).astype(jnp.int32)
     u = ((r2 >= r1) & same_class).astype(jnp.bfloat16)
     f = same_class.astype(jnp.bfloat16)
     # scaled-limb split: hi*256 has the same 8-bit significand as hi (exact
@@ -366,17 +387,19 @@ def _lane_prefix_and_totals_mxu(ext, channels: int):
     return p, rt
 
 
-def _windowed_wsum(ext, window: int, channels: int, lane_via_mxu: bool):
+def _windowed_wsum(
+    ext, window: int, channels: int, lane_via_mxu: bool, lane_f32: bool = False
+):
     """Windowed per-channel sums of an int32 ext tile (the kernel core).
 
     wsum(r,l) = p(r,l) - p(r-hr, l-hl) + sum_{r'=r-hr}^{r-1} rowtot(r').
     """
     h = window * channels
     hr, hl = divmod(h, LANES)
-    lane_pass = (
-        _lane_prefix_and_totals_mxu if lane_via_mxu else _lane_prefix_and_totals_vpu
-    )
-    p, rt = lane_pass(ext, channels)
+    if lane_via_mxu:
+        p, rt = _lane_prefix_and_totals_mxu(ext, channels, f32_pass=lane_f32)
+    else:
+        p, rt = _lane_prefix_and_totals_vpu(ext, channels)
 
     # windowed sum of row totals over rows [r-hr, r-1]. All axis-0 rolls
     # here are circular/unmasked: every shift is <= hr+1 <= tail_rows, so
@@ -402,7 +425,8 @@ def _windowed_wsum(ext, window: int, channels: int, lane_via_mxu: bool):
 
 
 def _windowed_averager_kernel(
-    *refs, window, channels, rows, tail_rows, lane_via_mxu, seeded
+    *refs, window, channels, rows, tail_rows, lane_via_mxu, seeded,
+    lane_f32=False
 ):
     """Carry-free fused windowed averager (see windowed_averager_pallas)."""
     if seeded:
@@ -426,7 +450,7 @@ def _windowed_averager_kernel(
     ext = jnp.concatenate([tail_ref[:], xi], axis=0)  # (tail_rows+rows, 128)
     tail_ref[:] = xi[rows - tail_rows :, :]
 
-    wsum = _windowed_wsum(ext, window, channels, lane_via_mxu)
+    wsum = _windowed_wsum(ext, window, channels, lane_via_mxu, lane_f32)
     o_ref[:] = _trunc_div_cast(wsum[tail_rows:, :], window)
 
 
@@ -437,7 +461,8 @@ def _trunc_div_i32(wsum, window: int):
 
 
 def _windowed_packed_kernel(
-    *refs, window, channels, rows, tail_rows, lane_via_mxu, seeded
+    *refs, window, channels, rows, tail_rows, lane_via_mxu, seeded,
+    lane_f32=False
 ):
     """Windowed averager over an int32-PACKED int16 stream (2 samples/word).
 
@@ -473,10 +498,12 @@ def _windowed_packed_kernel(
     lo = jnp.right_shift(jnp.left_shift(ext32, 16), 16)  # sign-extended
     hi = jnp.right_shift(ext32, 16)
     q_lo = _trunc_div_i32(
-        _windowed_wsum(lo, window, c2, lane_via_mxu)[tail_rows:, :], window
+        _windowed_wsum(lo, window, c2, lane_via_mxu, lane_f32)[tail_rows:, :],
+        window,
     )
     q_hi = _trunc_div_i32(
-        _windowed_wsum(hi, window, c2, lane_via_mxu)[tail_rows:, :], window
+        _windowed_wsum(hi, window, c2, lane_via_mxu, lane_f32)[tail_rows:, :],
+        window,
     )
     o_ref[:] = jnp.bitwise_or(
         jnp.left_shift(q_hi, 16), jnp.bitwise_and(q_lo, 0xFFFF)
@@ -484,7 +511,8 @@ def _windowed_packed_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "channels", "tile_rows", "lane_via_mxu")
+    jax.jit,
+    static_argnames=("window", "channels", "tile_rows", "lane_via_mxu", "lane_f32"),
 )
 def windowed_averager_pallas(
     x: jax.Array,
@@ -493,6 +521,7 @@ def windowed_averager_pallas(
     *,
     tile_rows: int | None = None,
     lane_via_mxu: bool = True,
+    lane_f32: bool = False,
     seed: jax.Array | None = None,
 ) -> jax.Array:
     """Carry-free fused moving averager — the fastest variant on v5e.
@@ -554,6 +583,7 @@ def windowed_averager_pallas(
                 rows=rows,
                 tail_rows=tail_rows,
                 lane_via_mxu=lane_via_mxu,
+                lane_f32=lane_f32,
                 seeded=seed is not None,
             ),
             out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.int16),
@@ -607,7 +637,8 @@ def windowed_averager_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "channels", "tile_rows", "lane_via_mxu")
+    jax.jit,
+    static_argnames=("window", "channels", "tile_rows", "lane_via_mxu", "lane_f32"),
 )
 def windowed_averager_packed(
     x32: jax.Array,
@@ -616,6 +647,7 @@ def windowed_averager_packed(
     *,
     tile_rows: int | None = None,
     lane_via_mxu: bool = True,
+    lane_f32: bool = False,
     seed: jax.Array | None = None,
 ) -> jax.Array:
     """Windowed averager over an int32-packed int16 stream (2 samples/word).
@@ -691,6 +723,7 @@ def windowed_averager_packed(
             rows=rows,
             tail_rows=tail_rows,
             lane_via_mxu=lane_via_mxu,
+            lane_f32=lane_f32,
             seeded=seed is not None,
         ),
         out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.int32),
