@@ -350,9 +350,12 @@ def _lane_prefix_and_totals_mxu(ext, channels: int, f32_pass: bool = False):
     ``f32_pass``: skip the limb split/recombine (saves ~6 VPU ops/word) and
     run ONE f32 matmul per matrix at HIGHEST precision — row sums stay
     <= 128*32768 < 2^23, exactly representable in f32, so a faithful f32
-    dot is bit-exact. Costs 3x the MXU passes (6-pass f32 vs 2x 1-pass
-    bf16 limbs); whether it nets out is measured per chip generation
-    (benchmarks/ab_packed.py --lane f32).
+    dot is bit-exact (verified ON CHIP at w=16/1024). MEASURED 40% SLOWER
+    on v5e (44.0 vs 73.7 GS/s at 64M/k=1024): HIGHEST's 6 bf16 passes cost
+    3x the 2-pass limb spelling and the kernel is MXU-sensitive — the limb
+    trick is load-bearing, kept as the default. The flag stays as the
+    documented experiment (also note: the extra live f32 ext tile can
+    exceed VMEM at extreme windows, e.g. w=65535 C=2).
     """
     r1 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     r2 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
