@@ -144,10 +144,35 @@ def blocked_interp_conv(
     return y[:, : t * q]
 
 
+# Max per-row width before a flat stream folds into batched rows: XLA's
+# TPU conv planner goes pathological on very wide convs (flat 64M at k=257
+# measured 317 s of COMPILE; the folded (61, 1.05M) shape compiles in
+# seconds for identical work — same pathology as the Hilbert row fold).
+FOLD_ROW_LEN = 1 << 20
+
+
 @functools.partial(jax.jit, static_argnames=())
 def fir_direct(x: jax.Array, taps: jax.Array) -> jax.Array:
-    """Causal direct-form FIR of (channels, time) or (time,) float signal."""
+    """Causal direct-form FIR of (channels, time) or (time,) float signal.
+
+    Long flat streams fold into rows of ``FOLD_ROW_LEN`` with a carried
+    (k-1)-sample causal halo per row (zeros for row 0 — the standard halo
+    semantics), sidestepping the conv planner's wide-shape compile
+    pathology; the result matches the unfolded conv to float rounding.
+    """
     xp, squeeze = _as_planar(x)
+    c, t = xp.shape
+    k = int(taps.shape[0])
+    if c == 1 and t > 2 * FOLD_ROW_LEN and k - 1 <= FOLD_ROW_LEN:
+        el = FOLD_ROW_LEN
+        tp = -(-t // el) * el
+        rows = jnp.pad(xp[0].astype(jnp.float32), (0, tp - t)).reshape(-1, el)
+        halo = k - 1
+        prev = jnp.pad(rows[:-1, el - halo :], ((1, 0), (0, 0)))
+        ext = jnp.concatenate([prev, rows], axis=-1)
+        y = blocked_causal_conv(ext, taps)[:, halo:]
+        y = y.reshape(1, tp)[:, :t]
+        return y[0] if squeeze else y
     y = blocked_causal_conv(xp, taps)
     return y[0] if squeeze else y
 

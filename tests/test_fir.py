@@ -71,3 +71,20 @@ def test_lowpass_design_properties():
     assert hi < 1e-2
     with pytest.raises(ValueError):
         design_lowpass(11, 1.5)
+
+
+def test_fir_direct_folded_long_flat_matches_short_spelling(rng):
+    # long flat streams fold into halo-carried rows (conv-planner compile
+    # pathology); the folded result must match the unfolded conv
+    import digital_signal_processsing_tpu.ops.fir as fir_mod
+
+    x = rng.normal(size=50_000).astype(np.float32)
+    h = rng.normal(size=257).astype(np.float32) / 16
+    want = np.asarray(fir_mod.fir_direct(x, h))
+    orig = fir_mod.FOLD_ROW_LEN
+    try:
+        fir_mod.FOLD_ROW_LEN = 8192  # force the fold at test size
+        got = np.asarray(fir_mod.fir_direct.__wrapped__(x, h))
+    finally:
+        fir_mod.FOLD_ROW_LEN = orig
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
