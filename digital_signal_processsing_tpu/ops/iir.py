@@ -769,3 +769,123 @@ def _sosfilt_chunk_pallas_aligned(
         new_st.reshape(jnp.asarray(state).shape),
         _from_planar_tiles(y3d, batch, n),
     )
+
+
+# --- scipy-compat surface ----------------------------------------------------
+
+
+def ba_to_sos(b, a) -> np.ndarray:
+    """Transfer-function (b, a) -> second-order sections (scipy tf2sos-like).
+
+    Pairs conjugate (or nearest-real) zeros/poles into biquads, real ones
+    together, distributing the overall gain across sections' numerators.
+    Design functions here emit SOS directly; this exists for coefficients
+    arriving from elsewhere (textbooks, other tools). Host-side float64.
+    """
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a[0] == 0:
+        raise ValueError("a[0] must be nonzero")
+    b, a = b / a[0], a / a[0]
+    gain = b[0] if b[0] != 0 else 1.0
+    zeros = np.roots(b) if b.size > 1 else np.array([], complex)
+    poles = np.roots(a) if a.size > 1 else np.array([], complex)
+    n_sec = max((max(zeros.size, poles.size) + 1) // 2, 1)
+    zeros = np.concatenate([zeros, np.zeros(2 * n_sec - zeros.size)])
+    poles = np.concatenate([poles, np.zeros(2 * n_sec - poles.size)])
+
+    def pair(roots):
+        # conjugates together; leftover reals paired by magnitude
+        cplx = sorted(
+            (r for r in roots if r.imag > 1e-12), key=lambda r: abs(r)
+        )
+        reals = sorted((r.real for r in roots if abs(r.imag) <= 1e-12))
+        pairs = [(r, np.conj(r)) for r in cplx]
+        pairs += [
+            (reals[i], reals[i + 1]) for i in range(0, len(reals) - 1, 2)
+        ]
+        if len(reals) % 2:
+            pairs.append((reals[-1], 0.0))
+        return pairs
+
+    zp, pp = pair(zeros), pair(poles)
+    while len(zp) < n_sec:
+        zp.append((0.0, 0.0))
+    while len(pp) < n_sec:
+        pp.append((0.0, 0.0))
+    rows = []
+    g = abs(gain) ** (1.0 / n_sec) * np.sign(gain)
+    for (z1, z2), (p1, p2) in zip(zp, pp):
+        bb = np.array([1.0, -(z1 + z2).real, (z1 * z2).real]) * g
+        aa = np.array([1.0, -(p1 + p2).real, (p1 * p2).real])
+        rows.append(np.concatenate([bb, aa]))
+    return np.asarray(rows, np.float32)
+
+
+def lfilter(b, a, x: jax.Array, *, method: str = "auto") -> jax.Array:
+    """scipy.signal.lfilter-compatible IIR/FIR filtering over the last axis.
+
+    Pure-FIR coefficients (a reduces to a scalar) route to the lane-blocked
+    conv; everything else converts to an SOS cascade and runs through
+    :func:`sosfilt` (same auto-dispatch to the Pallas block scan at scale).
+    Matches scipy to float32 tolerance for stable filters.
+    """
+    a_np = np.atleast_1d(np.asarray(a, np.float64))
+    b_np = np.atleast_1d(np.asarray(b, np.float64))
+    if a_np.size == 1:
+        from .fir import fir_filter
+
+        taps = (b_np / a_np[0]).astype(np.float32)
+        return fir_filter(x, jnp.asarray(taps))
+    return sosfilt(ba_to_sos(b_np, a_np), x, method=method)
+
+
+def sosfiltfilt(sos, x: jax.Array, *, method: str = "auto") -> jax.Array:
+    """Zero-phase forward-backward SOS filtering (scipy.signal.sosfiltfilt).
+
+    Forward pass, reverse, filter again, reverse — squared magnitude
+    response, zero phase. Edge transients are suppressed with scipy's
+    odd-reflection padding of length ``6 * (n_sections + 1)`` (Gustafsson-
+    free variant; matches scipy's default within the reflected-edge
+    approximation, exact away from the edges).
+    """
+    sos_np = np.asarray(sos, np.float64).reshape(-1, 6)
+    pad = 6 * (sos_np.shape[0] + 1)
+    t = x.shape[-1]
+    if t <= pad:
+        raise ValueError(
+            f"input of {t} samples is shorter than the edge padding {pad + 1}"
+        )
+    xf = x.astype(jnp.float32)
+    # odd reflection: 2*x[0] - x[pad..1], signal, 2*x[-1] - x[-2..-pad-1]
+    left = 2.0 * xf[..., :1] - xf[..., pad:0:-1]
+    right = 2.0 * xf[..., -1:] - xf[..., -2 : -pad - 2 : -1]
+    ext = jnp.concatenate([left, xf, right], axis=-1)
+    y = sosfilt(sos_np, ext, method=method)
+    y = sosfilt(sos_np, y[..., ::-1], method=method)[..., ::-1]
+    return y[..., pad : pad + t]
+
+
+def freqz(b, a=1.0, worN: int = 512):
+    """(w, H) frequency response of a (b, a) filter — numpy host helper.
+
+    ``w`` in radians/sample over [0, pi); matches scipy.signal.freqz's
+    default one-sided grid.
+    """
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    w = np.linspace(0, np.pi, worN, endpoint=False)
+    z = np.exp(-1j * w)
+    num = np.polyval(b[::-1], z) / np.polyval(a[::-1], z)
+    return w, num
+
+
+def sosfreqz(sos, worN: int = 512):
+    """(w, H) frequency response of an SOS cascade (scipy.signal.sosfreqz)."""
+    sos_np = np.asarray(sos, np.float64).reshape(-1, 6)
+    w = np.linspace(0, np.pi, worN, endpoint=False)
+    h = np.ones_like(w, dtype=complex)
+    for row in sos_np:
+        _, hi = freqz(row[:3], row[3:], worN)
+        h *= hi
+    return w, h

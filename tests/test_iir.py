@@ -233,3 +233,62 @@ def test_sosfilt_chunk_dispatches_by_length(rng):
     assert last_choice("sosfilt_chunk") == "xla_scan"
     sosfilt_chunk(st, sos, np.zeros(PALLAS_IIR_MIN_T, np.float32))
     assert last_choice("sosfilt_chunk") == "pallas"
+
+
+def test_ba_to_sos_and_lfilter_match_scipy(rng):
+    import scipy.signal as sps
+
+    from digital_signal_processsing_tpu.ops.iir import lfilter
+
+    x = rng.normal(size=4000).astype(np.float32)
+    for b, a in [
+        sps.butter(4, 0.2),
+        sps.butter(5, [0.2, 0.5], btype="bandpass"),
+        sps.cheby1(3, 1.0, 0.3),
+        (np.array([0.5, 0.3, 0.1]), np.array([1.0])),  # pure FIR
+    ]:
+        got = np.asarray(lfilter(b, a, x))
+        want = sps.lfilter(np.atleast_1d(b), np.atleast_1d(a), x.astype(np.float64))
+        scale = np.max(np.abs(want)) + 1e-9
+        assert np.max(np.abs(got - want)) / scale < 1e-3, (b, a)
+
+
+def test_sosfiltfilt_matches_scipy(rng):
+    import scipy.signal as sps
+
+    from digital_signal_processsing_tpu.ops.iir import sosfiltfilt
+
+    sos = sps.butter(4, 0.2, output="sos")
+    x = rng.normal(size=(2, 3000)).astype(np.float32)
+    got = np.asarray(sosfiltfilt(sos, x))
+    want = sps.sosfiltfilt(sos, x.astype(np.float64), axis=-1)
+    scale = np.max(np.abs(want))
+    # interior is exact to float32; the edges differ only by the padding
+    # length (ours 6*(n+1) vs scipy's 3*(2n+1)) — both are reflected-edge
+    # approximations of the same zero-phase response
+    assert np.max(np.abs(got - want)[:, 50:-50]) / scale < 1e-5
+    assert np.max(np.abs(got - want)) / scale < 5e-2
+    # zero phase: a delayed impulse stays centered
+    imp = np.zeros(2048, np.float32)
+    imp[1024] = 1.0
+    y = np.asarray(sosfiltfilt(sos, imp))
+    assert abs(int(np.argmax(y)) - 1024) <= 1
+
+
+def test_freqz_helpers_match_scipy():
+    import scipy.signal as sps
+
+    from digital_signal_processsing_tpu.ops.iir import (
+        design_butterworth,
+        freqz,
+        sosfreqz,
+    )
+
+    w, h = freqz([0.5, 0.5], [1.0, -0.2], worN=256)
+    ws, hs = sps.freqz([0.5, 0.5], [1.0, -0.2], worN=256)
+    np.testing.assert_allclose(w, ws)
+    np.testing.assert_allclose(h, hs, rtol=1e-10)
+    sos = design_butterworth(4, 0.25)
+    w2, h2 = sosfreqz(sos, worN=256)
+    ws2, hs2 = sps.sosfreqz(sos.astype(np.float64), worN=256)
+    np.testing.assert_allclose(h2, hs2, rtol=1e-4, atol=1e-6)
