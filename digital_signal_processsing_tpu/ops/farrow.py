@@ -310,3 +310,135 @@ __all__ = [
     "farrow_output_len",
     "resample_farrow",
 ]
+
+
+# --- streaming (matmul spelling) ---------------------------------------------
+#
+# The gather chunk path above is the bit-exactness baseline; on TPU its
+# gathers run at ~0.03 GS/s (BENCH_NOTES). The matmul chunk path emits
+# whole FRAMES of `up` outputs through the same banded phase matrix as the
+# one-shot, carrying a (down+8)-sample input tail between chunks. All
+# bookkeeping is in SAMPLES (small ints), so there is no int32 phase
+# envelope; outputs match the one-shot matmul path exactly except that the
+# final sub-frame (< up outputs) of the whole stream is deferred until
+# enough input arrives (or the stream ends).
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FarrowMatmulState:
+    """Carry for matmul-spelling streaming: a right-aligned raw-input tail.
+
+    ``buf``: the last ``down + 8`` input samples per channel (garbage in
+    the unused prefix); ``valid``: how many trailing samples are real and
+    not yet consumed by emitted frames (includes the initial 4-zero halo).
+    """
+
+    buf: jax.Array  # (channels, down + 8) float32
+    valid: jax.Array  # () int32
+
+
+def farrow_matmul_init(rate, channels: int = 1) -> FarrowMatmulState:
+    up, down = as_rational_rate(rate)
+    return FarrowMatmulState(
+        buf=jnp.zeros((channels, down + 8), jnp.float32),
+        valid=jnp.asarray(4, jnp.int32),  # the 4-zero causal ext halo
+    )
+
+
+def farrow_matmul_max_out(chunk_len: int, rate) -> int:
+    """Static output capacity of one matmul-spelling chunk."""
+    up, down = as_rational_rate(rate)
+    return ((chunk_len + down + 8 - 8) // down) * up
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down"))
+def _farrow_matmul_chunk_jit(
+    state: FarrowMatmulState, x2d: jax.Array, up: int, down: int
+):
+    from ..utils.layout import overlapping_frames
+
+    c, tc = x2d.shape
+    ht = down + 8
+    ext = jnp.concatenate([state.buf, x2d.astype(jnp.float32)], axis=-1)
+    # real samples occupy ext[:, ht - valid :]; realign so frame origins sit
+    # at static hops from column 0 (one dynamic-slice copy per chunk). The
+    # right pad keeps start + size inside the array — dynamic_slice CLAMPS
+    # an overrunning start, which would silently misalign every frame.
+    padded = jnp.pad(ext, ((0, 0), (0, ht)))
+    start = (ht - state.valid).astype(jnp.int32)
+    sl = jax.lax.dynamic_slice(padded, (jnp.int32(0), start), (c, tc + ht))
+    a_max = (tc + ht - 8) // down
+    n_avail = state.valid + tc
+    a_valid = jnp.maximum((n_avail - 8) // down, 0).astype(jnp.int32)
+    frames = overlapping_frames(sl, a_max, down, down + 8)
+    k = jnp.asarray(_phase_matrix(up, down))
+    y = jnp.einsum(
+        "cfd,dr->cfr", frames, k, precision=jax.lax.Precision.HIGHEST
+    ).reshape(c, a_max * up)
+    m = jnp.arange(a_max * up, dtype=jnp.int32)
+    y = jnp.where(m < a_valid * up, y, 0.0)
+    new_state = FarrowMatmulState(
+        buf=ext[:, -ht:],
+        valid=(n_avail - a_valid * down).astype(jnp.int32),
+    )
+    return new_state, y, (a_valid * up).astype(jnp.int32)
+
+
+def farrow_matmul_chunk(
+    state: FarrowMatmulState, x: jax.Array, rate
+) -> tuple[FarrowMatmulState, jax.Array, jax.Array]:
+    """One chunk of matmul-spelling Farrow resampling.
+
+    Returns ``(state, y, count)`` like :func:`farrow_chunk`; ``y`` has the
+    static capacity :func:`farrow_matmul_max_out` and only
+    ``y[..., :count]`` is valid (counts are always whole multiples of
+    ``up``). Concatenated valid outputs equal
+    ``resample_farrow(method="matmul")`` on the concatenated stream, up to
+    the deferred final sub-frame.
+    """
+    up, down = as_rational_rate(rate)
+    squeeze = x.ndim == 1
+    x2d = x[None, :] if squeeze else x
+    if x2d.shape[-1] < 1:
+        raise ValueError("empty chunk")
+    new_state, y, count = _farrow_matmul_chunk_jit(state, x2d, up, down)
+    return new_state, (y[0] if squeeze else y), count
+
+
+def farrow_matmul_flush_cap(rate) -> int:
+    """Static capacity of :func:`farrow_matmul_flush`'s output."""
+    up, down = as_rational_rate(rate)
+    return up + (2 * up) // down + 2
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down"))
+def _farrow_matmul_flush_jit(state: FarrowMatmulState, up: int, down: int):
+    ht = down + 8
+    cap = up + (2 * up) // down + 2
+    r = np.arange(cap, dtype=np.int64)
+    n_rel = (4 + (r * down) // up).astype(np.int32)  # same pattern as frame 0
+    mu = jnp.asarray(((r * down) % up).astype(np.float32) / up)
+    idx = (ht - state.valid) + jnp.asarray(n_rel)  # buf is right-aligned
+    g = [jnp.take(state.buf, idx + (j - 1), axis=-1) for j in range(4)]
+    y = _lagrange4(mu, *g)
+    # emit while the 4-tap stencil fits the valid tail
+    ok = jnp.asarray(n_rel) + 2 <= state.valid - 1
+    count = jnp.sum(ok.astype(jnp.int32))
+    return jnp.where(ok, y, 0.0), count
+
+
+def farrow_matmul_flush(
+    state: FarrowMatmulState, rate
+) -> tuple[jax.Array, jax.Array]:
+    """Emit the stream-end outputs the whole-frame chunks deferred.
+
+    Returns ``(y, count)`` with ``y`` of static capacity
+    :func:`farrow_matmul_flush_cap`; only ``y[..., :count]`` is valid.
+    Concatenating chunk outputs + the flush reproduces the one-shot
+    ``resample_farrow(method="matmul")`` on the whole stream (the flush
+    itself evaluates the exact pointwise schedule on the carried tail).
+    """
+    up, down = as_rational_rate(rate)
+    y, count = _farrow_matmul_flush_jit(state, up, down)
+    return y, count

@@ -147,3 +147,33 @@ def test_auto_picks_matmul_within_envelope(rng):
     assert last_choice("resample_farrow") == "matmul"
     resample_farrow(x, np.pi / 3)  # snaps to a ~2^16 fraction: gather
     assert last_choice("resample_farrow") == "gather"
+
+
+@pytest.mark.parametrize("rate", [(160, 147), (3, 7), (441, 2560), 1.5])
+def test_matmul_streaming_matches_one_shot(rng, rate):
+    from digital_signal_processsing_tpu.ops.farrow import (
+        farrow_matmul_chunk,
+        farrow_matmul_init,
+        farrow_matmul_max_out,
+    )
+
+    x = rng.normal(size=(2, 9973)).astype(np.float32)
+    want = np.asarray(resample_farrow(x, rate, method="matmul"))
+
+    state = farrow_matmul_init(rate, channels=2)
+    pieces = []
+    edges = [0, 1, 130, 1155, 4099, 7001, 9973]
+    for a, b in zip(edges[:-1], edges[1:]):
+        state, y, count = farrow_matmul_chunk(state, x[:, a:b], rate)
+        assert y.shape[-1] == farrow_matmul_max_out(b - a, rate)
+        pieces.append(np.asarray(y)[:, : int(count)])
+    from digital_signal_processsing_tpu.ops.farrow import farrow_matmul_flush
+
+    yf, cf = farrow_matmul_flush(state, rate)
+    pieces.append(np.asarray(yf)[:, : int(cf)])
+    got = np.concatenate(pieces, axis=-1)
+    # chunks emit whole frames; the flush completes the stream end exactly
+    assert got.shape[1] >= want.shape[1]
+    np.testing.assert_allclose(
+        got[:, : want.shape[1]], want, rtol=1e-5, atol=1e-5
+    )
