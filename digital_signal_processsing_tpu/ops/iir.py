@@ -889,3 +889,121 @@ def sosfreqz(sos, worN: int = 512):
         _, hi = freqz(row[:3], row[3:], worN)
         h *= hi
     return w, h
+
+
+def design_chebyshev1(
+    order: int, ripple_db: float, cutoff: float, btype: str = "lowpass"
+) -> np.ndarray:
+    """Chebyshev type-I digital filter as an SOS cascade (scipy layout).
+
+    Closed-form analog prototype (poles on an ellipse:
+    s_k = -sinh(mu)·sin(theta_k) + j·cosh(mu)·cos(theta_k) with
+    mu = asinh(1/eps)/order), bilinear-transformed with prewarping like
+    :func:`design_butterworth`. Passband ripple ``ripple_db`` dB; matches
+    scipy.signal.cheby1 to float tolerance (tests/test_design_spectral.py).
+    """
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    if ripple_db <= 0:
+        raise ValueError(f"ripple_db must be > 0, got {ripple_db}")
+    if not 0.0 < cutoff < 1.0:
+        raise ValueError(f"cutoff must be in (0,1) of Nyquist, got {cutoff}")
+    if btype not in ("lowpass", "highpass"):
+        raise ValueError(f"btype must be lowpass or highpass, got {btype!r}")
+    eps = np.sqrt(10.0 ** (ripple_db / 10.0) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / order
+    k = np.arange(order)
+    theta = np.pi * (2 * k + 1) / (2 * order)
+    proto = -np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta)
+    warped = np.tan(np.pi * cutoff / 2.0)
+    s_poles = warped * proto if btype == "lowpass" else warped / proto
+    z_poles = (1 + s_poles) / (1 - s_poles)
+    zero = -1.0 if btype == "lowpass" else 1.0
+    ref = 1.0 if btype == "lowpass" else -1.0
+
+    # reference gain: type I is equiripple in the passband — unity at the
+    # band EDGE reference for even order (DC/Nyquist sits at -ripple), at
+    # the peak for odd order
+    upper = [p for p in z_poles if p.imag > 1e-12]
+    real = [p.real for p in z_poles if abs(p.imag) <= 1e-12]
+    rows = []
+    for p in upper:
+        a = np.array([1.0, -2 * p.real, abs(p) ** 2])
+        b = np.array([1.0, -2 * zero, 1.0])
+        g = np.polyval(a, ref) / np.polyval(b, ref)
+        rows.append(np.concatenate([b * g, a]))
+    for r in real:
+        a = np.array([1.0, -r, 0.0])
+        b = np.array([1.0, -zero, 0.0])
+        g = np.polyval(a[:2], ref) / np.polyval(b[:2], ref)
+        rows.append(np.concatenate([b * g, a]))
+    sos = np.asarray(rows, np.float64)
+    if order % 2 == 0:
+        # even order: gain at the DC/Nyquist reference is 1/sqrt(1+eps^2)
+        sos[0, :3] *= 1.0 / np.sqrt(1.0 + eps**2)
+    return sos.astype(np.float32)
+
+
+def design_chebyshev2(
+    order: int, atten_db: float, cutoff: float, btype: str = "lowpass"
+) -> np.ndarray:
+    """Chebyshev type-II (inverse Chebyshev) SOS cascade (scipy layout).
+
+    Flat passband, equiripple stopband at ``-atten_db`` starting at
+    ``cutoff``. Analog prototype: poles are the reciprocals of the type-I
+    ellipse poles (eps' = 1/sqrt(10^(A/10)-1)); zeros at
+    j/cos(theta_k). Matches scipy.signal.cheby2's magnitude response.
+    """
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    if atten_db <= 0:
+        raise ValueError(f"atten_db must be > 0, got {atten_db}")
+    if not 0.0 < cutoff < 1.0:
+        raise ValueError(f"cutoff must be in (0,1) of Nyquist, got {cutoff}")
+    if btype not in ("lowpass", "highpass"):
+        raise ValueError(f"btype must be lowpass or highpass, got {btype!r}")
+    eps = 1.0 / np.sqrt(10.0 ** (atten_db / 10.0) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / order
+    k = np.arange(order)
+    theta = np.pi * (2 * k + 1) / (2 * order)
+    p1 = -np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta)
+    proto_poles = 1.0 / p1
+    with np.errstate(divide="ignore"):
+        proto_zeros = 1j / np.cos(theta)  # inf for the odd-order middle
+    warped = np.tan(np.pi * cutoff / 2.0)
+    if btype == "lowpass":
+        s_poles = warped * proto_poles
+        s_zeros = warped * proto_zeros
+    else:
+        s_poles = warped / proto_poles
+        s_zeros = np.where(np.isfinite(proto_zeros), warped / proto_zeros, 0.0)
+    z_poles = (1 + s_poles) / (1 - s_poles)
+    finite = np.isfinite(s_zeros)
+    z_zeros = np.where(finite, (1 + s_zeros) / (1 - s_zeros), -1.0)
+    # infinite analog zeros -> z = -1 (lowpass) / +1 (highpass)
+    if btype == "highpass":
+        z_zeros = np.where(finite, z_zeros, 1.0)
+    ref = 1.0 if btype == "lowpass" else -1.0  # unity passband reference
+
+    up_p = [p for p in z_poles if p.imag > 1e-12]
+    rp = [p.real for p in z_poles if abs(p.imag) <= 1e-12]
+    up_z = [z for z in z_zeros if z.imag > 1e-12]
+    rz = [z.real for z in z_zeros if abs(z.imag) <= 1e-12]
+    rows = []
+    for i, p in enumerate(up_p):
+        a = np.array([1.0, -2 * p.real, abs(p) ** 2])
+        if i < len(up_z):
+            z = up_z[i]
+            b = np.array([1.0, -2 * z.real, abs(z) ** 2])
+        else:
+            b = np.array([1.0, -(rz.pop() + rz.pop()), 1.0]) if len(rz) >= 2 else (
+                np.array([1.0, -rz.pop(), 0.0]) if rz else np.array([1.0, 0, 0])
+            )
+        g = np.polyval(a, ref) / np.polyval(b, ref)
+        rows.append(np.concatenate([b * g, a]))
+    for r in rp:
+        a = np.array([1.0, -r, 0.0])
+        b = np.array([1.0, -rz.pop(), 0.0]) if rz else np.array([1.0, 1.0, 0.0])
+        g = np.polyval(a[:2], ref) / np.polyval(b[:2], ref)
+        rows.append(np.concatenate([b * g, a]))
+    return np.asarray(rows, np.float32)

@@ -331,3 +331,40 @@ class TestButterworthBand:
             design_butterworth_band(2, 0.5, 0.2)
         with pytest.raises(ValueError):
             design_butterworth_band(2, 0.2, 0.5, "lowpass")
+
+
+class TestChebyshev:
+    @pytest.mark.parametrize("order", [2, 3, 4, 5, 6])
+    @pytest.mark.parametrize("btype", ["lowpass", "highpass"])
+    def test_cheby1_matches_scipy(self, order, btype):
+        from digital_signal_processsing_tpu.ops.iir import design_chebyshev1
+
+        sos = design_chebyshev1(order, 1.0, 0.3, btype)
+        ref = sps.cheby1(order, 1.0, 0.3, btype=btype, output="sos")
+        w, h = sps.sosfreqz(sos.astype(np.float64), worN=512)
+        _, hr = sps.sosfreqz(ref, worN=512)
+        np.testing.assert_allclose(np.abs(h), np.abs(hr), atol=1e-5)
+
+    @pytest.mark.parametrize("order", [2, 3, 4, 5])
+    @pytest.mark.parametrize("btype", ["lowpass", "highpass"])
+    def test_cheby2_matches_scipy(self, order, btype):
+        from digital_signal_processsing_tpu.ops.iir import design_chebyshev2
+
+        sos = design_chebyshev2(order, 40.0, 0.4, btype)
+        ref = sps.cheby2(order, 40.0, 0.4, btype=btype, output="sos")
+        w, h = sps.sosfreqz(sos.astype(np.float64), worN=512)
+        _, hr = sps.sosfreqz(ref, worN=512)
+        np.testing.assert_allclose(np.abs(h), np.abs(hr), atol=1e-5)
+
+    def test_rejections(self):
+        from digital_signal_processsing_tpu.ops.iir import (
+            design_chebyshev1,
+            design_chebyshev2,
+        )
+
+        with pytest.raises(ValueError, match="ripple"):
+            design_chebyshev1(4, -1.0, 0.3)
+        with pytest.raises(ValueError, match="atten"):
+            design_chebyshev2(4, 0.0, 0.3)
+        with pytest.raises(ValueError, match="cutoff"):
+            design_chebyshev1(4, 1.0, 1.5)
