@@ -2,6 +2,7 @@ from .averager_zoo import AVERAGER_ZOO, run_variant  # noqa: F401
 from .chain import ChainConfig, DspChain  # noqa: F401
 from .adaptive import AdaptiveFir, lms_train_step, make_sharded_train_step  # noqa: F401
 from .wideband import WidebandConfig, WidebandFmReceiver  # noqa: F401
+from .ofdm import OfdmConfig, OfdmReceiver  # noqa: F401
 
 __all__ = [
     "AVERAGER_ZOO",
@@ -13,4 +14,6 @@ __all__ = [
     "make_sharded_train_step",
     "WidebandConfig",
     "WidebandFmReceiver",
+    "OfdmConfig",
+    "OfdmReceiver",
 ]
