@@ -15,8 +15,10 @@ MACs/point instead of XLA's FFT lowering. Complex arithmetic is planar
 backend), with HIGH precision (bf16x3 passes) giving ~1e-6 relative error
 — two orders below the FIR design ripple that dominates any filtering use.
 
-Used by ops/fir.py's ``fir_overlap_save(engine="mxu")`` block convolution;
-the thin jnp.fft wrappers in ops/fft.py remain the general-purpose API.
+Used by ops/fir.py's ``fir_filter(method="overlap_save_mxu"/"overlap_save_
+fused")`` block convolutions (auto picks the fused engine past the direct
+crossover); the thin jnp.fft wrappers in ops/fft.py remain the
+general-purpose API.
 """
 
 from __future__ import annotations
