@@ -289,11 +289,15 @@ def farrow_chunk(
     tc = x2d.shape[-1]
     if tc < 1:
         raise ValueError("empty chunk")
-    # int32 envelope for the in-graph phase arithmetic
-    if (tc + 4) * up + MAX_DENOMINATOR >= 2**31:
+    # int32 envelope for the in-graph phase arithmetic: num reaches at most
+    # (tc+1)*up + down inside the chunk. Uses the ACTUAL down — rates given
+    # as explicit (up, down) pairs or Fractions bypass the
+    # limit_denominator snap, so the MAX_DENOMINATOR constant would
+    # under-check a caller-supplied denominator > 2^16.
+    if (tc + 4) * up + down >= 2**31:
         raise ValueError(
             f"chunk of {tc} samples at rate {up}/{down} exceeds the int32 "
-            f"phase envelope; use chunks <= {(2**31 - MAX_DENOMINATOR) // up - 4} "
+            f"phase envelope; use chunks <= {(2**31 - down) // up - 4} "
             "samples (or a smaller rate denominator)"
         )
     new_state, y, count = _farrow_chunk_jit(state, x2d, up, down)

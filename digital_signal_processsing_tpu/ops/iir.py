@@ -787,10 +787,24 @@ def ba_to_sos(b, a) -> np.ndarray:
     if a[0] == 0:
         raise ValueError("a[0] must be nonzero")
     b, a = b / a[0], a / a[0]
-    gain = b[0] if b[0] != 0 else 1.0
-    zeros = np.roots(b) if b.size > 1 else np.array([], complex)
+    # Leading zeros in b are a pure delay z^-d (np.roots silently drops
+    # them, which would both lose the delay AND misread the gain): trim,
+    # take the gain from the first nonzero coefficient, and re-apply the
+    # delay below as right-shifted section numerators (rows with b0 == 0)
+    # — scipy.signal.lfilter keeps the delay, so lfilter() via this path
+    # must too. scipy's own tf2sos drops it; we are deliberately stricter.
+    nonzero = np.nonzero(b)[0]
+    if nonzero.size == 0:
+        # identically-zero numerator: output is zero for any input
+        return np.zeros((1, 6), np.float32) + np.array(
+            [0, 0, 0, 1, 0, 0], np.float32
+        )
+    delay = int(nonzero[0])
+    bt = b[delay:]
+    gain = bt[0]
+    zeros = np.roots(bt) if bt.size > 1 else np.array([], complex)
     poles = np.roots(a) if a.size > 1 else np.array([], complex)
-    n_sec = max((max(zeros.size, poles.size) + 1) // 2, 1)
+    n_sec = max((max(zeros.size + delay, poles.size) + 1) // 2, 1)
     zeros = np.concatenate([zeros, np.zeros(2 * n_sec - zeros.size)])
     poles = np.concatenate([poles, np.zeros(2 * n_sec - poles.size)])
 
@@ -819,6 +833,16 @@ def ba_to_sos(b, a) -> np.ndarray:
         bb = np.array([1.0, -(z1 + z2).real, (z1 * z2).real]) * g
         aa = np.array([1.0, -(p1 + p2).real, (p1 * p2).real])
         rows.append(np.concatenate([bb, aa]))
+    # distribute the pure delay: shift numerators right through their
+    # trailing-zero slots (origin-padded zero pairs guarantee capacity —
+    # 2*n_sec - zeros.size >= delay slots with b2 == 0 by construction)
+    remaining = delay
+    for row in rows:
+        while remaining and row[2] == 0.0:
+            row[1], row[2] = row[0], row[1]
+            row[0] = 0.0
+            remaining -= 1
+    assert remaining == 0, "delay slots exhausted (internal invariant)"
     return np.asarray(rows, np.float32)
 
 
@@ -866,6 +890,73 @@ def sosfiltfilt(sos, x: jax.Array, *, method: str = "auto") -> jax.Array:
     return y[..., pad : pad + t]
 
 
+def lfilter_zi(b, a) -> np.ndarray:
+    """Steady-state initial conditions for :func:`lfilter` (scipy semantics).
+
+    Returns ``zi`` such that filtering a constant input with initial state
+    ``zi * x[0]`` produces no startup transient: solves
+    ``(I - A^T) zi = b[1:] - a[1:] b[0]`` for the DF2T companion-form state.
+    Host-side float64.
+    """
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a[0] == 0:
+        raise ValueError("a[0] must be nonzero")
+    b, a = b / a[0], a / a[0]
+    n = max(len(a), len(b))
+    if n < 2:
+        return np.zeros(0)
+    a = np.concatenate([a, np.zeros(n - len(a))])
+    b = np.concatenate([b, np.zeros(n - len(b))])
+    # DF2T state transition A: first COLUMN -a[1:], superdiagonal identity
+    A = np.zeros((n - 1, n - 1))
+    A[:, 0] = -a[1:]
+    A[:-1, 1:] = np.eye(n - 2)
+    B = b[1:] - a[1:] * b[0]
+    return np.linalg.solve(np.eye(n - 1) - A, B)
+
+
+def sosfilt_zi(sos) -> np.ndarray:
+    """Steady-state per-section initial conditions for :func:`sosfilt`.
+
+    Shape (n_sections, 2), scipy.signal.sosfilt_zi-compatible: scale by the
+    first input sample and broadcast into :func:`sosfilt_init`'s state
+    layout to start :func:`sosfilt_chunk` transient-free.
+    """
+    sos_np = np.asarray(sos, np.float64).reshape(-1, 6)
+    zi = np.zeros((sos_np.shape[0], 2))
+    scale = 1.0
+    for i, row in enumerate(sos_np):
+        zi[i] = scale * lfilter_zi(row[:3], row[3:])
+        scale *= row[:3].sum() / row[3:].sum()  # section DC gain
+    return zi
+
+
+def decimate_iir(
+    x: jax.Array,
+    factor: int,
+    *,
+    order: int = 8,
+    ripple_db: float = 0.05,
+    method: str = "auto",
+) -> jax.Array:
+    """IIR (Chebyshev-I + zero-phase) decimation, scipy.signal.decimate-style.
+
+    Order-``order`` Chebyshev type I at 0.8/factor Nyquist applied with
+    :func:`sosfiltfilt` (zero phase, like scipy's ``zero_phase=True``
+    default), then every ``factor``-th sample. The FIR polyphase spelling
+    lives in ops/resample.decimate; this one matches scipy's ``ftype='iir'``
+    response for chains being ported from scipy.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    if factor == 1:
+        return x.astype(jnp.float32)
+    sos = design_chebyshev1(order, ripple_db, 0.8 / factor)
+    y = sosfiltfilt(sos, x, method=method)
+    return y[..., ::factor]
+
+
 def freqz(b, a=1.0, worN: int = 512):
     """(w, H) frequency response of a (b, a) filter — numpy host helper.
 
@@ -906,6 +997,12 @@ def design_chebyshev1(
         raise ValueError(f"order must be >= 1, got {order}")
     if ripple_db <= 0:
         raise ValueError(f"ripple_db must be > 0, got {ripple_db}")
+    if btype in ("bandpass", "bandstop"):
+        from .iir_design import iirfilter
+
+        return iirfilter(
+            order, cutoff, btype=btype, ftype="cheby1", rp=ripple_db
+        )
     if not 0.0 < cutoff < 1.0:
         raise ValueError(f"cutoff must be in (0,1) of Nyquist, got {cutoff}")
     if btype not in ("lowpass", "highpass"):
@@ -958,6 +1055,12 @@ def design_chebyshev2(
         raise ValueError(f"order must be >= 1, got {order}")
     if atten_db <= 0:
         raise ValueError(f"atten_db must be > 0, got {atten_db}")
+    if btype in ("bandpass", "bandstop"):
+        from .iir_design import iirfilter
+
+        return iirfilter(
+            order, cutoff, btype=btype, ftype="cheby2", rs=atten_db
+        )
     if not 0.0 < cutoff < 1.0:
         raise ValueError(f"cutoff must be in (0,1) of Nyquist, got {cutoff}")
     if btype not in ("lowpass", "highpass"):

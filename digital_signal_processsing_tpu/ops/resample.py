@@ -41,14 +41,26 @@ def decimate(
     *,
     taps: jax.Array | np.ndarray | None = None,
     taps_per_phase: int = 8,
+    ftype: str = "fir",
 ) -> jax.Array:
-    """Anti-aliased downsampling by an integer factor (polyphase).
+    """Anti-aliased downsampling by an integer factor.
 
-    Default filter: windowed-sinc lowpass at 0.8/factor Nyquist with
-    ``taps_per_phase * factor`` taps.
+    ``ftype='fir'`` (default): polyphase FIR — windowed-sinc lowpass at
+    0.8/factor Nyquist with ``taps_per_phase * factor`` taps, one
+    lane-blocked MXU conv. ``ftype='iir'``: scipy.signal.decimate-style
+    zero-phase Chebyshev-I cascade (ops/iir.decimate_iir) for chains ported
+    from scipy; ``taps``/``taps_per_phase`` are FIR-only.
     """
     if factor < 1:
         raise ValueError(f"factor must be >= 1, got {factor}")
+    if ftype == "iir":
+        if taps is not None:
+            raise ValueError("taps is only meaningful with ftype='fir'")
+        from .iir import decimate_iir
+
+        return decimate_iir(x, factor)
+    if ftype != "fir":
+        raise ValueError(f"ftype must be 'fir' or 'iir', got {ftype!r}")
     xp, squeeze = _as_planar(x)
     if factor == 1:
         y = xp.astype(jnp.float32)  # dtype-consistent with factor > 1

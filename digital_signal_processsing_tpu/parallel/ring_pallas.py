@@ -74,7 +74,36 @@ def _stable_collective_id(shape, dtype, axis: str) -> int:
 
     key = f"{tuple(shape)}|{jnp.dtype(dtype).name}|{axis}".encode()
     # ids 0-15 are left free for explicit caller-assigned ids
-    return 16 + (zlib.crc32(key) % 1008)
+    cid = 16 + (zlib.crc32(key) % 1008)
+    _check_collective_id_collision(cid, key.decode())
+    return cid
+
+
+# (trace_state, id, key) triples for the most recent traces: two DIFFERENT
+# exchanges hashing to one id within the SAME traced program would silently
+# cross-match their DMA semaphores (hang or wrong-data halo) — detect that
+# at trace time and tell the caller to disambiguate with explicit ids.
+_id_registry: list = []
+
+
+def _check_collective_id_collision(cid: int, key: str) -> None:
+    try:
+        from jax.core import get_opaque_trace_state
+
+        trace = get_opaque_trace_state()
+    except Exception:  # pragma: no cover - older jax without the API
+        return
+    for t, other_cid, other_key in _id_registry:
+        if other_cid == cid and other_key != key and t == trace:
+            raise ValueError(
+                f"ring collective_id collision inside one traced program: "
+                f"exchanges {other_key!r} and {key!r} both hash to id {cid}. "
+                f"Pass distinct explicit collective_id values (0-15) to the "
+                f"colliding ring calls."
+            )
+    _id_registry.append((trace, cid, key))
+    if len(_id_registry) > 512:
+        del _id_registry[:256]
 
 
 def ring_shift_right_shard(

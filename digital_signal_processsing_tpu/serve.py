@@ -66,6 +66,12 @@ def stream_moving_average(
             raise ValueError(
                 f"{p}: {i.num_channels} channels != first file's {channels}"
             )
+        # checked here (not only in WavChunkLoader) so the native-executor
+        # path rejects mixed-rate inputs identically to the Python path
+        if i.sample_rate != rate:
+            raise ValueError(
+                f"{p}: sample rate {i.sample_rate} != first file's {rate}"
+            )
     # actual decodable samples: the header's data size clamped to the BODY
     # actually present (a truncated file must not cause filtered padding to
     # be emitted as audio; a streaming-capture 0xFFFFFFFF size must not

@@ -326,6 +326,10 @@ void sink_worker(DspSink* s) {
     if (std::fwrite(buf.data(), 2, buf.size(), s->f) != buf.size()) {
       std::lock_guard<std::mutex> lk(s->mu);
       s->error = 1;
+      // wake any producer blocked on a full queue so it can observe the
+      // error (the wait predicate below includes s->error) instead of
+      // hanging forever after e.g. a disk-full mid-stream
+      s->can_push.notify_all();
       return;
     }
   }
@@ -400,7 +404,8 @@ int dsp_sink_append(void* handle, const int16_t* samples, int64_t n) {
   if (n < 0 || n % s->channels != 0) return -2;
   std::unique_lock<std::mutex> lk(s->mu);
   if (s->error) return -1;
-  s->can_push.wait(lk, [&] { return s->q.size() < s->depth; });
+  s->can_push.wait(lk, [&] { return s->q.size() < s->depth || s->error; });
+  if (s->error) return -1;
   s->q.emplace_back(samples, samples + n);
   s->samples += n;
   s->can_pop.notify_one();

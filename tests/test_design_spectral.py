@@ -368,3 +368,131 @@ class TestChebyshev:
             design_chebyshev2(4, 0.0, 0.3)
         with pytest.raises(ValueError, match="cutoff"):
             design_chebyshev1(4, 1.0, 1.5)
+
+
+class TestIirDesignPipeline:
+    """The general zpk pipeline (ops/iir_design.py): every family x band."""
+
+    @pytest.mark.parametrize("ftype", ["butter", "cheby1", "cheby2", "ellip"])
+    @pytest.mark.parametrize(
+        "btype", ["lowpass", "highpass", "bandpass", "bandstop"]
+    )
+    @pytest.mark.parametrize("order", [1, 2, 3, 4, 5, 8])
+    def test_matches_scipy_iirfilter(self, ftype, btype, order):
+        from digital_signal_processsing_tpu.ops.iir_design import iirfilter
+
+        Wn = 0.3 if btype in ("lowpass", "highpass") else [0.2, 0.5]
+        kw = {}
+        if ftype in ("cheby1", "ellip"):
+            kw["rp"] = 1.0
+        if ftype in ("cheby2", "ellip"):
+            kw["rs"] = 40.0
+        sos = iirfilter(order, Wn, btype=btype, ftype=ftype, **kw)
+        ref = sps.iirfilter(
+            order, Wn, btype=btype, ftype=ftype, output="sos", **kw
+        )
+        w, h = sps.sosfreqz(sos.astype(np.float64), worN=1024)
+        _, hr = sps.sosfreqz(ref, worN=1024)
+        np.testing.assert_allclose(np.abs(h), np.abs(hr), atol=5e-5)
+
+    def test_elliptic_wrapper_and_equiripple(self):
+        from digital_signal_processsing_tpu.ops.iir_design import design_elliptic
+
+        sos = design_elliptic(5, 0.5, 50.0, 0.35)
+        w, h = sps.sosfreqz(sos.astype(np.float64), worN=4096)
+        mag = np.abs(h)
+        pb = mag[w <= 0.35 * np.pi]
+        # passband equiripple within the 0.5 dB spec
+        assert pb.min() > 10 ** (-0.55 / 20)
+        assert pb.max() < 1.0 + 1e-4
+        # stopband: once attenuation first reaches -50 dB it stays there
+        # (the transition edge itself comes from the degree equation)
+        below = np.nonzero(mag < 10 ** (-50.0 / 20))[0]
+        assert below.size, "never reaches the stopband spec"
+        edge = below[0]
+        assert w[edge] < 0.5 * np.pi  # sane transition width for order 5
+        assert mag[edge:].max() < 10 ** (-49.5 / 20)
+
+    @pytest.mark.parametrize("family", ["cheby1", "cheby2"])
+    @pytest.mark.parametrize("btype", ["bandpass", "bandstop"])
+    def test_cheby_band_types_via_design_functions(self, family, btype):
+        from digital_signal_processsing_tpu.ops.iir import (
+            design_chebyshev1,
+            design_chebyshev2,
+        )
+
+        if family == "cheby1":
+            sos = design_chebyshev1(3, 1.0, [0.25, 0.6], btype)
+            ref = sps.cheby1(3, 1.0, [0.25, 0.6], btype=btype, output="sos")
+        else:
+            sos = design_chebyshev2(3, 45.0, [0.25, 0.6], btype)
+            ref = sps.cheby2(3, 45.0, [0.25, 0.6], btype=btype, output="sos")
+        _, h = sps.sosfreqz(sos.astype(np.float64), worN=1024)
+        _, hr = sps.sosfreqz(ref, worN=1024)
+        np.testing.assert_allclose(np.abs(h), np.abs(hr), atol=5e-5)
+
+    def test_iirfilter_rejections(self):
+        from digital_signal_processsing_tpu.ops.iir_design import iirfilter
+
+        with pytest.raises(ValueError, match="rp"):
+            iirfilter(4, 0.3, ftype="ellip", rs=40.0)
+        with pytest.raises(ValueError, match="rs"):
+            iirfilter(4, 0.3, ftype="cheby2")
+        with pytest.raises(ValueError, match="ftype"):
+            iirfilter(4, 0.3, ftype="bessel")
+        with pytest.raises(ValueError, match="Nyquist"):
+            iirfilter(4, 1.5)
+        with pytest.raises(ValueError, match="low < high"):
+            iirfilter(4, [0.5, 0.2], btype="bandpass")
+
+
+class TestSteadyStateInit:
+    def test_lfilter_zi_matches_scipy(self):
+        from digital_signal_processsing_tpu.ops.iir import lfilter_zi
+
+        for b, a in [
+            sps.butter(4, 0.2),
+            sps.cheby1(3, 1.0, 0.3),
+            ([1.0, 0.5], [1.0, -0.3]),
+        ]:
+            np.testing.assert_allclose(
+                lfilter_zi(b, a), sps.lfilter_zi(b, a), rtol=1e-10
+            )
+
+    def test_sosfilt_zi_matches_scipy(self):
+        from digital_signal_processsing_tpu.ops.iir import sosfilt_zi
+
+        sos = sps.butter(6, 0.25, output="sos")
+        np.testing.assert_allclose(
+            sosfilt_zi(sos), sps.sosfilt_zi(sos), rtol=1e-8
+        )
+
+    def test_zi_kills_step_transient(self):
+        from digital_signal_processsing_tpu.ops.iir import (
+            sosfilt_chunk,
+            sosfilt_zi,
+        )
+
+        sos = sps.butter(4, 0.2, output="sos")
+        zi = sosfilt_zi(sos)  # (n_sections, 2)
+        x = np.ones(256, np.float32) * 3.0
+        _, y = sosfilt_chunk((zi * 3.0).astype(np.float32), sos, x)
+        np.testing.assert_allclose(np.asarray(y), 3.0, rtol=1e-5)
+
+
+def test_decimate_iir_matches_scipy(rng):
+    from digital_signal_processsing_tpu.ops.resample import decimate
+
+    x = rng.normal(size=2000).astype(np.float32)
+    for q in [2, 4, 5]:
+        got = np.asarray(decimate(x, q, ftype="iir"))
+        want = sps.decimate(x.astype(np.float64), q, ftype="iir")
+        scale = np.max(np.abs(want))
+        # same order-8 cheby1(0.05 dB, 0.8/q) + zero-phase recipe; edges
+        # differ by the reflected-padding approximations of each filtfilt
+        err = np.max(np.abs(got - want)[5:-5]) / scale
+        assert err < 2e-2, (q, err)
+    with pytest.raises(ValueError, match="taps"):
+        decimate(x, 2, ftype="iir", taps=np.ones(8))
+    with pytest.raises(ValueError, match="ftype"):
+        decimate(x, 2, ftype="bogus")

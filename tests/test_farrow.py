@@ -114,6 +114,13 @@ def test_rejections():
         # denominator at the cap with a huge chunk blows the int32 phase
         state = farrow_init((65537 // 3, 65536))
         farrow_chunk(state, np.zeros(1 << 20, np.float32), (65537 // 3, 65536))
+    with pytest.raises(ValueError, match="envelope"):
+        # explicit (up, down) pairs bypass the limit_denominator snap, so
+        # the guard must use the ACTUAL denominator (round-2 ADVICE): here
+        # down alone exceeds int32 headroom left by (tc+4)*up
+        big_down = 2**31 - 1
+        state = farrow_init((1, big_down))
+        farrow_chunk(state, np.zeros(1 << 20, np.float32), (1, big_down))
 
 
 def test_float_rate_snaps_to_exact_rational():

@@ -246,6 +246,12 @@ def test_ba_to_sos_and_lfilter_match_scipy(rng):
         sps.butter(5, [0.2, 0.5], btype="bandpass"),
         sps.cheby1(3, 1.0, 0.3),
         (np.array([0.5, 0.3, 0.1]), np.array([1.0])),  # pure FIR
+        # leading-zero numerators: pure delay + gain (round-2 ADVICE — the
+        # old pairing dropped both; scipy.signal.lfilter keeps them)
+        (np.array([0.0, 1.0]), np.array([1.0, -0.5])),
+        (np.array([0.0, 2.0]), np.array([1.0, -0.5])),
+        (np.array([0.0, 0.0, 3.0]), np.array([1.0, -0.5, 0.25, 0.1])),
+        (np.array([0.0, 1.0, 0.4, 0.2]), np.array([1.0, -0.3, 0.1])),
     ]:
         got = np.asarray(lfilter(b, a, x))
         want = sps.lfilter(np.atleast_1d(b), np.atleast_1d(a), x.astype(np.float64))

@@ -303,3 +303,42 @@ def test_fused_ring_single_device_degenerate(rng):
     )
     got = np.asarray(jax.jit(fn)(x))
     np.testing.assert_array_equal(got, moving_average_golden(x, w, c))
+
+
+def test_collective_id_collision_detected_in_one_trace():
+    # two DIFFERENT ring exchanges hashing to one collective_id inside one
+    # traced program would cross-match DMA semaphores; the registry must
+    # raise at trace time (round-2 ADVICE). Same-key reuse stays legal.
+    import pytest
+
+    from digital_signal_processsing_tpu.parallel.ring_pallas import (
+        _check_collective_id_collision,
+    )
+
+    def same_key(x):
+        _check_collective_id_collision(400, "k1")
+        _check_collective_id_collision(400, "k1")
+        return x
+
+    jax.make_jaxpr(same_key)(np.float32(0))  # no raise
+
+    def colliding(x):
+        _check_collective_id_collision(401, "k1")
+        _check_collective_id_collision(401, "k2")
+        return x
+
+    with pytest.raises(ValueError, match="collision"):
+        jax.make_jaxpr(colliding)(np.float32(0))
+
+    def fresh_trace(x):
+        _check_collective_id_collision(402, "k3")
+        return x
+
+    # a DIFFERENT trace may legitimately reuse an id with another key
+    jax.make_jaxpr(fresh_trace)(np.float32(0))
+
+    def other_trace(x):
+        _check_collective_id_collision(402, "k4")
+        return x
+
+    jax.make_jaxpr(other_trace)(np.float32(0))  # no raise

@@ -25,8 +25,9 @@ N64 = 64_000_000
 
 
 def _rows():
-    if not CSV.exists():
-        pytest.skip("no sweep artifact CSV")
+    # existence asserted (not skipped): the shipped artifact IS a deliverable
+    # (reference C18) — a pruned CSV must trip CI, not silently pass
+    assert CSV.exists(), "shipped sweep artifact logs/benchmark_results.csv missing"
     with open(CSV) as f:
         return list(csv.DictReader(f))
 
@@ -41,8 +42,10 @@ def test_artifact_kernel_columns_match_authority(variant, grade):
         and int(r["N_Samples"]) == N64
         and r["MemoryMode"] == "staged"
     ]
-    if not rows:
-        pytest.skip(f"no 64M rows for {variant} k={grade} (artifact not re-run)")
+    assert rows, (
+        f"authority config {variant} k={grade} @64M missing from the shipped "
+        "sweep artifact — the trust pin has no subject; re-run the sweep"
+    )
     # most recent row wins (append-mode CSV is resumable history)
     compute_ms = float(rows[-1]["Compute_ms"])
     got_gs = N64 / (compute_ms * 1e-3) / 1e9
