@@ -18,13 +18,17 @@ import numpy as np
 MODES = ("full", "same", "valid")
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
-def correlate(a: jax.Array, v: jax.Array, mode: str = "full") -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("mode", "method"))
+def correlate(
+    a: jax.Array, v: jax.Array, mode: str = "full", *, method: str = "auto"
+) -> jax.Array:
     """Correlate ``a`` with template ``v`` along the last axis.
 
     Real float32; leading axes of ``a`` are batch. Output lengths follow
     scipy.signal.correlate: full = Ta+Tv-1, same = Ta (centered),
-    valid = Ta-Tv+1 (requires Ta >= Tv).
+    valid = Ta-Tv+1 (requires Ta >= Tv). ``method``: DFT engine (see
+    ops/fft.py) — ``auto`` rides the MXU-factored engine on TPU (the
+    power-of-two pad always sits on its grid).
     """
     if mode not in MODES:
         raise ValueError(f"unknown mode {mode!r}; options {MODES}")
@@ -34,9 +38,24 @@ def correlate(a: jax.Array, v: jax.Array, mode: str = "full") -> jax.Array:
         raise ValueError(f"valid mode needs len(a) >= len(v), got {ta} < {tv}")
     n = ta + tv - 1
     nfft = 1 << int(np.ceil(np.log2(max(n, 2))))
-    fa = jnp.fft.rfft(a.astype(jnp.float32), n=nfft)
-    fv = jnp.fft.rfft(v.astype(jnp.float32)[..., ::-1], n=nfft)
-    full = jnp.fft.irfft(fa * fv, n=nfft)[..., :n]
+    from .fft import _mxu_fft_planar, _resolve_fft_method
+
+    if _resolve_fft_method(method, nfft) == "mxu" and nfft >= 128:
+        pa = jnp.pad(a.astype(jnp.float32), [(0, 0)] * (a.ndim - 1) + [(0, nfft - ta)])
+        pv = jnp.pad(
+            v.astype(jnp.float32)[..., ::-1],
+            [(0, 0)] * (v.ndim - 1) + [(0, nfft - tv)],
+        )
+        ar, ai = _mxu_fft_planar(pa, None)
+        vr, vi = _mxu_fft_planar(pv, None)
+        yr = ar * vr - ai * vi
+        yi = ar * vi + ai * vr
+        full, _ = _mxu_fft_planar(yr, yi, inverse=True)
+        full = full[..., :n]
+    else:
+        fa = jnp.fft.rfft(a.astype(jnp.float32), n=nfft)
+        fv = jnp.fft.rfft(v.astype(jnp.float32)[..., ::-1], n=nfft)
+        full = jnp.fft.irfft(fa * fv, n=nfft)[..., :n]
     if mode == "full":
         return full
     if mode == "same":
@@ -45,21 +64,32 @@ def correlate(a: jax.Array, v: jax.Array, mode: str = "full") -> jax.Array:
     return full[..., tv - 1 : ta]
 
 
-@functools.partial(jax.jit, static_argnames=("maxlag", "normalize"))
+@functools.partial(jax.jit, static_argnames=("maxlag", "normalize", "method"))
 def autocorrelate(
-    x: jax.Array, maxlag: int, *, normalize: bool = True
+    x: jax.Array, maxlag: int, *, normalize: bool = True, method: str = "auto"
 ) -> jax.Array:
     """Autocorrelation r[k] = sum_n x[n] x[n+k] for k in [0, maxlag].
 
     ``normalize=True`` divides by r[0] (unit lag-0). Batched over leading
-    axes; maxlag must be < the time length.
+    axes; maxlag must be < the time length. ``method``: DFT engine (see
+    ops/fft.py).
     """
     t = x.shape[-1]
     if not 0 <= maxlag < t:
         raise ValueError(f"need 0 <= maxlag < {t}, got {maxlag}")
     nfft = 1 << int(np.ceil(np.log2(max(2 * t - 1, 2))))
-    f = jnp.fft.rfft(x.astype(jnp.float32), n=nfft)
-    r = jnp.fft.irfft(f * jnp.conj(f), n=nfft)[..., : maxlag + 1]
+    from .fft import _mxu_fft_planar, _resolve_fft_method
+
+    if _resolve_fft_method(method, nfft) == "mxu" and nfft >= 128:
+        p = jnp.pad(
+            x.astype(jnp.float32), [(0, 0)] * (x.ndim - 1) + [(0, nfft - t)]
+        )
+        fr, fi = _mxu_fft_planar(p, None)
+        r, _ = _mxu_fft_planar(fr * fr + fi * fi, None, inverse=True)
+        r = r[..., : maxlag + 1]
+    else:
+        f = jnp.fft.rfft(x.astype(jnp.float32), n=nfft)
+        r = jnp.fft.irfft(f * jnp.conj(f), n=nfft)[..., : maxlag + 1]
     if normalize:
         r = r / jnp.maximum(r[..., :1], 1e-30)
     return r

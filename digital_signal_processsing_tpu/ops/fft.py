@@ -1,9 +1,19 @@
-"""FFT stage: thin, typed wrappers over XLA's TPU FFT + a streaming STFT.
+"""FFT stage: the public spectral surface with a pluggable DFT engine.
 
-XLA ships tuned TPU FFT lowerings; wrapping (rather than hand-kerneling)
-is the right TPU-native call — the win is in layout discipline (time on the
-minor axis, batch on sublanes) and in the sharded variants (parallel/),
-not in re-deriving radix butterflies.
+Two engines behind one ``method`` knob on every op:
+
+- ``xla``: jnp.fft wrappers — the correctness anchor, and the right call
+  on CPU. On TPU, XLA's FFT lowering measured ~10 GB/s effective
+  (BENCH_NOTES r2: rfft+irfft = 29 of 36 ms at 16x4M overlap-save).
+- ``mxu``: the factored-DFT engines (ops/fft_mxu.py) — Cooley-Tukey as
+  batched planar matmuls (dft_factored up to 32768; the four-step
+  fft_large beyond), which ride the MXU instead.
+- ``auto``: ``mxu`` on the TPU backend whenever the transform length sits
+  on the 128 grid, ``xla`` otherwise.
+
+The win is in layout discipline (time on the minor axis, batch on
+sublanes) and engine choice, not in re-deriving radix butterflies in
+Pallas — the MXU IS the butterfly engine at these shapes.
 """
 
 from __future__ import annotations
@@ -13,6 +23,57 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+FFT_METHODS = ("auto", "xla", "mxu")
+
+
+def _resolve_fft_method(method: str, nfft: int) -> str:
+    """auto -> mxu on TPU for 128-grid lengths (large ones need the
+    four-step 16384 grid), xla otherwise."""
+    if method not in FFT_METHODS:
+        raise ValueError(f"unknown method {method!r}; options {FFT_METHODS}")
+    if method != "auto":
+        return method
+    from .fft_mxu import FACTORED_MAX_N
+
+    on_grid = (
+        nfft % 128 == 0
+        if nfft <= FACTORED_MAX_N
+        else nfft % (128 * 128) == 0
+    )
+    return "mxu" if (jax.default_backend() == "tpu" and on_grid) else "xla"
+
+
+def _mxu_fft_planar(x_re, x_im, *, inverse: bool = False):
+    """Planar full-spectrum DFT via the right factored engine for the size."""
+    from .fft_mxu import FACTORED_MAX_N, dft_factored, fft_large
+
+    n = x_re.shape[-1]
+    if n <= FACTORED_MAX_N:
+        return dft_factored(x_re, x_im, inverse=inverse)
+    return fft_large(x_re, x_im, inverse=inverse)
+
+
+def _mxu_rfft(x: jax.Array) -> jax.Array:
+    """Real input -> complex half spectrum (..., n//2+1) via the MXU engine."""
+    n = x.shape[-1]
+    fr, fi = _mxu_fft_planar(x.astype(jnp.float32), None)
+    h = n // 2 + 1
+    return jax.lax.complex(fr[..., :h], fi[..., :h])
+
+
+def _mxu_irfft(s: jax.Array, nfft: int) -> jax.Array:
+    """Complex half spectrum -> real time signal via the MXU engine.
+
+    Mirrors the hermitian half back to the full spectrum (even nfft), runs
+    the planar inverse, keeps the real part.
+    """
+    re, im = jnp.real(s).astype(jnp.float32), jnp.imag(s).astype(jnp.float32)
+    mid = slice(nfft // 2 - 1, 0, -1)
+    full_re = jnp.concatenate([re, re[..., mid]], axis=-1)
+    full_im = jnp.concatenate([im, -im[..., mid]], axis=-1)
+    out_r, _ = _mxu_fft_planar(full_re, full_im, inverse=True)
+    return out_r
 
 
 @functools.partial(jax.jit, static_argnames=("n", "axis"))
@@ -54,11 +115,21 @@ def spectral_window(window: str, nfft: int) -> np.ndarray:
     raise ValueError(f"unknown window {window!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window", "method"))
 def stft(
-    x: jax.Array, *, nfft: int = 1024, hop: int = 256, window: str = "hann"
+    x: jax.Array,
+    *,
+    nfft: int = 1024,
+    hop: int = 256,
+    window: str = "hann",
+    method: str = "auto",
 ) -> jax.Array:
-    """Short-time FT of (channels, time) -> (channels, frames, nfft//2+1)."""
+    """Short-time FT of (channels, time) -> (channels, frames, nfft//2+1).
+
+    ``method``: DFT engine — see the module docstring. ``auto`` rides the
+    MXU-factored engine on TPU for 128-grid ``nfft`` (XLA's TPU FFT is the
+    measured bottleneck of every spectral op, BENCH_NOTES r2).
+    """
     if hop < 1:
         raise ValueError(f"hop must be >= 1, got {hop}")
     xp = x if x.ndim == 2 else x[None, :]
@@ -68,13 +139,23 @@ def stft(
 
     segs = overlapping_frames(xp.astype(jnp.float32), nframes, hop, nfft)
     w = jnp.asarray(spectral_window(window, nfft))
-    out = jnp.fft.rfft(segs * w, axis=-1)
+    if _resolve_fft_method(method, nfft) == "mxu":
+        out = _mxu_rfft(segs * w)
+    else:
+        out = jnp.fft.rfft(segs * w, axis=-1)
     return out if x.ndim == 2 else out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+@functools.partial(
+    jax.jit, static_argnames=("nfft", "hop", "window", "method")
+)
 def istft(
-    s: jax.Array, *, nfft: int = 1024, hop: int = 512, window: str = "sqrt_hann"
+    s: jax.Array,
+    *,
+    nfft: int = 1024,
+    hop: int = 512,
+    window: str = "sqrt_hann",
+    method: str = "auto",
 ) -> jax.Array:
     """Inverse STFT by windowed overlap-add — the WOLA synthesis bank.
 
@@ -92,9 +173,11 @@ def istft(
     r = nfft // hop
     squeeze = s.ndim == 2
     sp = s[None] if squeeze else s
-    frames = jnp.fft.irfft(sp, n=nfft, axis=-1) * jnp.asarray(
-        spectral_window(window, nfft)
-    )
+    if _resolve_fft_method(method, nfft) == "mxu":
+        time_frames = _mxu_irfft(sp, nfft)
+    else:
+        time_frames = jnp.fft.irfft(sp, n=nfft, axis=-1)
+    frames = time_frames * jnp.asarray(spectral_window(window, nfft))
     c, f, _ = frames.shape
     t_out = (f - 1) * hop + nfft
     # OLA without scatter: frame j contributes its part i (hop samples) to
@@ -107,14 +190,18 @@ def istft(
     return y[0] if squeeze else y
 
 
-@functools.partial(jax.jit, static_argnames=("nfft",))
-def power_spectrum(x: jax.Array, *, nfft: int = 1024) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("nfft", "method"))
+def power_spectrum(
+    x: jax.Array, *, nfft: int = 1024, method: str = "auto"
+) -> jax.Array:
     """Mean periodogram over whole frames of the signal."""
-    s = stft(x, nfft=nfft, hop=nfft, window="rect")
+    s = stft(x, nfft=nfft, hop=nfft, window="rect", method=method)
     return jnp.mean(jnp.abs(s) ** 2, axis=-2)
 
 
-@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window", "scaling"))
+@functools.partial(
+    jax.jit, static_argnames=("nfft", "hop", "window", "scaling", "method")
+)
 def welch(
     x: jax.Array,
     *,
@@ -123,6 +210,7 @@ def welch(
     window: str = "hann",
     fs: float = 1.0,
     scaling: str = "density",
+    method: str = "auto",
 ) -> jax.Array:
     """Welch PSD estimate of (channels, time) or (time,) -> (..., nfft//2+1).
 
@@ -134,7 +222,7 @@ def welch(
         hop = nfft // 2
     if hop < 1:
         raise ValueError(f"hop must be >= 1, got {hop}")
-    s = stft(x, nfft=nfft, hop=hop, window=window)
+    s = stft(x, nfft=nfft, hop=hop, window=window, method=method)
     w = spectral_window(window, nfft)  # same array the STFT applied
     if scaling == "density":
         norm = fs * float((w**2).sum())
@@ -151,12 +239,17 @@ def welch(
     return p * jnp.asarray(scale)
 
 
-@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window", "method"))
 def spectrogram(
-    x: jax.Array, *, nfft: int = 1024, hop: int = 256, window: str = "hann"
+    x: jax.Array,
+    *,
+    nfft: int = 1024,
+    hop: int = 256,
+    window: str = "hann",
+    method: str = "auto",
 ) -> jax.Array:
     """Power spectrogram |STFT|^2: (..., frames, nfft//2+1), float32."""
-    s = stft(x, nfft=nfft, hop=hop, window=window)
+    s = stft(x, nfft=nfft, hop=hop, window=window, method=method)
     return (jnp.abs(s) ** 2).astype(jnp.float32)
 
 
@@ -194,17 +287,24 @@ def hilbert(x: jax.Array, *, method: str = "auto", num_taps: int = 513) -> jax.A
     """Analytic signal of a real input over the last axis.
 
     ``method='fft'``: exact one-shot spectral method (zero the negative
-    frequencies, double the positive ones) — the textbook definition, used
-    for short/medium signals. ``method='fir'``: the production-scale blocked
-    spelling — a windowed ideal-Hilbert-kernel FIR transformer on the
-    lane-blocked MXU conv (ops/fir.py), group-delay aligned, which compiles
-    at 64M where the full-length FFT cannot; approximation error is the
-    FIR's ripple (~1e-4 mid-band at the default 513 Kaiser taps, degrading
-    near DC/Nyquist like every FIR Hilbert). ``auto`` switches to ``fir``
-    at T >= HILBERT_BLOCKED_MIN_T.
+    frequencies, double the positive ones) — the textbook definition. At
+    production lengths (T on the 16384 grid) it runs through the four-step
+    MXU engine (ops/fft_mxu.fft_large), which compiles in seconds at 64M
+    where jnp.fft's full-length lowering takes minutes; short signals keep
+    the XLA spelling. ``method='fir'``: the blocked approximation — a
+    windowed ideal-Hilbert-kernel FIR on the lane-blocked MXU conv,
+    group-delay aligned; error is the FIR's ripple (~1e-4 mid-band at the
+    default 513 Kaiser taps, worse near DC/Nyquist). ``auto`` picks ``fft``
+    (exact) whenever the length sits on the large-engine grid on TPU,
+    otherwise ``fir`` past HILBERT_BLOCKED_MIN_T.
     """
+    t = x.shape[-1]
+    large_ok = t % (128 * 128) == 0 and jax.default_backend() == "tpu"
     if method == "auto":
-        method = "fir" if x.shape[-1] >= HILBERT_BLOCKED_MIN_T else "fft"
+        if t < HILBERT_BLOCKED_MIN_T or large_ok:
+            method = "fft"
+        else:
+            method = "fir"
     from ..utils.dispatch import record_choice
 
     record_choice("hilbert", method)
@@ -212,6 +312,8 @@ def hilbert(x: jax.Array, *, method: str = "auto", num_taps: int = 513) -> jax.A
         return hilbert_fir(x, num_taps=num_taps)
     if method != "fft":
         raise ValueError(f"unknown method {method!r}; options ('auto','fft','fir')")
+    if t >= HILBERT_BLOCKED_MIN_T and t % (128 * 128) == 0:
+        return _hilbert_fft_large(x)
     return _hilbert_fft(x)
 
 
@@ -229,6 +331,27 @@ def _hilbert_fft(x: jax.Array) -> jax.Array:
     else:
         h[1 : (t + 1) // 2] = 2.0
     return jnp.fft.ifft(xf * jnp.asarray(h))
+
+
+@jax.jit
+def _hilbert_fft_large(x: jax.Array) -> jax.Array:
+    """Exact analytic signal at production lengths: four-step MXU DFT,
+    in-graph analytic mask (a host (T,) constant would be 256 MB at 64M),
+    four-step inverse. Lands the 64M exact-hilbert row BENCH_NOTES r1/r2
+    deferred (the jnp.fft spelling's compile never finished remotely)."""
+    from .fft_mxu import fft_large
+
+    t = x.shape[-1]
+    fr, fi = fft_large(x.astype(jnp.float32), None)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (t,), 0)
+    half = t // 2  # t is even (multiple of 16384)
+    mult = jnp.where(
+        (idx == 0) | (idx == half),
+        1.0,
+        jnp.where(idx < half, 2.0, 0.0),
+    ).astype(jnp.float32)
+    zr, zi = fft_large(fr * mult, fi * mult, inverse=True)
+    return jax.lax.complex(zr, zi)
 
 
 def design_hilbert_fir(num_taps: int, *, beta: float = 8.0) -> np.ndarray:
@@ -274,17 +397,23 @@ def hilbert_fir(
     xp = (x[None, :] if squeeze else x).astype(jnp.float32)
     t = xp.shape[-1]
 
-    if xp.shape[0] == 1 and t > 2 * row_len:
-        # fold: row i covers [i*L, (i+1)*L); halo = the previous row's
-        # trailing (num_taps-1) samples + d future samples from the next
+    if t > 2 * row_len:
+        # fold EVERY channel: row i covers [i*L, (i+1)*L); halo = the
+        # previous row's trailing (num_taps-1) samples + d future samples
+        # from the next (planar shapes hit the same conv-planner pathology
+        # as flat ones — (32, 2.1M) measured 479 s of compile in round 2)
         halo = num_taps - 1
+        c = xp.shape[0]
         tp = -(-t // row_len) * row_len
-        rows = jnp.pad(xp[0], (0, tp - t)).reshape(-1, row_len)
-        prev = jnp.pad(rows[:-1, -halo:], ((1, 0), (0, 0)))  # zeros row 0
-        nxt = jnp.pad(rows[1:, :d], ((0, 1), (0, 0)))  # zeros last row
-        ext = jnp.concatenate([prev, rows, nxt], axis=-1)
+        m = tp // row_len
+        rows = jnp.pad(xp, ((0, 0), (0, tp - t))).reshape(c, m, row_len)
+        prev = jnp.pad(rows[:, :-1, -halo:], ((0, 0), (1, 0), (0, 0)))
+        nxt = jnp.pad(rows[:, 1:, :d], ((0, 0), (0, 1), (0, 0)))
+        ext = jnp.concatenate([prev, rows, nxt], axis=-1).reshape(
+            c * m, row_len + halo + d
+        )
         im = blocked_causal_conv(ext, h)[:, halo + d : halo + d + row_len]
-        z = jax.lax.complex(xp, im.reshape(1, tp)[:, :t])
+        z = jax.lax.complex(xp, im.reshape(c, tp)[:, :t])
         return z[0] if squeeze else z
 
     ext = jnp.pad(xp, ((0, 0), (0, d)))  # future halo for the delay shift

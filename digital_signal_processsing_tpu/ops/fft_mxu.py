@@ -112,6 +112,95 @@ def dft_factored(
     return out_r, out_i
 
 
+# Largest single-level factored length: n2 = n/128 becomes the (n2, n2)
+# stage-B constant, which must stay a sane matmul operand.
+FACTORED_MAX_N = 32768
+
+
+def fft_large(
+    x_re: jax.Array,
+    x_im: jax.Array | None,
+    *,
+    inverse: bool = False,
+    precision=jax.lax.Precision.HIGH,
+) -> tuple[jax.Array, jax.Array]:
+    """Planar complex DFT for LARGE n via the four-step (Bailey) split.
+
+    n = n1*n2 with each factor itself a multiple of 128 run through
+    :func:`dft_factored` (so four matmul stages total), joined by an
+    in-graph twiddle whose exponent ``(t2*k1) mod n`` is computed EXACTLY
+    in int32 (both factors <= 2^15, so the product never overflows; a
+    host-side (n,) constant would be 512 MB at 64M and a float32 phase
+    accumulator would be ~0.2 rad wrong by t ~ 1M — the oscillator-bank
+    lesson, BENCH_NOTES). Handles n up to 2^30; XLA's native FFT stays the
+    anchor for short transforms (ops/fft.py wrappers).
+
+    Covers the "FFT stage" north star at production lengths: XLA's TPU FFT
+    measured ~10 GB/s effective and its full-length jnp.fft.fft spelling
+    takes minutes of remote compile at 64M (BENCH_NOTES r1/r2); this engine
+    is matmuls + transposes only.
+    """
+    n = x_re.shape[-1]
+    n1 = _pick_large_factor(n)
+    n2 = n // n1
+    batch = x_re.shape[:-1]
+
+    def to2(v):  # x[t = n2*t1 + t2] -> (..., t2, t1)
+        return jnp.swapaxes(v.reshape(batch + (n1, n2)), -1, -2)
+
+    x2r = to2(x_re)
+    x2i = to2(x_im) if x_im is not None else None
+    # stage A: n1-point DFTs along the last axis (batched over t2). For the
+    # inverse, the two sub-transforms' 1/n1 and 1/n2 scales compose to the
+    # full 1/n — no extra scaling pass needed.
+    ar, ai = dft_factored(x2r, x2i, inverse=inverse, precision=precision)
+    # twiddle W_n^(t2*k1), exponent exact in int32 (n1, n2 <= 2^15)
+    t2 = jax.lax.broadcasted_iota(jnp.int32, (n2, n1), 0)
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (n2, n1), 1)
+    m = (t2 * k1) % n
+    sign = 2.0 if inverse else -2.0
+    phase = m.astype(jnp.float32) * jnp.float32(sign * np.pi / n)
+    twr, twi = jnp.cos(phase), jnp.sin(phase)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    # stage B: n2-point DFTs along t2 -> transpose to put t2 minor
+    br = jnp.swapaxes(br, -1, -2)  # (..., k1, t2)
+    bi = jnp.swapaxes(bi, -1, -2)
+    cr, ci = dft_factored(br, bi, inverse=inverse, precision=precision)
+    # X[k1, k2] with k = k1 + n1*k2: k2-major flatten
+    out_r = jnp.swapaxes(cr, -1, -2).reshape(batch + (n,))
+    out_i = jnp.swapaxes(ci, -1, -2).reshape(batch + (n,))
+    return out_r, out_i
+
+
+def _pick_large_factor(n: int) -> int:
+    """n1 for the four-step split: both factors multiples of 128, <= 2^15."""
+    if n % (128 * 128) != 0:
+        raise ValueError(
+            f"fft_large needs len % {128 * 128} == 0, got {n} "
+            "(use dft_factored / jnp.fft for short transforms)"
+        )
+    # balanced split keeps both stage constants small: scan divisors of
+    # m = n/128^2 for the n1 = 128*d closest to sqrt(n)
+    m = n // (128 * 128)
+    best = None
+    for cand in range(1, int(np.sqrt(m)) + 1):
+        if m % cand == 0:
+            for d in (cand, m // cand):
+                n1 = 128 * d
+                n2 = n // n1
+                if n1 <= FACTORED_MAX_N and n2 <= FACTORED_MAX_N:
+                    score = abs(np.log(n1 / n2))
+                    if best is None or score < best[0]:
+                        best = (score, n1)
+    if best is None:
+        raise ValueError(
+            f"no balanced 128-multiple factorization of {n} with both "
+            f"factors <= {FACTORED_MAX_N}"
+        )
+    return best[1]
+
+
 def overlap_save_mxu(
     x: jax.Array,
     taps: jax.Array,

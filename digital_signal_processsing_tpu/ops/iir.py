@@ -162,26 +162,32 @@ def sosfilt(sos: jax.Array, x: jax.Array, *, method: str = "auto") -> jax.Array:
     """Cascade of second-order sections (scipy layout: (n, 6), a0 == 1).
 
     Applies over the last axis; leading axes are independent streams.
-    ``method='auto'`` routes long calls to the Pallas block-scan kernel —
-    the XLA associative scan cannot compile at T >~ 1M, so without the
-    dispatch the documented API would fail at production sizes. Section
-    coefficients reach the kernel through SMEM inside a lax.scan over
-    sections, so compile time is independent of the section count and a
-    changed/traced ``sos`` never recompiles. See :func:`iir_first_order`.
+    ``method='auto'`` routes long calls to the fused scalar-A Pallas
+    cascade kernel — the XLA associative scan cannot compile at T >~ 1M,
+    so without the dispatch the documented API would fail at production
+    sizes, and the fused kernel runs the WHOLE cascade per VMEM tile
+    (measured 2.0x the per-section tile-scan spelling, BENCH_NOTES r3).
+    Section coefficients reach the kernel through SMEM inside a fori_loop
+    over sections, so compile time is independent of the section count and
+    a changed/traced ``sos`` never recompiles. ``method='pallas'`` keeps
+    the round-2 per-section tile-scan kernel as the A/B anchor.
     """
     if method == "auto":
         if x.shape[-1] < PALLAS_IIR_MIN_T:
             method = "xla_scan"
         else:
-            method = "pallas"
+            method = "pallas_fused"
     from ..utils.dispatch import record_choice
 
     record_choice("sosfilt", method)
+    if method == "pallas_fused":
+        return sosfilt_pallas_fused(sos, x)
     if method == "pallas":
         return sosfilt_pallas(sos, x)
     if method != "xla_scan":
         raise ValueError(
-            f"unknown method {method!r}; options ('auto', 'pallas', 'xla_scan')"
+            f"unknown method {method!r}; options "
+            "('auto', 'pallas_fused', 'pallas', 'xla_scan')"
         )
     return _sosfilt_xla(sos, x)
 
@@ -213,15 +219,20 @@ def sosfilt_chunk(
     XLA associative scan's compile wall (see :func:`sosfilt`).
     """
     if method == "auto":
-        method = "pallas" if x.shape[-1] >= PALLAS_IIR_MIN_T else "xla_scan"
+        method = (
+            "pallas_fused" if x.shape[-1] >= PALLAS_IIR_MIN_T else "xla_scan"
+        )
     from ..utils.dispatch import record_choice
 
     record_choice("sosfilt_chunk", method)
+    if method == "pallas_fused":
+        return sosfilt_chunk_pallas_fused(state, sos, x)
     if method == "pallas":
         return sosfilt_chunk_pallas(state, sos, x)
     if method != "xla_scan":
         raise ValueError(
-            f"unknown method {method!r}; options ('auto', 'pallas', 'xla_scan')"
+            f"unknown method {method!r}; options "
+            "('auto', 'pallas_fused', 'pallas', 'xla_scan')"
         )
     return _sosfilt_chunk_xla(state, sos, x)
 
@@ -768,6 +779,420 @@ def _sosfilt_chunk_pallas_aligned(
     return (
         new_st.reshape(jnp.asarray(state).shape),
         _from_planar_tiles(y3d, batch, n),
+    )
+
+
+# --- fused scalar-A cascade kernel (round 3) ----------------------------------
+#
+# The 6-component tile scan above composes the A-part of every affine map as
+# FULL TILES, but a biquad's A = [[-a1, 1], [-a2, 0]] is data-INDEPENDENT: at
+# doubling level s every left segment has the same A^s. The kernel below
+# composes those as four traced SCALARS (2x2 powers, squared once per level)
+# and keeps only the data-dependent c-part in tiles — each lane level costs
+# 2 rolls + 4 multiply-adds instead of 6 rolls + 12 multiplies — and fuses
+# the WHOLE section cascade per tile (x read once, y written once, vs one
+# HBM round trip per section). Measured round 2: ~1 ms HBM + ~3.3 ms VPU per
+# section at (16, 4M); this targets both terms (VERDICT r2 item 1).
+
+
+def _biquad_fused_kernel(*refs, rows: int, n_sections: int, seeded: bool):
+    """All SOS sections over one flat stream tile, scalar-A block scans.
+
+    Per section: (1) lane-inclusive scan of the c-part with scalar A^(2^k)
+    compositions; (2) row totals broadcast from lane 127; (3) row-inclusive
+    scan with scalar A^(128·2^k), the incoming carry folded into row 0's
+    total (so the exclusive shift directly yields row-start states);
+    (4) per-element application via an in-kernel (1, 128) lane-power
+    profile A^l. Coefficients come through SMEM ((S, 6) scipy rows): one
+    compile per (rows, n_sections) STRUCTURE, never per filter value.
+    """
+    from jax.experimental import pallas as pl
+
+    if seeded:
+        c_ref, s_ref, x_ref, o_ref, so_ref, carry_ref = refs
+    else:
+        c_ref, x_ref, o_ref, carry_ref = refs
+        s_ref = so_ref = None
+
+    ch = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        for s in range(n_sections):
+            if seeded:
+                carry_ref[2 * s : 2 * s + 1, :] = (
+                    jnp.zeros((1, 128), jnp.float32) + s_ref[s, ch, 0]
+                )
+                carry_ref[2 * s + 1 : 2 * s + 2, :] = (
+                    jnp.zeros((1, 128), jnp.float32) + s_ref[s, ch, 1]
+                )
+            else:
+                carry_ref[2 * s : 2 * s + 2, :] = jnp.zeros((2, 128), jnp.float32)
+
+    y = x_ref[0].astype(jnp.float32)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane_idx1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    for s in range(n_sections):
+        b0, b1, b2 = c_ref[s, 0], c_ref[s, 1], c_ref[s, 2]
+        a1, a2 = c_ref[s, 4], c_ref[s, 5]
+        c1 = y * (b1 - a1 * b0)
+        c2 = y * (b2 - a2 * b0)
+
+        # lane-inclusive scan; A^(2^k) composed as scalars
+        p11, p12, p21, p22 = -a1, jnp.float32(1.0), -a2, jnp.float32(0.0)
+        pows = []
+        sh = 1
+        while sh < 128:
+            pows.append((p11, p12, p21, p22))
+            rc1 = _roll_fill(c1, sh, 1, 0.0)
+            rc2 = _roll_fill(c2, sh, 1, 0.0)
+            c1 = p11 * rc1 + p12 * rc2 + c1
+            c2 = p21 * rc1 + p22 * rc2 + c2
+            p11, p12, p21, p22 = (
+                p11 * p11 + p12 * p21,
+                p11 * p12 + p12 * p22,
+                p21 * p11 + p22 * p21,
+                p21 * p12 + p22 * p22,
+            )
+            sh *= 2
+        # p = A^128 now. Row totals, lane-broadcast.
+        t1 = jnp.broadcast_to(c1[:, 127:128], (rows, 128))
+        t2 = jnp.broadcast_to(c2[:, 127:128], (rows, 128))
+        # fold A^128·carry into row 0's total: the row-inclusive scan then
+        # yields C'[r] = A^(128(r+1))·carry + inclusive totals, whose
+        # exclusive shift IS the row-start state and whose last row IS the
+        # next carry — no separate carry-propagation pass
+        car1 = carry_ref[2 * s : 2 * s + 1, :]
+        car2 = carry_ref[2 * s + 1 : 2 * s + 2, :]
+        f1 = jnp.broadcast_to(p11 * car1 + p12 * car2, (rows, 128))
+        f2 = jnp.broadcast_to(p21 * car1 + p22 * car2, (rows, 128))
+        t1 = jnp.where(row_idx == 0, t1 + f1, t1)
+        t2 = jnp.where(row_idx == 0, t2 + f2, t2)
+        q11, q12, q21, q22 = p11, p12, p21, p22
+        sh = 1
+        while sh < rows:
+            rt1 = _roll_fill(t1, sh, 0, 0.0)
+            rt2 = _roll_fill(t2, sh, 0, 0.0)
+            t1 = q11 * rt1 + q12 * rt2 + t1
+            t2 = q21 * rt1 + q22 * rt2 + t2
+            q11, q12, q21, q22 = (
+                q11 * q11 + q12 * q21,
+                q11 * q12 + q12 * q22,
+                q21 * q11 + q22 * q21,
+                q21 * q12 + q22 * q22,
+            )
+            sh *= 2
+        # row-start states: exclusive shift, row 0 = the raw carry
+        v1 = jnp.where(
+            row_idx == 0,
+            jnp.broadcast_to(car1, (rows, 128)),
+            _roll_fill(t1, 1, 0, 0.0),
+        )
+        v2 = jnp.where(
+            row_idx == 0,
+            jnp.broadcast_to(car2, (rows, 128)),
+            _roll_fill(t2, 1, 0, 0.0),
+        )
+        # next carry: last row of the folded inclusive scan
+        carry_ref[2 * s : 2 * s + 1, :] = t1[rows - 1 :, :]
+        carry_ref[2 * s + 1 : 2 * s + 2, :] = t2[rows - 1 :, :]
+        # (1,128) lane-power profile P[l] = A^l via keep-fill doubling
+        P11 = jnp.ones((1, 128), jnp.float32)
+        P12 = jnp.zeros((1, 128), jnp.float32)
+        P21 = jnp.zeros((1, 128), jnp.float32)
+        P22 = jnp.ones((1, 128), jnp.float32)
+        for k, (w11, w12, w21, w22) in enumerate(pows):
+            sh = 1 << k
+            keep = lane_idx1 < sh
+            from jax.experimental.pallas import tpu as _pltpu
+
+            r11 = _pltpu.roll(P11, sh, axis=1)
+            r12 = _pltpu.roll(P12, sh, axis=1)
+            r21 = _pltpu.roll(P21, sh, axis=1)
+            r22 = _pltpu.roll(P22, sh, axis=1)
+            P11 = jnp.where(keep, P11, w11 * r11 + w12 * r21)
+            P12 = jnp.where(keep, P12, w11 * r12 + w12 * r22)
+            P21 = jnp.where(keep, P21, w21 * r11 + w22 * r21)
+            P22 = jnp.where(keep, P22, w21 * r12 + w22 * r22)
+        # element state (component 1 only feeds the output):
+        # s1[r,l] = (A^l · v[r])_1 + lane-exclusive c-prefix
+        s1 = (
+            jnp.broadcast_to(P11, (rows, 128)) * v1
+            + jnp.broadcast_to(P12, (rows, 128)) * v2
+            + _roll_fill(c1, 1, 1, 0.0)
+        )
+        y = b0 * y + s1
+
+    o_ref[0] = y
+    if seeded:
+        so_ref[0] = carry_ref[:]
+
+
+def _biquad_fused_loop_kernel(*refs, rows: int, n_sections: int, seeded: bool):
+    """Same algorithm as _biquad_fused_kernel with the section walk as a
+    lax.fori_loop: the body is traced ONCE, so Mosaic compile time is
+    independent of the section count (the unrolled spelling measured 323 s
+    of remote compile at 4 sections vs ~80 s for this one's single body).
+    Coefficients are read with a dynamic SMEM index; the per-section carry
+    lives in a (S*2, 128) scratch addressed with dynamic sublane slices.
+    """
+    from jax.experimental import pallas as pl
+
+    if seeded:
+        c_ref, s_ref, x_ref, o_ref, so_ref, carry_ref = refs
+    else:
+        c_ref, x_ref, o_ref, carry_ref = refs
+        s_ref = so_ref = None
+
+    ch = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        def init_one(s, _):
+            if seeded:
+                carry_ref[pl.ds(2 * s, 1), :] = (
+                    jnp.zeros((1, 128), jnp.float32) + s_ref[s, ch, 0]
+                )
+                carry_ref[pl.ds(2 * s + 1, 1), :] = (
+                    jnp.zeros((1, 128), jnp.float32) + s_ref[s, ch, 1]
+                )
+            else:
+                carry_ref[pl.ds(2 * s, 2), :] = jnp.zeros((2, 128), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_sections, init_one, 0)
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane_idx1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def section_body(s, y):
+        from jax.experimental.pallas import tpu as _pltpu
+
+        b0, b1, b2 = c_ref[s, 0], c_ref[s, 1], c_ref[s, 2]
+        a1, a2 = c_ref[s, 4], c_ref[s, 5]
+        c1 = y * (b1 - a1 * b0)
+        c2 = y * (b2 - a2 * b0)
+        p11, p12, p21, p22 = -a1, jnp.float32(1.0), -a2, jnp.float32(0.0)
+        pows = []
+        sh = 1
+        while sh < 128:
+            pows.append((p11, p12, p21, p22))
+            rc1 = _roll_fill(c1, sh, 1, 0.0)
+            rc2 = _roll_fill(c2, sh, 1, 0.0)
+            c1 = p11 * rc1 + p12 * rc2 + c1
+            c2 = p21 * rc1 + p22 * rc2 + c2
+            p11, p12, p21, p22 = (
+                p11 * p11 + p12 * p21,
+                p11 * p12 + p12 * p22,
+                p21 * p11 + p22 * p21,
+                p21 * p12 + p22 * p22,
+            )
+            sh *= 2
+        t1 = jnp.broadcast_to(c1[:, 127:128], (rows, 128))
+        t2 = jnp.broadcast_to(c2[:, 127:128], (rows, 128))
+        car1 = carry_ref[pl.ds(2 * s, 1), :]
+        car2 = carry_ref[pl.ds(2 * s + 1, 1), :]
+        f1 = jnp.broadcast_to(p11 * car1 + p12 * car2, (rows, 128))
+        f2 = jnp.broadcast_to(p21 * car1 + p22 * car2, (rows, 128))
+        t1 = jnp.where(row_idx == 0, t1 + f1, t1)
+        t2 = jnp.where(row_idx == 0, t2 + f2, t2)
+        q11, q12, q21, q22 = p11, p12, p21, p22
+        sh = 1
+        while sh < rows:
+            rt1 = _roll_fill(t1, sh, 0, 0.0)
+            rt2 = _roll_fill(t2, sh, 0, 0.0)
+            t1 = q11 * rt1 + q12 * rt2 + t1
+            t2 = q21 * rt1 + q22 * rt2 + t2
+            q11, q12, q21, q22 = (
+                q11 * q11 + q12 * q21,
+                q11 * q12 + q12 * q22,
+                q21 * q11 + q22 * q21,
+                q21 * q12 + q22 * q22,
+            )
+            sh *= 2
+        v1 = jnp.where(
+            row_idx == 0,
+            jnp.broadcast_to(car1, (rows, 128)),
+            _roll_fill(t1, 1, 0, 0.0),
+        )
+        v2 = jnp.where(
+            row_idx == 0,
+            jnp.broadcast_to(car2, (rows, 128)),
+            _roll_fill(t2, 1, 0, 0.0),
+        )
+        carry_ref[pl.ds(2 * s, 1), :] = t1[rows - 1 :, :]
+        carry_ref[pl.ds(2 * s + 1, 1), :] = t2[rows - 1 :, :]
+        P11 = jnp.ones((1, 128), jnp.float32)
+        P12 = jnp.zeros((1, 128), jnp.float32)
+        P21 = jnp.zeros((1, 128), jnp.float32)
+        P22 = jnp.ones((1, 128), jnp.float32)
+        for k, (w11, w12, w21, w22) in enumerate(pows):
+            sh = 1 << k
+            keep = lane_idx1 < sh
+            r11 = _pltpu.roll(P11, sh, axis=1)
+            r12 = _pltpu.roll(P12, sh, axis=1)
+            r21 = _pltpu.roll(P21, sh, axis=1)
+            r22 = _pltpu.roll(P22, sh, axis=1)
+            P11 = jnp.where(keep, P11, w11 * r11 + w12 * r21)
+            P12 = jnp.where(keep, P12, w11 * r12 + w12 * r22)
+            P21 = jnp.where(keep, P21, w21 * r11 + w22 * r21)
+            P22 = jnp.where(keep, P22, w21 * r12 + w22 * r22)
+        s1 = (
+            jnp.broadcast_to(P11, (rows, 128)) * v1
+            + jnp.broadcast_to(P12, (rows, 128)) * v2
+            + _roll_fill(c1, 1, 1, 0.0)
+        )
+        return b0 * y + s1
+
+    y = jax.lax.fori_loop(
+        0, n_sections, section_body, x_ref[0].astype(jnp.float32)
+    )
+    o_ref[0] = y
+    if seeded:
+        so_ref[0] = carry_ref[:]
+
+
+def sosfilt_pallas_fused(
+    sos: jax.Array | np.ndarray,
+    x: jax.Array,
+    *,
+    tile_rows: int = 256,
+    unroll_sections: bool = False,
+) -> jax.Array:
+    """SOS cascade via the fused scalar-A Pallas kernel (see the kernel doc).
+
+    Same semantics as :func:`sosfilt`/:func:`sosfilt_pallas` (zero initial
+    state per section). One compile per (tile_rows, n_sections) structure;
+    changed coefficient VALUES never recompile (SMEM). The default
+    fori_loop section walk keeps Mosaic compile time section-count-free;
+    ``unroll_sections=True`` is the measured-equal-speed unrolled spelling
+    (323 s remote compile at 4 sections — kept for A/B only).
+    """
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sos_rows = jnp.asarray(sos, jnp.float32).reshape(-1, 6)
+    n_sec = int(sos_rows.shape[0])
+    y3d, batch, n = _to_planar_tiles(x, tile_rows)
+    nch, rtot = y3d.shape[0], y3d.shape[1]
+
+    kern = _biquad_fused_kernel if unroll_sections else _biquad_fused_loop_kernel
+    out = pl.pallas_call(
+        _ft.partial(
+            kern,
+            rows=tile_rows,
+            n_sections=n_sec,
+            seeded=False,
+        ),
+        out_shape=jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
+        grid=(nch, rtot // tile_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, tile_rows, 128),
+                lambda c, t: (c, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, 128),
+            lambda c, t: (c, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((2 * n_sec, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(sos_rows, y3d)
+    return _from_planar_tiles(out, batch, n)
+
+
+def sosfilt_chunk_pallas_fused(
+    state: jax.Array, sos: jax.Array, x: jax.Array, *, tile_rows: int = 256
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming chunk through the fused scalar-A kernel (seeded carries).
+
+    Same contract as :func:`sosfilt_chunk`; tile-aligned head through the
+    kernel, sub-tile tail through the XLA chunk op (exact state hand-off,
+    as in :func:`sosfilt_chunk_pallas`).
+    """
+    tile = tile_rows * 128
+    n = x.shape[-1]
+    main = (n // tile) * tile
+    if main == 0:
+        return _sosfilt_chunk_xla(state, sos, x)
+    st1, y_main = _sosfilt_chunk_fused_aligned(state, sos, x[..., :main], tile_rows)
+    if main == n:
+        return st1, y_main
+    st2, y_tail = _sosfilt_chunk_xla(st1, sos, x[..., main:])
+    return st2, jnp.concatenate([y_main, y_tail], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _sosfilt_chunk_fused_aligned(
+    state: jax.Array, sos: jax.Array, x: jax.Array, tile_rows: int
+) -> tuple[jax.Array, jax.Array]:
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sos_rows = jnp.asarray(sos, jnp.float32).reshape(-1, 6)
+    n_sec = int(sos_rows.shape[0])
+    st = jnp.asarray(state, jnp.float32).reshape(n_sec, -1, 2)  # (S, C, 2)
+    y3d, batch, n = _to_planar_tiles(x, tile_rows)
+    nch, rtot = y3d.shape[0], y3d.shape[1]
+
+    out, st_out = pl.pallas_call(
+        _ft.partial(
+            _biquad_fused_loop_kernel,
+            rows=tile_rows,
+            n_sections=n_sec,
+            seeded=True,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
+            jax.ShapeDtypeStruct((nch, 2 * n_sec, 128), jnp.float32),
+        ],
+        grid=(nch, rtot // tile_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, tile_rows, 128),
+                lambda c, t: (c, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_rows, 128),
+                lambda c, t: (c, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2 * n_sec, 128),
+                lambda c, t: (c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((2 * n_sec, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(sos_rows, st, y3d)
+    # (C, 2S, 128) lane-broadcast -> (S, C, 2)
+    new_st = st_out[:, :, 0].reshape(nch, n_sec, 2).transpose(1, 0, 2)
+    return (
+        new_st.reshape(jnp.asarray(state).shape),
+        _from_planar_tiles(out, batch, n),
     )
 
 

@@ -181,16 +181,16 @@ def test_auto_dispatch_routes_long_concrete_calls_to_pallas(rng):
 
     sos = design_biquad_lowpass(0.2)
     sosfilt(sos, long)
-    assert last_choice("sosfilt") == "pallas"
+    assert last_choice("sosfilt") == "pallas_fused"
     sosfilt(sos, short)
     assert last_choice("sosfilt") == "xla_scan"
 
     # coefficients stream through SMEM: even traced sos keeps the Pallas
     # path (and changing sos values never recompile)
     jax.jit(lambda s, v: sosfilt(s, v))(sos, long).block_until_ready()
-    assert last_choice("sosfilt") == "pallas"
+    assert last_choice("sosfilt") == "pallas_fused"
     jax.jit(lambda v: sosfilt(sos, v))(long).block_until_ready()
-    assert last_choice("sosfilt") == "pallas"
+    assert last_choice("sosfilt") == "pallas_fused"
 
 
 def test_sosfilt_chunk_pallas_matches_xla_chunks(rng):
@@ -232,7 +232,7 @@ def test_sosfilt_chunk_dispatches_by_length(rng):
     sosfilt_chunk(st, sos, np.zeros(1024, np.float32))
     assert last_choice("sosfilt_chunk") == "xla_scan"
     sosfilt_chunk(st, sos, np.zeros(PALLAS_IIR_MIN_T, np.float32))
-    assert last_choice("sosfilt_chunk") == "pallas"
+    assert last_choice("sosfilt_chunk") == "pallas_fused"
 
 
 def test_ba_to_sos_and_lfilter_match_scipy(rng):
@@ -298,3 +298,68 @@ def test_freqz_helpers_match_scipy():
     w2, h2 = sosfreqz(sos, worN=256)
     ws2, hs2 = sps.sosfreqz(sos.astype(np.float64), worN=256)
     np.testing.assert_allclose(h2, hs2, rtol=1e-4, atol=1e-6)
+
+
+class TestSosfiltFused:
+    """Round-3 fused scalar-A cascade kernel (VERDICT r2 item 1): all
+    sections per tile, scalar A-power composition, SMEM coefficients."""
+
+    def test_matches_xla_scan(self, rng):
+        from digital_signal_processsing_tpu.ops.iir import (
+            design_butterworth,
+            design_butterworth_band,
+            sosfilt,
+            sosfilt_pallas_fused,
+        )
+
+        x = rng.normal(size=20_001).astype(np.float32)
+        for sos in (
+            design_butterworth(8, 0.2),  # 4 sections
+            design_butterworth(5, 0.3),  # odd order: a first-order row
+            design_butterworth_band(2, 0.2, 0.5),
+        ):
+            want = np.asarray(sosfilt(sos, x, method="xla_scan"))
+            got = np.asarray(sosfilt_pallas_fused(sos, x, tile_rows=8))
+            scale = np.max(np.abs(want)) + 1e-9
+            assert np.max(np.abs(got - want)) / scale < 1e-4
+
+    def test_batched_and_unrolled_spelling(self, rng):
+        from digital_signal_processsing_tpu.ops.iir import (
+            design_butterworth,
+            sosfilt,
+            sosfilt_pallas_fused,
+        )
+
+        sos = design_butterworth(6, 0.25)
+        x = rng.normal(size=(3, 9_000)).astype(np.float32)
+        got = np.asarray(sosfilt_pallas_fused(sos, x, tile_rows=8))
+        unrolled = np.asarray(
+            sosfilt_pallas_fused(sos, x, tile_rows=8, unroll_sections=True)
+        )
+        for c in range(3):
+            want = np.asarray(sosfilt(sos, x[c], method="xla_scan"))
+            scale = np.max(np.abs(want)) + 1e-9
+            assert np.max(np.abs(got[c] - want)) / scale < 1e-4
+        np.testing.assert_allclose(unrolled, got, rtol=1e-5, atol=1e-6)
+
+    def test_seeded_chunks_continue_stream(self, rng):
+        from digital_signal_processsing_tpu.ops.iir import (
+            design_butterworth,
+            sosfilt,
+            sosfilt_chunk_pallas_fused,
+            sosfilt_init,
+        )
+
+        sos = design_butterworth(4, 0.2)
+        x = rng.normal(size=(2, 30_000)).astype(np.float32)
+        want = np.asarray(sosfilt(sos, x, method="xla_scan"))
+        state = sosfilt_init(sos, batch_shape=(2,))
+        outs = []
+        for a, b in [(0, 12_000), (12_000, 20_123), (20_123, 30_000)]:
+            state, y = sosfilt_chunk_pallas_fused(
+                state, sos, x[:, a:b], tile_rows=8
+            )
+            outs.append(np.asarray(y))
+        got = np.concatenate(outs, axis=-1)
+        scale = np.max(np.abs(want)) + 1e-9
+        assert np.max(np.abs(got - want)) / scale < 1e-4
