@@ -351,6 +351,188 @@ def _fused_kernel(
         o_ref[gi] = tr * inv_n
 
 
+# --- 3-factor fused overlap-save (round 3) -----------------------------------
+#
+# The 2-factor kernel's VMEM wall is its (A, A) stage constants: nfft =
+# 128*A caps at 32768 (A=256, 256 KB/constant; A=576 measured a Mosaic OOM
+# at g=2). Splitting n = A2 * A1 * 128 instead keeps every matmul constant
+# <= (256, 256): the outer stages are (A2, A2) MXU contractions over the
+# SUBLANE dim of an (A2, P=A1*128) time tile, and the middle A1-point DFT
+# runs as statically-unrolled complex scalar-tile madds over 128-aligned
+# LANE slices — Mosaic on this backend lowers neither rank-3 dot_generals
+# nor in-kernel sublane splits (probe: "infer-vector-layout: unsupported
+# shape cast"), so everything below is 2-D dots, lane slices, and lane
+# concats only. Cost: 2*(A2 + 128) MXU MACs/point + ~8*A1 VPU MACs/point —
+# at A1=8 the VPU term is ~1 ms at 64M, noise next to the HBM round-trips
+# the fusion removes.
+
+FUSED3_MAX_NFFT = 1 << 20
+
+
+def _fused3_consts(nfft: int, a1: int, taps_np: np.ndarray):
+    """Host constants for the 3-factor kernel (planar float32 pairs)."""
+    p = a1 * 128
+    a2 = nfft // p
+    km = np.arange(a2)
+    s = np.arange(p)
+    sb = np.arange(128)
+
+    def planar(w):
+        return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+    w2 = planar(np.exp(-2j * np.pi * np.outer(km, km) / a2))
+    v2 = planar(np.exp(2j * np.pi * np.outer(km, km) / a2))
+    tw1 = planar(np.exp(-2j * np.pi * np.outer(km, s) / nfft))
+    tw1c = planar(np.exp(2j * np.pi * np.outer(km, s) / nfft))
+    tw2 = planar(np.exp(-2j * np.pi * np.outer(np.arange(a1), sb) / p))
+    tw2c = planar(np.exp(2j * np.pi * np.outer(np.arange(a1), sb) / p))
+    wb = planar(np.exp(-2j * np.pi * np.outer(sb, sb) / 128))
+    vb = planar(np.exp(2j * np.pi * np.outer(sb, sb) / 128))
+    # taps response arranged [kdm, km, kdd] -> (A1*A2, 128) sublane-sliced
+    # per kdm: flat k = km + A2*kdm + A2*A1*kdd
+    h_f = np.fft.fft(taps_np, n=nfft)
+    h3 = h_f.reshape(128, a1, a2).transpose(1, 2, 0).reshape(a1 * a2, 128)
+    return [*w2, *tw1, *tw2, *wb, *planar(h3), *vb, *tw2c, *tw1c, *v2]
+
+
+def _fused3_kernel(
+    halo_ref,
+    main_ref,
+    w2r_ref,
+    w2i_ref,
+    tw1r_ref,
+    tw1i_ref,
+    tw2r_ref,
+    tw2i_ref,
+    wbr_ref,
+    wbi_ref,
+    h3r_ref,
+    h3i_ref,
+    vbr_ref,
+    vbi_ref,
+    tw2cr_ref,
+    tw2ci_ref,
+    tw1cr_ref,
+    tw1ci_ref,
+    v2r_ref,
+    v2i_ref,
+    o_ref,
+    *,
+    g: int,
+    a1: int,
+    a2: int,
+    precision,
+):
+    """One grid step: g blocks' 3-factor overlap-save chains in VMEM.
+
+    Tile (A2, P) with t = P*a2 + 128*a1 + sb; k = km + A2*kdm + A2*A1*kdd.
+    Stage chain: (A2,A2) sublane DFT -> n-twiddle -> A1-point lane-slice
+    DFT (scalar madds) -> P-twiddle -> (128,128) lane DFT -> tap multiply
+    -> the same chain mirrored with conjugate constants and a single 1/n.
+    """
+    import jax
+
+    hp = precision or jax.lax.Precision.HIGHEST
+    p = a1 * 128
+    n = a2 * p
+    inv_n = jnp.float32(1.0 / n)
+    # baked A1-point DFT scalars (compile-time: twiddles, not taps)
+    wmid = np.exp(-2j * np.pi * np.outer(np.arange(a1), np.arange(a1)) / a1)
+
+    def mmL(w, x):  # (A2, A2) @ (A2, P): contract sublane dim
+        return jax.lax.dot_general(
+            w, x, (((1,), (0,)), ((), ())), precision=hp,
+            preferred_element_type=jnp.float32,
+        )
+
+    def mm(x, w):  # (A2, 128) @ (128, 128): contract lane dim
+        return jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())), precision=hp,
+            preferred_element_type=jnp.float32,
+        )
+
+    w2r, w2i = w2r_ref[:], w2i_ref[:]
+    tw1r, tw1i = tw1r_ref[:], tw1i_ref[:]
+    wbr, wbi = wbr_ref[:], wbi_ref[:]
+    vbr, vbi = vbr_ref[:], vbi_ref[:]
+    tw1cr, tw1ci = tw1cr_ref[:], tw1ci_ref[:]
+    v2r, v2i = v2r_ref[:], v2i_ref[:]
+    for gi in range(g):
+        e = jnp.concatenate([halo_ref[gi], main_ref[gi]], axis=0)  # (A2, P)
+        # stage 1: G[km, s] = sum_a2 W2[km, a2] e[a2, s] (real input)
+        gr = mmL(w2r, e)
+        gi_ = mmL(w2i, e)
+        # n-twiddle TW1[km, s]
+        g2r = gr * tw1r - gi_ * tw1i
+        g2i = gr * tw1i + gi_ * tw1r
+        # middle A1-point DFT over lane slices + per-kdm tail stages
+        sl_r = [g2r[:, j * 128 : (j + 1) * 128] for j in range(a1)]
+        sl_i = [g2i[:, j * 128 : (j + 1) * 128] for j in range(a1)]
+        d_r, d_i = [], []
+        for kdm in range(a1):
+            hr = sl_r[0] * jnp.float32(wmid[0, kdm].real)
+            hi = sl_i[0] * jnp.float32(wmid[0, kdm].real)
+            for j in range(1, a1):
+                cr, ci = wmid[j, kdm].real, wmid[j, kdm].imag
+                hr = hr + sl_r[j] * jnp.float32(cr) - sl_i[j] * jnp.float32(ci)
+                hi = hi + sl_r[j] * jnp.float32(ci) + sl_i[j] * jnp.float32(cr)
+            # P-twiddle row kdm: (1, 128) broadcast over sublanes
+            t2r = tw2r_ref[kdm : kdm + 1, :]
+            t2i = tw2i_ref[kdm : kdm + 1, :]
+            h2r = hr * t2r - hi * t2i
+            h2i = hr * t2i + hi * t2r
+            # lane DFT: F = H2 @ WB
+            fr = mm(h2r, wbr) - mm(h2i, wbi)
+            fi = mm(h2r, wbi) + mm(h2i, wbr)
+            # tap multiply: H3 sublane slice for this kdm
+            h3r = h3r_ref[kdm * a2 : (kdm + 1) * a2, :]
+            h3i = h3i_ref[kdm * a2 : (kdm + 1) * a2, :]
+            yr = fr * h3r - fi * h3i
+            yi = fr * h3i + fi * h3r
+            # inverse lane DFT: C = Y @ VB
+            cr2 = mm(yr, vbr) - mm(yi, vbi)
+            ci2 = mm(yr, vbi) + mm(yi, vbr)
+            # conjugate P-twiddle
+            t2cr = tw2cr_ref[kdm : kdm + 1, :]
+            t2ci = tw2ci_ref[kdm : kdm + 1, :]
+            d_r.append(cr2 * t2cr - ci2 * t2ci)
+            d_i.append(cr2 * t2ci + ci2 * t2cr)
+        # middle inverse: E[a1'] = sum_kdm D[kdm] * conj(wmid)[kdm, a1']
+        e_r, e_i = [], []
+        for j in range(a1):
+            er = d_r[0] * jnp.float32(wmid[0, j].real)
+            ei = d_i[0] * jnp.float32(wmid[0, j].real)
+            for kdm in range(1, a1):
+                cr, ci = wmid[kdm, j].real, -wmid[kdm, j].imag
+                er = er + d_r[kdm] * jnp.float32(cr) - d_i[kdm] * jnp.float32(ci)
+                ei = ei + d_r[kdm] * jnp.float32(ci) + d_i[kdm] * jnp.float32(cr)
+            e_r.append(er)
+            e_i.append(ei)
+        fr2 = jnp.concatenate(e_r, axis=1)  # (A2, P)
+        fi2 = jnp.concatenate(e_i, axis=1)
+        # conjugate n-twiddle: (f)(conj tw1) spelled with the tw1c constant
+        qr = fr2 * tw1cr - fi2 * tw1ci
+        qi = fr2 * tw1ci + fi2 * tw1cr
+        # inverse stage 1: real part of V2 @ Q, scaled 1/n
+        tr = mmL(v2r, qr) - mmL(v2i, qi)
+        o_ref[gi] = tr * inv_n
+
+
+def _pick_fused3_a1(min_nfft: int) -> int:
+    """Smallest A1 in {8, 16, 32} keeping A2 = nfft/(128*A1) <= 256.
+
+    Small A1 minimizes the VPU middle stage (~8*A1 MACs/point); the caller
+    re-rounds nfft onto the final 8*128*A1 grid.
+    """
+    for a1 in (8, 16, 32):
+        if -(-min_nfft // (a1 * 128 * 8)) * 8 <= 256:
+            return a1
+    raise ValueError(
+        f"no 3-factor split for nfft~{min_nfft} "
+        f"(cap {FUSED3_MAX_NFFT})"
+    )
+
+
 def overlap_save_fused(
     x: jax.Array,
     taps: jax.Array | np.ndarray,
@@ -365,6 +547,9 @@ def overlap_save_fused(
     frequency response is baked as a host-permuted constant). ``block``
     (useful samples per segment, a multiple of 128) plus len(taps) must
     fit nfft = the next 128 multiple; ``g`` blocks run per grid step.
+    Past nfft = 32768 the 3-factor kernel takes over transparently (block
+    must then sit on the 128*A1 grid — 1024 for nfft <= 262144); the cap
+    becomes FUSED3_MAX_NFFT.
     """
     import functools as _ft
 
@@ -380,10 +565,8 @@ def overlap_save_fused(
         raise ValueError(f"block must be a multiple of 128, got {block}")
     nfft = pick_factored_nfft(block + k, 128)
     if nfft > FUSED_MAX_NFFT:
-        raise ValueError(
-            f"fused overlap-save caps nfft at {FUSED_MAX_NFFT} (the (A, A) "
-            f"stage constants must fit VMEM), got {nfft}; shrink block or "
-            "use overlap_save_mxu"
+        return _overlap_save_fused3(
+            x, taps_np, block=block, g=g, precision=precision
         )
     a_dim = nfft // 128
     el = block
@@ -434,6 +617,80 @@ def overlap_save_fused(
         in_specs=[tile3(h // 128), tile3(el // 128)]
         + [const(arr) for arr in consts],
         out_specs=tile3(a_dim),
+        interpret=jax.default_backend() != "tpu",
+    )(halo, main, *[jnp.asarray(arr) for arr in consts])
+    y = out.reshape(rows, nfft)[:, nfft - el :].reshape(c, nb * el)[:, :t]
+    return y[0] if squeeze else y
+
+
+def _overlap_save_fused3(
+    x: jax.Array,
+    taps_np: np.ndarray,
+    *,
+    block: int,
+    g: int | None,
+    precision,
+) -> jax.Array:
+    """The nfft > 32768 engine behind :func:`overlap_save_fused`."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..utils.layout import overlapping_frames
+    from .fir import _as_planar
+
+    k = int(taps_np.shape[0])
+    # A1 sizes the middle stage; nfft lands on the 8*P grid (P = 128*A1)
+    # so A2 = nfft/P stays a multiple of 8 and every in-kernel sublane
+    # slice (the per-kdm H3 rows) is 8-aligned
+    a1 = _pick_fused3_a1(pick_factored_nfft(block + k, 8 * 1024))
+    p = a1 * 128
+    nfft = pick_factored_nfft(block + k, 8 * p)
+    if nfft > FUSED3_MAX_NFFT:
+        raise ValueError(
+            f"3-factor fused overlap-save caps nfft at {FUSED3_MAX_NFFT}, "
+            f"got {nfft}; shrink block or use overlap_save_mxu"
+        )
+    if block % p != 0:
+        raise ValueError(
+            f"3-factor fused overlap-save needs block % {p} == 0 "
+            f"(nfft={nfft} -> A1={a1}), got {block}"
+        )
+    a2 = nfft // p
+    el = block
+    h = nfft - el
+
+    xp, squeeze = _as_planar(x)
+    c, t = xp.shape
+    nb = -(-t // el)
+    rows = c * nb
+    if g is None:
+        # ~10 live nfft-sized planar tiles per in-flight block
+        g = max(1, min(4, (8 << 20) // (10 * nfft * 4)))
+    g_eff = min(g, rows)
+    xpad = jnp.pad(xp.astype(jnp.float32), ((0, 0), (0, nb * el - t)))
+    main = xpad.reshape(rows, el // p, p)
+    hal_src = jnp.pad(xpad, ((0, 0), (h, 0)))[:, : nb * el + h]
+    halo = overlapping_frames(hal_src, nb, el, h).reshape(rows, h // p, p)
+
+    consts = _fused3_consts(nfft, a1, taps_np)
+    grid = (-(-rows // g_eff),)
+    tile3 = lambda w: pl.BlockSpec(  # noqa: E731
+        (g_eff, w, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    const = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _ft.partial(
+            _fused3_kernel, g=g_eff, a1=a1, a2=a2, precision=precision
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, a2, p), jnp.float32),
+        grid=grid,
+        in_specs=[tile3(h // p), tile3(el // p)]
+        + [const(arr) for arr in consts],
+        out_specs=tile3(a2),
         interpret=jax.default_backend() != "tpu",
     )(halo, main, *[jnp.asarray(arr) for arr in consts])
     y = out.reshape(rows, nfft)[:, nfft - el :].reshape(c, nb * el)[:, :t]

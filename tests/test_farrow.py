@@ -152,8 +152,10 @@ def test_auto_picks_matmul_within_envelope(rng):
     x = rng.normal(size=4096).astype(np.float32)
     resample_farrow(x, (160, 147))
     assert last_choice("resample_farrow") == "matmul"
-    resample_farrow(x, np.pi / 3)  # snaps to a ~2^16 fraction: gather
-    assert last_choice("resample_farrow") == "gather"
+    # snaps to a ~2^16 fraction beyond the envelope: the round-3 segment
+    # kernel (the gather spelling stays opt-in as the schedule oracle)
+    resample_farrow(x, np.pi / 3)
+    assert last_choice("resample_farrow") == "segmented"
 
 
 @pytest.mark.parametrize("rate", [(160, 147), (3, 7), (441, 2560), 1.5])
@@ -184,3 +186,58 @@ def test_matmul_streaming_matches_one_shot(rng, rate):
     np.testing.assert_allclose(
         got[:, : want.shape[1]], want, rtol=1e-5, atol=1e-5
     )
+
+
+class TestFarrowSegmented:
+    """Round-3 scalar-prefetch segment kernel: exact schedule beyond the
+    phase-matrix envelope (VERDICT r2 item 7)."""
+
+    def test_matches_gather_oracle_beyond_envelope(self, rng):
+        from digital_signal_processsing_tpu.ops.farrow import (
+            MATMUL_MAX_PRODUCT,
+            resample_farrow,
+            resample_farrow_segmented,
+        )
+
+        up, down = 46337, 65521  # primes; far beyond the matrix envelope
+        assert up * down > MATMUL_MAX_PRODUCT
+        x = rng.normal(size=(2, 30_000)).astype(np.float32)
+        want = np.asarray(resample_farrow(x, (up, down), method="gather"))
+        got = np.asarray(resample_farrow_segmented(x, (up, down)))
+        assert got.shape == want.shape
+        err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert err < 2e-5, err
+
+    def test_matches_matmul_in_envelope(self, rng):
+        from digital_signal_processsing_tpu.ops.farrow import (
+            resample_farrow,
+            resample_farrow_segmented,
+        )
+
+        x = rng.normal(size=20_000).astype(np.float32)
+        for rate in [(3, 7), (48000, 44100)]:
+            want = np.asarray(resample_farrow(x, rate, method="matmul"))
+            got = np.asarray(resample_farrow_segmented(x, rate))
+            err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+            assert err < 2e-5, (rate, err)
+
+    def test_auto_routes_beyond_envelope_to_segmented(self, rng):
+        from digital_signal_processsing_tpu.ops.farrow import resample_farrow
+        from digital_signal_processsing_tpu.utils.dispatch import last_choice
+
+        x = rng.normal(size=10_000).astype(np.float32)
+        resample_farrow(x, (46337, 65521))
+        assert last_choice("resample_farrow") == "segmented"
+        resample_farrow(x, (48000, 44100))
+        assert last_choice("resample_farrow") == "matmul"
+
+    def test_segment_validation(self, rng):
+        import pytest as _pytest
+
+        from digital_signal_processsing_tpu.ops.farrow import (
+            resample_farrow_segmented,
+        )
+
+        x = rng.normal(size=10_000).astype(np.float32)
+        with _pytest.raises(ValueError, match="multiple of 128"):
+            resample_farrow_segmented(x, (3, 7), segment=100)

@@ -104,10 +104,12 @@ def test_fused_nfft_cap(rng):
     from digital_signal_processsing_tpu.ops.fft_mxu import overlap_save_fused
     from digital_signal_processsing_tpu.ops.fir import fir_direct, fir_filter
 
-    with pytest.raises(ValueError, match="caps nfft"):
+    # round-3: nfft in (32768, 2^20] now routes to the 3-factor kernel
+    # instead of raising; only past-the-cap sizes reject
+    with pytest.raises(ValueError, match="no 3-factor split"):
         overlap_save_fused(
-            np.zeros(100_000, np.float32), np.ones(8192, np.float32),
-            block=65536,
+            np.zeros(3_000_000, np.float32), np.ones(8192, np.float32),
+            block=1_091_584,
         )
     # the auto dispatcher shrinks the block instead
     x = rng.normal(size=60_000).astype(np.float32)
@@ -115,3 +117,29 @@ def test_fused_nfft_cap(rng):
     y = np.asarray(fir_filter(x, h))
     want = np.asarray(fir_direct(x, h))
     assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-4
+
+
+def test_fused3_long_taps_match_scipy(rng):
+    # round-3: nfft > 32768 routes to the 3-factor kernel (2-D dots only;
+    # sublane DFT + unrolled A1-point lane-slice DFT + lane DFT)
+    import scipy.signal as sps
+
+    from digital_signal_processsing_tpu.ops.fft_mxu import overlap_save_fused
+
+    x = rng.normal(size=(2, 120_000)).astype(np.float32)
+    h = (rng.normal(size=16_384) / 128).astype(np.float32)
+    got = np.asarray(overlap_save_fused(x, h, block=49_152))  # nfft 65536
+    want = sps.lfilter(h.astype(np.float64), [1.0], x.astype(np.float64))
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < 1e-4, err
+
+
+def test_fused3_block_alignment_rejected(rng):
+    from digital_signal_processsing_tpu.ops.fft_mxu import overlap_save_fused
+
+    with pytest.raises(ValueError, match="block %"):
+        overlap_save_fused(
+            np.zeros(100_000, np.float32),
+            np.zeros(16_384, np.float32),
+            block=40_832,  # a 128 multiple off the 1024 grid for A1=8
+        )
