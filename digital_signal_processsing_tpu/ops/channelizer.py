@@ -75,6 +75,99 @@ def dft_matmul(
     return re, im
 
 
+def _fused_pfb_kernel(
+    halo_ref, main_ref, hq_ref, cos_ref, sin_ref, re_ref, im_ref, *, p, d, rows
+):
+    """Branch FIR + channel DFT for one tile of blocks, entirely in VMEM.
+
+    The composed spelling round-trips the (M, N) branch tensor through HBM
+    between the conv and the two DFT matmuls; here each (rows, N) tile
+    stays resident: P shifted broadcast-madds (the causal branch FIR,
+    ``d``-dilated for the 2x-oversampled bank) feed the (N, N) cos/sin
+    contractions directly.
+    """
+    e = jnp.concatenate([halo_ref[0], main_ref[0]], axis=0)  # (halo+R, N)
+    # tap r weights u[m - d*r] = e rows [d*(p-1-r), d*(p-1-r)+rows)
+    v = e[d * (p - 1) : d * (p - 1) + rows, :] * hq_ref[0:1, :]
+    for r in range(1, p):
+        off = d * (p - 1 - r)
+        v = v + e[off : off + rows, :] * hq_ref[r : r + 1, :]
+    hp = jax.lax.Precision.HIGHEST
+    re_ref[0] = jax.lax.dot_general(
+        v, cos_ref[:], (((1,), (0,)), ((), ())), precision=hp,
+        preferred_element_type=jnp.float32,
+    )
+    im_ref[0] = jax.lax.dot_general(
+        v, sin_ref[:], (((1,), (0,)), ((), ())), precision=hp,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def fused_branch_dft(
+    u: jax.Array,
+    hq: jax.Array,
+    *,
+    sign: int = 1,
+    dilation: int = 1,
+    tile_rows: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused ``branch_fir`` + ``dft_matmul`` (real input): (M, N) -> 2x(M, N).
+
+    Pallas per-tile chain (see the kernel doc); bit-close to the composed
+    pair. ``hq`` must be concrete or traced — it rides VMEM, one compile
+    per (P, N, dilation, tile_rows) structure.
+    """
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..utils.layout import overlapping_frames
+
+    m, n = u.shape
+    p = int(hq.shape[0])
+    d = int(dilation)
+    halo = d * (p - 1)
+    rows = min(tile_rows, -(-m // 8) * 8)
+    nt = -(-m // rows)
+    uf = u.astype(jnp.float32)
+    upad = jnp.pad(uf, ((0, nt * rows - m), (0, 0)))
+    hal_src = jnp.pad(upad, ((halo, 0), (0, 0)))[: nt * rows + halo]
+    # overlapping_frames works over the LAST axis: frame the transposed
+    # rows then restore (N, nt, halo) -> (nt, halo, N)
+    halos = overlapping_frames(hal_src.T, nt, rows, halo).transpose(1, 2, 0)
+    main = upad.reshape(nt, rows, n)
+
+    qk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
+    cos = jnp.asarray(np.cos(qk), jnp.float32)
+    sin = jnp.asarray(np.sin(qk) * sign, jnp.float32)
+
+    tile = lambda r: pl.BlockSpec(  # noqa: E731
+        (1, r, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    const = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    re, im = pl.pallas_call(
+        _ft.partial(_fused_pfb_kernel, p=p, d=d, rows=rows),
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, rows, n), jnp.float32),
+            jax.ShapeDtypeStruct((nt, rows, n), jnp.float32),
+        ],
+        grid=(nt,),
+        in_specs=[
+            tile(halo),
+            tile(rows),
+            const(hq),
+            const(cos),
+            const(sin),
+        ],
+        out_specs=[tile(rows), tile(rows)],
+        interpret=jax.default_backend() != "tpu",
+    )(halos, main, hq.astype(jnp.float32), cos, sin)
+    return re.reshape(nt * rows, n)[:m], im.reshape(nt * rows, n)[:m]
+
+
 def design_prototype(
     n_channels: int, taps_per_phase: int = 8, *, window: str | tuple = "hamming"
 ) -> np.ndarray:
@@ -84,11 +177,13 @@ def design_prototype(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_channels",))
+@functools.partial(jax.jit, static_argnames=("n_channels", "method"))
 def pfb_channelize(
     x: jax.Array,
     n_channels: int,
     taps: jax.Array | None = None,
+    *,
+    method: str = "auto",
 ) -> jax.Array:
     """Split a real stream into N complex baseband channels at rate fs/N.
 
@@ -121,10 +216,24 @@ def pfb_channelize(
         axis=1,
     )
 
-    # per-branch causal FIR + channel transform (both MXU; see helpers)
+    # per-branch causal FIR + channel transform (both MXU; see helpers).
+    # ``fused`` (auto on TPU, round 3) runs both stages per VMEM tile —
+    # the composed pair round-trips the (M, N) branch tensor through HBM.
     hq = h.reshape(p, n)  # hq[r, q] = h[rN + q]
-    v = branch_fir(u[None, :, :], hq)[0]  # (M, N)
-    re, im = dft_matmul(v, None, n)  # Y[m, k] = sum_q v e^{+2πi qk/N}
+    if method == "auto":
+        method = "fused" if jax.default_backend() == "tpu" and p > 1 else "composed"
+    from ..utils.dispatch import record_choice
+
+    record_choice("pfb_channelize", method)
+    if method == "fused":
+        re, im = fused_branch_dft(u, hq, sign=1)
+    elif method == "composed":
+        v = branch_fir(u[None, :, :], hq)[0]  # (M, N)
+        re, im = dft_matmul(v, None, n)  # Y[m, k] = sum_q v e^{+2πi qk/N}
+    else:
+        raise ValueError(
+            f"unknown method {method!r}; options ('auto', 'fused', 'composed')"
+        )
     return jax.lax.complex(re, im).T  # (N, M)
 
 
@@ -257,6 +366,7 @@ __all__ = [
     "pfb_channelize_chunk",
     "pfb_channelize_chunk_planar",
     "branch_fir",
+    "fused_branch_dft",
     "dft_matmul",
     "design_prototype",
 ]

@@ -160,3 +160,35 @@ def test_pfb_chunk_planar(rng):
     want = np.asarray(pfb_channelize(x, n))
     np.testing.assert_allclose(np.asarray(i), want.real, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(q), want.imag, rtol=1e-4, atol=1e-5)
+
+
+class TestFusedPfb:
+    """Round-3 fused branch-FIR + DFT Pallas path (VERDICT r2 item 3)."""
+
+    def test_fused_matches_composed(self, rng):
+        from digital_signal_processsing_tpu.ops.channelizer import (
+            pfb_channelize,
+        )
+
+        x = rng.normal(size=64 * 2000).astype(np.float32)
+        a = np.asarray(pfb_channelize(x, 64, method="composed"))
+        b = np.asarray(pfb_channelize(x, 64, method="fused"))
+        err = np.max(np.abs(a - b)) / np.max(np.abs(a))
+        assert err < 1e-5, err
+
+    def test_fused_dilated_matches_composed(self, rng):
+        import jax.numpy as jnp
+
+        from digital_signal_processsing_tpu.ops.channelizer import (
+            branch_fir,
+            dft_matmul,
+            fused_branch_dft,
+        )
+
+        u = rng.normal(size=(777, 32)).astype(np.float32)
+        hq = rng.normal(size=(8, 32)).astype(np.float32)
+        v = np.asarray(branch_fir(jnp.asarray(u)[None], jnp.asarray(hq), dilation=2))[0]
+        re0, im0 = dft_matmul(jnp.asarray(v), None, 32)
+        re1, im1 = fused_branch_dft(jnp.asarray(u), jnp.asarray(hq), dilation=2)
+        np.testing.assert_allclose(np.asarray(re1), np.asarray(re0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(im1), np.asarray(im0), atol=1e-4)
