@@ -1055,12 +1055,186 @@ def _biquad_fused_loop_kernel(*refs, rows: int, n_sections: int, seeded: bool):
         so_ref[0] = carry_ref[:]
 
 
+def _biquad_fused_mxu_kernel(*refs, rows: int, n_sections: int, seeded: bool):
+    """The fused cascade with the LANE pass on the MXU (round 3).
+
+    The 7-level lane doubling scan is the kernel's largest VPU term (~70
+    elementwise ops/sample); but its operator T[j, l] = A^(l-1-j) (the
+    exclusive-scan transfer matrices) depends only on the COEFFICIENTS —
+    so it is built ONCE per kernel launch (grid step 0) into VMEM scratch
+    via a 7-step row shear of the lane-power profile, and every tile's
+    lane pass becomes four (rows, 128) @ (128, 128) HIGHEST matmuls:
+    s_ex = c1 @ T11 + c2 @ T12 (and the mirror pair). Bit-close (bf16x3).
+    Row scan, carry fold, and per-element application are unchanged from
+    :func:`_biquad_fused_loop_kernel`; the per-element lane-power profile
+    comes back from T's first row (P[l] = A * A^(l-1), l=0 fixed to I).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as _pltpu
+
+    if seeded:
+        c_ref, s_ref, x_ref, o_ref, so_ref, carry_ref, tmat_ref = refs
+    else:
+        c_ref, x_ref, o_ref, carry_ref, tmat_ref = refs
+        s_ref = so_ref = None
+
+    ch = pl.program_id(0)
+    t = pl.program_id(1)
+    lane_idx1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+
+    @pl.when(t == 0)
+    def _init():
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        lcol = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        tri = (lcol - 1 - jrow) >= 0
+
+        def build_one(s, _):
+            a1, a2 = c_ref[s, 4], c_ref[s, 5]
+            if seeded:
+                carry_ref[pl.ds(2 * s, 1), :] = (
+                    jnp.zeros((1, 128), jnp.float32) + s_ref[s, ch, 0]
+                )
+                carry_ref[pl.ds(2 * s + 1, 1), :] = (
+                    jnp.zeros((1, 128), jnp.float32) + s_ref[s, ch, 1]
+                )
+            else:
+                carry_ref[pl.ds(2 * s, 2), :] = jnp.zeros((2, 128), jnp.float32)
+            # lane-power profile P[l] = A^l by keep-fill doubling
+            w11, w12, w21, w22 = -a1, jnp.float32(1.0), -a2, jnp.float32(0.0)
+            P11 = jnp.ones((1, 128), jnp.float32)
+            P12 = jnp.zeros((1, 128), jnp.float32)
+            P21 = jnp.zeros((1, 128), jnp.float32)
+            P22 = jnp.ones((1, 128), jnp.float32)
+            sh = 1
+            while sh < 128:
+                keep = lane_idx1 < sh
+                r11 = _pltpu.roll(P11, sh, axis=1)
+                r12 = _pltpu.roll(P12, sh, axis=1)
+                r21 = _pltpu.roll(P21, sh, axis=1)
+                r22 = _pltpu.roll(P22, sh, axis=1)
+                P11 = jnp.where(keep, P11, w11 * r11 + w12 * r21)
+                P12 = jnp.where(keep, P12, w11 * r12 + w12 * r22)
+                P21 = jnp.where(keep, P21, w21 * r11 + w22 * r21)
+                P22 = jnp.where(keep, P22, w21 * r12 + w22 * r22)
+                w11, w12, w21, w22 = (
+                    w11 * w11 + w12 * w21,
+                    w11 * w12 + w12 * w22,
+                    w21 * w11 + w22 * w21,
+                    w21 * w12 + w22 * w22,
+                )
+                sh *= 2
+            # q[l] = A^(l-1): lane right-roll of P (l=0 garbage, tri-masked)
+            qs = [
+                _pltpu.roll(P11, 1, axis=1),
+                _pltpu.roll(P12, 1, axis=1),
+                _pltpu.roll(P21, 1, axis=1),
+                _pltpu.roll(P22, 1, axis=1),
+            ]
+            for k in range(4):
+                m = jnp.broadcast_to(qs[k], (128, 128))
+                for b in range(7):
+                    shb = 1 << b
+                    rowbit = ((jrow >> b) & 1) == 1
+                    m = jnp.where(rowbit, _pltpu.roll(m, shb, axis=1), m)
+                tmat_ref[pl.ds((4 * s + k) * 128, 128), :] = jnp.where(
+                    tri, m, 0.0
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_sections, build_one, 0)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def mmT(c, tm):
+        return jax.lax.dot_general(
+            c, tm, (((1,), (0,)), ((), ())), precision=hp,
+            preferred_element_type=jnp.float32,
+        )
+
+    def section_body(s, y):
+        b0, b1, b2 = c_ref[s, 0], c_ref[s, 1], c_ref[s, 2]
+        a1, a2 = c_ref[s, 4], c_ref[s, 5]
+        c1 = y * (b1 - a1 * b0)
+        c2 = y * (b2 - a2 * b0)
+        t11 = tmat_ref[pl.ds((4 * s + 0) * 128, 128), :]
+        t12 = tmat_ref[pl.ds((4 * s + 1) * 128, 128), :]
+        t21 = tmat_ref[pl.ds((4 * s + 2) * 128, 128), :]
+        t22 = tmat_ref[pl.ds((4 * s + 3) * 128, 128), :]
+        sx1 = mmT(c1, t11) + mmT(c2, t12)
+        sx2 = mmT(c1, t21) + mmT(c2, t22)
+        # row totals: inclusive[127] = A*s_ex[127] + c[127], lane-broadcast
+        s1x, s2x = sx1[:, 127:128], sx2[:, 127:128]
+        t1 = jnp.broadcast_to(-a1 * s1x + s2x + c1[:, 127:128], (rows, 128))
+        t2 = jnp.broadcast_to(-a2 * s1x + c2[:, 127:128], (rows, 128))
+        # A^128 by scalar squaring (7 steps)
+        p11, p12, p21, p22 = -a1, jnp.float32(1.0), -a2, jnp.float32(0.0)
+        for _ in range(7):
+            p11, p12, p21, p22 = (
+                p11 * p11 + p12 * p21,
+                p11 * p12 + p12 * p22,
+                p21 * p11 + p22 * p21,
+                p21 * p12 + p22 * p22,
+            )
+        car1 = carry_ref[pl.ds(2 * s, 1), :]
+        car2 = carry_ref[pl.ds(2 * s + 1, 1), :]
+        f1 = jnp.broadcast_to(p11 * car1 + p12 * car2, (rows, 128))
+        f2 = jnp.broadcast_to(p21 * car1 + p22 * car2, (rows, 128))
+        t1 = jnp.where(row_idx == 0, t1 + f1, t1)
+        t2 = jnp.where(row_idx == 0, t2 + f2, t2)
+        q11, q12, q21, q22 = p11, p12, p21, p22
+        sh = 1
+        while sh < rows:
+            rt1 = _roll_fill(t1, sh, 0, 0.0)
+            rt2 = _roll_fill(t2, sh, 0, 0.0)
+            t1 = q11 * rt1 + q12 * rt2 + t1
+            t2 = q21 * rt1 + q22 * rt2 + t2
+            q11, q12, q21, q22 = (
+                q11 * q11 + q12 * q21,
+                q11 * q12 + q12 * q22,
+                q21 * q11 + q22 * q21,
+                q21 * q12 + q22 * q22,
+            )
+            sh *= 2
+        v1 = jnp.where(
+            row_idx == 0,
+            jnp.broadcast_to(car1, (rows, 128)),
+            _roll_fill(t1, 1, 0, 0.0),
+        )
+        v2 = jnp.where(
+            row_idx == 0,
+            jnp.broadcast_to(car2, (rows, 128)),
+            _roll_fill(t2, 1, 0, 0.0),
+        )
+        carry_ref[pl.ds(2 * s, 1), :] = t1[rows - 1 :, :]
+        carry_ref[pl.ds(2 * s + 1, 1), :] = t2[rows - 1 :, :]
+        # per-element profile P[l] = A^l back out of T's first row:
+        # (A A^(l-1))_11 = -a1 T11[0,l] + T21[0,l] (l >= 1); l=0 -> I
+        lane0 = lane_idx1 == 0
+        p11p = jnp.where(lane0, 1.0, -a1 * t11[0:1, :] + t21[0:1, :])
+        p12p = jnp.where(lane0, 0.0, -a1 * t12[0:1, :] + t22[0:1, :])
+        s1 = (
+            jnp.broadcast_to(p11p, (rows, 128)) * v1
+            + jnp.broadcast_to(p12p, (rows, 128)) * v2
+            + sx1
+        )
+        return b0 * y + s1
+
+    y = jax.lax.fori_loop(
+        0, n_sections, section_body, x_ref[0].astype(jnp.float32)
+    )
+    o_ref[0] = y
+    if seeded:
+        so_ref[0] = carry_ref[pl.ds(0, 2 * n_sections), :]
+
+
 def sosfilt_pallas_fused(
     sos: jax.Array | np.ndarray,
     x: jax.Array,
     *,
     tile_rows: int = 256,
     unroll_sections: bool = False,
+    lane_pass: str = "vpu",
 ) -> jax.Array:
     """SOS cascade via the fused scalar-A Pallas kernel (see the kernel doc).
 
@@ -1081,7 +1255,23 @@ def sosfilt_pallas_fused(
     y3d, batch, n = _to_planar_tiles(x, tile_rows)
     nch, rtot = y3d.shape[0], y3d.shape[1]
 
-    kern = _biquad_fused_kernel if unroll_sections else _biquad_fused_loop_kernel
+    if lane_pass == "mxu":
+        kern = _biquad_fused_mxu_kernel
+        scratch = [
+            pltpu.VMEM((2 * n_sec, 128), jnp.float32),
+            pltpu.VMEM((4 * n_sec * 128, 128), jnp.float32),
+        ]
+    elif lane_pass == "vpu":
+        kern = (
+            _biquad_fused_kernel
+            if unroll_sections
+            else _biquad_fused_loop_kernel
+        )
+        scratch = [pltpu.VMEM((2 * n_sec, 128), jnp.float32)]
+    else:
+        raise ValueError(
+            f"unknown lane_pass {lane_pass!r}; options ('vpu', 'mxu')"
+        )
     out = pl.pallas_call(
         _ft.partial(
             kern,
@@ -1104,7 +1294,7 @@ def sosfilt_pallas_fused(
             lambda c, t: (c, t, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((2 * n_sec, 128), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")
         ),

@@ -363,3 +363,16 @@ class TestSosfiltFused:
         got = np.concatenate(outs, axis=-1)
         scale = np.max(np.abs(want)) + 1e-9
         assert np.max(np.abs(got - want)) / scale < 1e-4
+
+    def test_mxu_lane_pass_matches_vpu(self, rng):
+        # round-3 experiment: lane scan as cached transfer-matrix matmuls
+        import scipy.signal as sps
+
+        from digital_signal_processsing_tpu.ops.iir import sosfilt_pallas_fused
+
+        sos = sps.butter(8, 0.2, output="sos").astype(np.float32)
+        x = rng.normal(size=(2, 20_000)).astype(np.float32)
+        want = sps.sosfilt(sos.astype(np.float64), x.astype(np.float64))
+        got = np.asarray(sosfilt_pallas_fused(sos, x, tile_rows=8, lane_pass="mxu"))
+        sc = np.max(np.abs(want))
+        assert np.max(np.abs(got - want)) / sc < 1e-4
