@@ -518,6 +518,28 @@ def _fused3_kernel(
         o_ref[gi] = tr * inv_n
 
 
+def pick_fused3_block(k: int, want_block: int) -> int | None:
+    """Largest valid 3-factor block <= want_block for k taps, or None.
+
+    Valid = on the 128*A1 grid of the A1 the dispatcher will pick for
+    (block + k), with the resulting nfft within FUSED3_MAX_NFFT. Used by
+    ops/fir.py's auto dispatch to keep long-tap configs on the fused
+    engine instead of falling back to the HBM-bound composed path.
+    """
+    want_block = min(want_block, FUSED3_MAX_NFFT - pick_factored_nfft(k, 1024))
+    blk = (want_block // 1024) * 1024
+    while blk >= 1024:
+        try:
+            a1 = _pick_fused3_a1(pick_factored_nfft(blk + k, 8 * 1024))
+        except ValueError:
+            return None
+        p = 128 * a1
+        if blk % p == 0 and pick_factored_nfft(blk + k, 8 * p) <= FUSED3_MAX_NFFT:
+            return blk
+        blk -= 1024
+    return None
+
+
 def _pick_fused3_a1(min_nfft: int) -> int:
     """Smallest A1 in {8, 16, 32} keeping A2 = nfft/(128*A1) <= 256.
 

@@ -257,17 +257,26 @@ def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Ar
 
         return overlap_save_mxu(x, taps, block=_pick_block(k))
     if method == "overlap_save_fused":
-        from .fft_mxu import FUSED_MAX_NFFT, overlap_save_fused
+        from .fft_mxu import (
+            FUSED_MAX_NFFT,
+            overlap_save_fused,
+            pick_fused3_block,
+        )
 
-        # cap the block so nfft fits the fused kernel's VMEM envelope; the
-        # extra overlap redundancy (<= ~1.35x at k=8192) still beats the
-        # HBM-bound composed path
+        # cap the block so nfft fits the 2-factor kernel's VMEM envelope;
+        # the extra overlap redundancy (<= ~1.35x at k=8192) still beats
+        # the HBM-bound composed path
         block = min(_pick_block(k), FUSED_MAX_NFFT - ((k + 255) // 128) * 128)
-        if block < k:
-            from .fft_mxu import overlap_save_mxu
+        if block >= k:
+            return overlap_save_fused(x, taps, block=block)
+        # past the 2-factor envelope: the 3-factor kernel (round 3) —
+        # measured 1.68x the composed path at k=16384 (BENCH_NOTES r3)
+        block3 = pick_fused3_block(k, _pick_block(k))
+        if block3 is not None and block3 >= k:
+            return overlap_save_fused(x, taps, block=block3)
+        from .fft_mxu import overlap_save_mxu
 
-            return overlap_save_mxu(x, taps, block=_pick_block(k))
-        return overlap_save_fused(x, taps, block=block)
+        return overlap_save_mxu(x, taps, block=_pick_block(k))
     raise ValueError(f"unknown FIR method {method!r}")
 
 

@@ -143,3 +143,20 @@ def test_fused3_block_alignment_rejected(rng):
             np.zeros(16_384, np.float32),
             block=40_832,  # a 128 multiple off the 1024 grid for A1=8
         )
+
+
+def test_auto_dispatch_long_taps_stay_fused(rng):
+    # round-3: k past the 2-factor envelope routes to the 3-factor fused
+    # kernel instead of falling back to the HBM-bound composed path
+    import scipy.signal as sps
+
+    from digital_signal_processsing_tpu.ops.fir import fir_filter
+    from digital_signal_processsing_tpu.utils.dispatch import last_choice
+
+    x = rng.normal(size=(2, 100_000)).astype(np.float32)
+    h = (rng.normal(size=16_384) / 128).astype(np.float32)
+    got = np.asarray(fir_filter(x, h))
+    assert last_choice("fir_filter") == "overlap_save_fused"
+    want = sps.lfilter(h.astype(np.float64), [1.0], x.astype(np.float64))
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < 1e-4, err
