@@ -319,6 +319,65 @@ def _row_window_sum(v, w: int):
     return acc
 
 
+def _row_window_sum_mxu(rt, hr: int):
+    """ROADMAP-item-2 experiment: _row_window_sum as banded limb matmuls.
+
+    Per 128-row block, ws = W_intra^T rt_blk + W_prev^T rt_prev with 0/1
+    banded (128, 128) masks (requires hr <= 128), each as THREE exact
+    8-bit-limb bf16 matmuls (rowtot < 2^23; per-matmul limb sums < 2^15,
+    f32-exact). Replaces ~2 log2(hr) VPU roll-add passes with 6 MXU
+    matmuls per block. Semantics: ws[r] = sum rt[r-hr .. r-1]; rows < hr
+    read wrapped/garbage like the circular-roll spelling — callers discard
+    rows below tail_rows, and the first block's "previous" block is the
+    tile's own wrapped tail, matching pltpu.roll semantics... except
+    cross-block reads here use an explicit ROLL of rt by 128 rows, so the
+    wrap behavior is identical to the VPU spelling's circular rolls.
+    """
+    total = rt.shape[0]
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)  # r' (contract)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)  # r (out)
+    w_intra = ((r1 >= r2 - hr) & (r1 <= r2 - 1)).astype(jnp.bfloat16)
+    w_prev = (r1 >= r2 + 128 - hr).astype(jnp.bfloat16)
+
+    def limbs(v):
+        return (
+            jax.lax.shift_right_arithmetic(v, 16).astype(jnp.bfloat16),
+            jnp.bitwise_and(jax.lax.shift_right_arithmetic(v, 8), 255).astype(
+                jnp.bfloat16
+            ),
+            jnp.bitwise_and(v, 255).astype(jnp.bfloat16),
+        )
+
+    def banded(blk, w):
+        # ws[r, l] = sum_r' w[r', r] * blk[r', l]: contract the row dim
+        a, b, c = limbs(blk)
+
+        def mm(rhs):
+            return jax.lax.dot_general(
+                w, rhs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return (
+            mm(a).astype(jnp.int32) * 65536
+            + mm(b).astype(jnp.int32) * 256
+            + mm(c).astype(jnp.int32)
+        )
+
+    out = []
+    for s in range(0, total, LANES):
+        e = min(s + LANES, total)
+        rb = e - s
+        blk = rt[s:e, :]
+        # full previous 128-row block (block 0 wraps to the tile tail,
+        # matching the circular-roll spelling; those rows are discarded)
+        prev = rt[s - LANES : s, :] if s >= LANES else rt[total - LANES :, :]
+        wi = w_intra[:rb, :rb] if rb < LANES else w_intra
+        wp = w_prev[:, :rb] if rb < LANES else w_prev
+        out.append(banded(blk, wi) + banded(prev, wp))
+    return jnp.concatenate(out, axis=0)
+
+
 def _lane_prefix_and_totals_vpu(ext, channels: int):
     """(segmented per-row lane prefix, per-row class totals) via VPU rolls."""
     p = ext
@@ -391,7 +450,8 @@ def _lane_prefix_and_totals_mxu(ext, channels: int, f32_pass: bool = False):
 
 
 def _windowed_wsum(
-    ext, window: int, channels: int, lane_via_mxu: bool, lane_f32: bool = False
+    ext, window: int, channels: int, lane_via_mxu: bool, lane_f32: bool = False,
+    rows_via_mxu: bool = False,
 ):
     """Windowed per-channel sums of an int32 ext tile (the kernel core).
 
@@ -407,11 +467,13 @@ def _windowed_wsum(
     # windowed sum of row totals over rows [r-hr, r-1]. All axis-0 rolls
     # here are circular/unmasked: every shift is <= hr+1 <= tail_rows, so
     # wrapped garbage stays in rows the caller discards (< tail_rows).
-    ws = (
-        pltpu.roll(_row_window_sum(rt, hr), 1, axis=0)
-        if hr > 0
-        else jnp.zeros_like(rt)
-    )
+    if hr == 0:
+        ws = jnp.zeros_like(rt)
+    elif rows_via_mxu and hr <= LANES and rt.shape[0] >= LANES:
+        # masks already encode the post-roll window [r-hr, r-1]
+        ws = _row_window_sum_mxu(rt, hr)
+    else:
+        ws = pltpu.roll(_row_window_sum(rt, hr), 1, axis=0)
 
     if hl == 0:
         return p - pltpu.roll(p, hr, axis=0) + ws
@@ -429,7 +491,7 @@ def _windowed_wsum(
 
 def _windowed_averager_kernel(
     *refs, window, channels, rows, tail_rows, lane_via_mxu, seeded,
-    lane_f32=False
+    lane_f32=False, rows_via_mxu=False
 ):
     """Carry-free fused windowed averager (see windowed_averager_pallas)."""
     if seeded:
@@ -453,7 +515,9 @@ def _windowed_averager_kernel(
     ext = jnp.concatenate([tail_ref[:], xi], axis=0)  # (tail_rows+rows, 128)
     tail_ref[:] = xi[rows - tail_rows :, :]
 
-    wsum = _windowed_wsum(ext, window, channels, lane_via_mxu, lane_f32)
+    wsum = _windowed_wsum(
+        ext, window, channels, lane_via_mxu, lane_f32, rows_via_mxu
+    )
     o_ref[:] = _trunc_div_cast(wsum[tail_rows:, :], window)
 
 
@@ -515,7 +579,10 @@ def _windowed_packed_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "channels", "tile_rows", "lane_via_mxu", "lane_f32"),
+    static_argnames=(
+        "window", "channels", "tile_rows", "lane_via_mxu", "lane_f32",
+        "rows_via_mxu",
+    ),
 )
 def windowed_averager_pallas(
     x: jax.Array,
@@ -525,6 +592,7 @@ def windowed_averager_pallas(
     tile_rows: int | None = None,
     lane_via_mxu: bool = True,
     lane_f32: bool = False,
+    rows_via_mxu: bool = False,
     seed: jax.Array | None = None,
 ) -> jax.Array:
     """Carry-free fused moving averager — the fastest variant on v5e.
@@ -587,6 +655,7 @@ def windowed_averager_pallas(
                 tail_rows=tail_rows,
                 lane_via_mxu=lane_via_mxu,
                 lane_f32=lane_f32,
+                rows_via_mxu=rows_via_mxu,
                 seeded=seed is not None,
             ),
             out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.int16),

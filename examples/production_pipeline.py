@@ -45,7 +45,7 @@ print(f"remez lowpass: HF {hf_in:.4f} -> {hf_out:.4f} "
 sos = iir.design_butterworth(4, 0.1)
 z = np.asarray(iir.sosfilt(sos, x))
 print(f"sosfilt dispatched: {choices().get('sosfilt')} "
-      f"({'PASS' if choices().get('sosfilt') == 'pallas' else 'MISS'})")
+      f"({'PASS' if choices().get('sosfilt') in ('pallas', 'pallas_fused') else 'MISS'})")
 
 # 3. lock the stream to 44.1 kHz from 48 kHz (non-integer ratio)
 rate = (147, 160)
