@@ -7,7 +7,10 @@ axon-tunnel session drift. See BENCH_NOTES.md Methodology.
 
 from __future__ import annotations
 
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import numpy as np
