@@ -1232,7 +1232,7 @@ def sosfilt_pallas_fused(
     sos: jax.Array | np.ndarray,
     x: jax.Array,
     *,
-    tile_rows: int = 256,
+    tile_rows: int | None = None,
     unroll_sections: bool = False,
     lane_pass: str = "vpu",
 ) -> jax.Array:
@@ -1244,12 +1244,18 @@ def sosfilt_pallas_fused(
     fori_loop section walk keeps Mosaic compile time section-count-free;
     ``unroll_sections=True`` is the measured-equal-speed unrolled spelling
     (323 s remote compile at 4 sections — kept for A/B only).
+    ``tile_rows=None`` auto-picks 512 for streams that fill at least one
+    such tile (measured 4.15 vs 3.79 GS/s over rows=256 at (16, 4M)/4
+    sections, BENCH_NOTES r3 tile sweep) and 256 otherwise (less padding
+    waste on short streams).
     """
     import functools as _ft
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if tile_rows is None:
+        tile_rows = 512 if x.shape[-1] >= 512 * 128 else 256
     sos_rows = jnp.asarray(sos, jnp.float32).reshape(-1, 6)
     n_sec = int(sos_rows.shape[0])
     y3d, batch, n = _to_planar_tiles(x, tile_rows)
