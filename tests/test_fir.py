@@ -117,3 +117,45 @@ def test_hilbert_fir_folded_planar_matches_unfolded(rng):
     got = np.asarray(hilbert_fir(x, row_len=8192))  # force the planar fold
     np.testing.assert_allclose(got.real, want.real, atol=1e-5)
     np.testing.assert_allclose(got.imag, want.imag, atol=1e-4)
+
+
+def _conv_spatial_widths(jaxpr):
+    """All conv_general_dilated lhs spatial widths in a (nested) jaxpr."""
+    widths = []
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "conv_general_dilated":
+            # lhs is NWC here (dimension_numbers fixed in blocked_causal_conv)
+            widths.append(eqn.invars[0].aval.shape[1])
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):  # pjit / closed-call sub-jaxprs
+                widths.extend(_conv_spatial_widths(v.jaxpr))
+    return widths
+
+
+@pytest.mark.parametrize(
+    "shape,k",
+    [((32, 2_100_000), 257), ((32, 2_100_000), 1025), ((16, 4_200_000), 1025)],
+)
+def test_fold_decision_bounds_conv_width_at_pathological_shapes(shape, k):
+    # round-3 VERDICT item 4 pin: the conv-planner compile pathology is
+    # driven by per-row frame width (measured on v5e: (32, 2.1M) bare conv
+    # = 479 s of COMPILE vs (64, 1.05M) = 11 s for identical work). The
+    # TPU planner isn't reachable from CI, so pin the CAUSE: at the
+    # pathological planar shapes the traced program must never contain a
+    # conv whose per-row frame count exceeds the folded bound.
+    import jax
+
+    import digital_signal_processsing_tpu.ops.fir as fir_mod
+
+    x = jax.ShapeDtypeStruct(shape, np.float32)
+    h = jax.ShapeDtypeStruct((k,), np.float32)
+    jaxpr = jax.make_jaxpr(fir_mod.fir_direct)(x, h)
+    widths = _conv_spatial_widths(jaxpr.jaxpr)
+    assert widths, "fir_direct no longer lowers to conv_general_dilated?"
+    # folded rows are FOLD_ROW_LEN + (k-1) halo samples -> frames of 128
+    bound = -(-(fir_mod.FOLD_ROW_LEN + k - 1) // 128) + 1
+    assert max(widths) <= bound, (
+        f"conv frame width {max(widths)} exceeds folded bound {bound}: "
+        "the planner trap is open again at "
+        f"shape={shape} k={k}"
+    )
