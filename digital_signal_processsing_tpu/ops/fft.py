@@ -239,6 +239,119 @@ def welch(
     return p * jnp.asarray(scale)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nfft", "window", "scaling", "method")
+)
+def periodogram(
+    x: jax.Array,
+    *,
+    fs: float = 1.0,
+    nfft: int | None = None,
+    window: str = "rect",
+    scaling: str = "density",
+    method: str = "auto",
+) -> jax.Array:
+    """Single-frame PSD estimate (scipy.signal.periodogram, constant detrend).
+
+    The whole (mean-removed, windowed) signal is one DFT frame; one-sided
+    density/spectrum scaling like :func:`welch`. ``nfft`` defaults to the
+    stream length (zero-pads beyond it).
+    """
+    xp = x if x.ndim == 2 else x[None, :]
+    t = xp.shape[-1]
+    n = nfft or t
+    if n < t:
+        raise ValueError(f"nfft {n} < signal length {t}")
+    xf = xp.astype(jnp.float32)
+    xf = xf - jnp.mean(xf, axis=-1, keepdims=True)
+    w = jnp.asarray(spectral_window(window, t))
+    seg = jnp.pad(xf * w, ((0, 0), (0, n - t)))
+    if _resolve_fft_method(method, n) == "mxu":
+        s = _mxu_rfft(seg[:, None, :])[:, 0, :]
+    else:
+        s = jnp.fft.rfft(seg, axis=-1)
+    wn = spectral_window(window, t)
+    if scaling == "density":
+        norm = fs * float((wn**2).sum())
+    elif scaling == "spectrum":
+        norm = float(wn.sum()) ** 2
+    else:
+        raise ValueError(f"unknown scaling {scaling!r}")
+    p = (jnp.abs(s) ** 2) / norm
+    scale = np.full(n // 2 + 1, 2.0, np.float32)
+    scale[0] = 1.0
+    if n % 2 == 0:
+        scale[-1] = 1.0
+    out = p * jnp.asarray(scale)
+    return out if x.ndim == 2 else out[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nfft", "hop", "window", "scaling", "method")
+)
+def csd(
+    x: jax.Array,
+    y: jax.Array,
+    *,
+    nfft: int = 1024,
+    hop: int | None = None,
+    window: str = "hann",
+    fs: float = 1.0,
+    scaling: str = "density",
+    method: str = "auto",
+) -> jax.Array:
+    """Welch cross-spectral density conj(X)*Y (scipy.signal.csd semantics).
+
+    Complex-valued on device (built via the DFT engines — no host complex
+    transfer is needed until the caller fetches; fetch ``.real``/``.imag``
+    separately on backends without complex host transfer). ``csd(x, x)``
+    reduces to :func:`welch` of x.
+    """
+    if hop is None:
+        hop = nfft // 2
+    sx = stft(x, nfft=nfft, hop=hop, window=window, method=method)
+    sy = stft(y, nfft=nfft, hop=hop, window=window, method=method)
+    w = spectral_window(window, nfft)
+    if scaling == "density":
+        norm = fs * float((w**2).sum())
+    elif scaling == "spectrum":
+        norm = float(w.sum()) ** 2
+    else:
+        raise ValueError(f"unknown scaling {scaling!r}")
+    p = jnp.mean(jnp.conj(sx) * sy, axis=-2) / norm
+    scale = np.full(nfft // 2 + 1, 2.0, np.float32)
+    scale[0] = 1.0
+    if nfft % 2 == 0:
+        scale[-1] = 1.0
+    return p * jnp.asarray(scale)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nfft", "hop", "window", "method")
+)
+def coherence(
+    x: jax.Array,
+    y: jax.Array,
+    *,
+    nfft: int = 1024,
+    hop: int | None = None,
+    window: str = "hann",
+    method: str = "auto",
+) -> jax.Array:
+    """Magnitude-squared coherence |Pxy|^2 / (Pxx Pyy) in [0, 1]
+    (scipy.signal.coherence semantics); real float32 output."""
+    if hop is None:
+        hop = nfft // 2
+    sx = stft(x, nfft=nfft, hop=hop, window=window, method=method)
+    sy = stft(y, nfft=nfft, hop=hop, window=window, method=method)
+    pxy = jnp.mean(jnp.conj(sx) * sy, axis=-2)
+    pxx = jnp.mean(jnp.abs(sx) ** 2, axis=-2)
+    pyy = jnp.mean(jnp.abs(sy) ** 2, axis=-2)
+    return (jnp.abs(pxy) ** 2 / jnp.maximum(pxx * pyy, 1e-30)).astype(
+        jnp.float32
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("nfft", "hop", "window", "method"))
 def spectrogram(
     x: jax.Array,

@@ -22,6 +22,7 @@ Two implementations with the classic crossover:
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -702,3 +703,186 @@ def design_equiripple(
         w = np.maximum(w * errs / errs.max(), 1e-6)
         w = w / w.max()
     return h.astype(np.float32)
+
+
+def _symmetric_window(window: str, n: int) -> np.ndarray:
+    """SYMMETRIC design window (filter-design convention; the spectral ops
+    use the periodic form in ops/fft.spectral_window)."""
+    if n == 1:
+        return np.ones(1)
+    k = np.arange(n, dtype=np.float64)
+    if window == "hamming":
+        return 0.54 - 0.46 * np.cos(2 * np.pi * k / (n - 1))
+    if window == "hann":
+        return 0.5 - 0.5 * np.cos(2 * np.pi * k / (n - 1))
+    if window == "blackman":
+        return (
+            0.42
+            - 0.5 * np.cos(2 * np.pi * k / (n - 1))
+            + 0.08 * np.cos(4 * np.pi * k / (n - 1))
+        )
+    if window == "rect":
+        return np.ones(n)
+    raise ValueError(f"unknown design window {window!r}")
+
+
+def design_firwin2(
+    num_taps: int,
+    freq,
+    gain,
+    *,
+    nfreqs: int | None = None,
+    window: str = "hamming",
+) -> np.ndarray:
+    """Frequency-sampling FIR design (scipy.signal.firwin2 semantics).
+
+    ``freq``: increasing points in [0, 1] Nyquist units starting at 0 and
+    ending at 1; ``gain``: desired amplitude at each point (linear between
+    them). The desired response is interpolated onto a fine half-spectrum
+    grid, given the linear phase of a centered type-I/II filter, inverse-
+    transformed, and windowed. Matches scipy.signal.firwin2 across the
+    tests' spec grid (tests/test_design_spectral.py).
+    """
+    freq = np.asarray(freq, np.float64)
+    gain = np.asarray(gain, np.float64)
+    if freq.shape != gain.shape or freq.ndim != 1 or freq.size < 2:
+        raise ValueError("freq and gain must be equal-length 1-D, size >= 2")
+    if freq[0] != 0.0 or freq[-1] != 1.0 or np.any(np.diff(freq) < 0):
+        raise ValueError("freq must increase from 0.0 to 1.0")
+    if num_taps % 2 == 0 and gain[-1] != 0.0:
+        raise ValueError("even num_taps (type II) forces zero gain at Nyquist")
+    if nfreqs is None:
+        nfreqs = 1 + 2 ** int(np.ceil(np.log2(max(num_taps, 2))))
+    # scipy nudges exact duplicate interior points apart by an eps so the
+    # interpolation sees a step; accept them the same way
+    eps = np.finfo(np.float64).eps
+    f = freq.copy()
+    for i in range(1, f.size):
+        if f[i] <= f[i - 1]:
+            f[i] = f[i - 1] + eps * nfreqs
+    x = np.linspace(0.0, 1.0, nfreqs)
+    fx = np.interp(x, f, gain)
+    # linear phase of the (num_taps-1)/2-sample-centered impulse response
+    shift = np.exp(-(num_taps - 1) / 2.0 * 1j * np.pi * x)
+    h_full = np.fft.irfft(fx * shift)
+    return (h_full[:num_taps] * _symmetric_window(window, num_taps)).astype(
+        np.float32
+    )
+
+
+def design_savgol(
+    window_length: int, polyorder: int, *, deriv: int = 0, delta: float = 1.0
+) -> np.ndarray:
+    """Savitzky-Golay coefficients (scipy.signal.savgol_coeffs, pos=center).
+
+    Least-squares projection onto degree-``polyorder`` polynomials over a
+    centered window: solve the Vandermonde normal system once, host-side
+    float64. Returned in scipy's convolution orientation (apply as
+    correlation with the REVERSED array, which :func:`savgol_filter` does).
+    """
+    if window_length <= polyorder:
+        raise ValueError(
+            f"window_length {window_length} must exceed polyorder {polyorder}"
+        )
+    if window_length % 2 == 0:
+        raise ValueError(f"window_length must be odd, got {window_length}")
+    if deriv > polyorder:
+        return np.zeros(window_length, np.float64)
+    half = window_length // 2
+    pos = np.arange(-half, half + 1, dtype=np.float64)
+    # A[i, j] = pos[j] ** i; coeffs = row `deriv` of pinv(A^T) scaled
+    a = pos[None, :] ** np.arange(polyorder + 1, dtype=np.float64)[:, None]
+    y = np.zeros(polyorder + 1)
+    y[deriv] = float(math.factorial(deriv)) / (delta**deriv)
+    coeffs, *_ = np.linalg.lstsq(a.T, np.eye(window_length), rcond=None)
+    c = coeffs.T @ y
+    return c[::-1]  # scipy's conv orientation
+
+
+def _centered_fir(ext: jax.Array, c: np.ndarray) -> jax.Array:
+    """Centered correlation y[t] = sum_m c[m] ext[t+m] over a pre-padded
+    stream; ext carries half-window halos on both sides."""
+    wl = c.shape[0]
+    taps = jnp.asarray(np.ascontiguousarray(c[::-1]), jnp.float32)
+    y = blocked_causal_conv(ext, taps)
+    t = ext.shape[-1] - (wl - 1)
+    return y[..., wl - 1 : wl - 1 + t]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_length", "polyorder", "deriv", "delta", "mode")
+)
+def savgol_filter(
+    x: jax.Array,
+    window_length: int,
+    polyorder: int,
+    *,
+    deriv: int = 0,
+    delta: float = 1.0,
+    mode: str = "interp",
+) -> jax.Array:
+    """Savitzky-Golay smoothing of (channels, time) or (time,) signals.
+
+    The interior is ONE lane-blocked MXU conv with the projection
+    coefficients; ``mode="interp"`` (scipy's default) replaces each edge
+    with the polynomial fitted to the first/last window evaluated at the
+    edge positions — expressed as a fixed (half, window) matrix so the
+    whole op stays jittable. Other modes: "mirror", "nearest", "wrap",
+    "constant" (zero), matching scipy.signal.savgol_filter.
+    """
+    xp, squeeze = _as_planar(x)
+    cc = design_savgol(window_length, polyorder, deriv=deriv, delta=delta)
+    c = cc[::-1]  # correlation orientation: y[t] = sum_m c[m] x[t-half+m]
+    half = window_length // 2
+    xf = xp.astype(jnp.float32)
+    if mode == "interp":
+        if xp.shape[-1] <= window_length:
+            raise ValueError(
+                "mode='interp' needs time > window_length; use another mode"
+            )
+        ext = jnp.pad(xf, ((0, 0), (half, half)))
+        y = _centered_fir(ext, c)
+        # edge fit: values = (V_eval @ pinv(V_fit)) @ x[:window]; the
+        # composed (half, window) matrices are compile-time constants
+        pos = np.arange(window_length, dtype=np.float64)
+        vf = pos[:, None] ** np.arange(polyorder + 1)[None, :]
+        pf = np.linalg.pinv(vf)
+        dscale = np.array(
+            [
+                float(math.factorial(i))
+                / float(math.factorial(i - deriv))
+                / delta**deriv
+                if i >= deriv
+                else 0.0
+                for i in range(polyorder + 1)
+            ]
+        )
+        # d-th derivative of sum_i a_i p^i at p: sum_{i>=d} a_i i!/(i-d)! p^(i-d)
+        pe = np.arange(half, dtype=np.float64)
+        ve = np.zeros((half, polyorder + 1))
+        for i in range(deriv, polyorder + 1):
+            ve[:, i] = dscale[i] * pe ** (i - deriv)
+        left = jnp.asarray(ve @ pf, jnp.float32)
+        pe_r = np.arange(window_length - half, window_length, dtype=np.float64)
+        ve_r = np.zeros((half, polyorder + 1))
+        for i in range(deriv, polyorder + 1):
+            ve_r[:, i] = dscale[i] * pe_r ** (i - deriv)
+        right = jnp.asarray(ve_r @ pf, jnp.float32)
+        y = y.at[..., :half].set(
+            jnp.einsum("hw,cw->ch", left, xf[..., :window_length])
+        )
+        y = y.at[..., -half:].set(
+            jnp.einsum("hw,cw->ch", right, xf[..., -window_length:])
+        )
+    else:
+        pad_mode = {
+            "mirror": "reflect",
+            "nearest": "edge",
+            "wrap": "wrap",
+            "constant": "constant",
+        }.get(mode)
+        if pad_mode is None:
+            raise ValueError(f"unknown mode {mode!r}")
+        ext = jnp.pad(xf, ((0, 0), (half, half)), mode=pad_mode)
+        y = _centered_fir(ext, c)
+    return y[0] if squeeze else y

@@ -11,6 +11,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .iir import iir_first_order
 
@@ -71,3 +72,24 @@ def db(x: jax.Array, floor_db: float = -200.0) -> jax.Array:
 
 
 __all__ = ["dc_block", "agc", "soft_clip", "db"]
+
+
+@functools.partial(jax.jit, static_argnames=("type",))
+def detrend(x: jax.Array, *, type: str = "linear") -> jax.Array:
+    """Remove a constant or least-squares linear trend over the last axis
+    (scipy.signal.detrend semantics).
+
+    The linear fit uses the closed-form normal equations on centered time
+    indices (diagonal system — no lstsq in the graph), so it fuses into
+    whatever follows under jit.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    if type == "constant":
+        return xf - mean
+    if type != "linear":
+        raise ValueError(f"type must be 'linear' or 'constant', got {type!r}")
+    t = xf.shape[-1]
+    n = jnp.arange(t, dtype=jnp.float32) - (t - 1) / 2.0  # centered: sum n = 0
+    slope = jnp.sum(xf * n, axis=-1, keepdims=True) / float((np.arange(t) - (t - 1) / 2.0) @ (np.arange(t) - (t - 1) / 2.0))
+    return xf - mean - slope * n

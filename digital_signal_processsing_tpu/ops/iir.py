@@ -1603,6 +1603,53 @@ def sosfreqz(sos, worN: int = 512):
     return w, h
 
 
+def filtfilt(b, a, x: jax.Array, *, method: str = "auto") -> jax.Array:
+    """Zero-phase forward-backward (b, a) filtering (scipy.signal.filtfilt).
+
+    Converts to an SOS cascade (:func:`ba_to_sos`) and runs
+    :func:`sosfiltfilt` — numerically far better conditioned than the
+    direct-form transfer function at high order, and it rides the same
+    Pallas block-scan dispatch at production lengths. Matches scipy's
+    default (odd-reflection padding) away from the reflected edges.
+    """
+    return sosfiltfilt(ba_to_sos(b, a), x, method=method)
+
+
+def group_delay(b, a=1.0, worN: int = 512):
+    """(w, gd) group delay of a digital filter in samples — numpy host helper.
+
+    Shpak's method: for H = B/A, ``gd = Re[(dC/dw)/C] - (len(a)-1)`` with
+    C = B * reversed(A) (one polynomial ratio, no explicit differentiation
+    of the quotient). Matches scipy.signal.group_delay on its default
+    one-sided grid; bins where C(z) ~ 0 (response nulls) return 0 like
+    scipy does.
+    """
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    c = np.convolve(b, a[::-1])
+    cr = c * np.arange(c.size)
+    w = np.linspace(0, np.pi, worN, endpoint=False)
+    z = np.exp(-1j * w)
+    den = np.polyval(c[::-1], z)
+    num = np.polyval(cr[::-1], z)
+    small = np.abs(den) < 1e-12
+    gd = np.where(
+        small, 0.0, np.real(num / np.where(small, 1.0, den)) - (a.size - 1)
+    )
+    return w, gd
+
+
+def sos_group_delay(sos, worN: int = 512):
+    """(w, gd) group delay of an SOS cascade: sum of per-section delays."""
+    sos_np = np.asarray(sos, np.float64).reshape(-1, 6)
+    w = np.linspace(0, np.pi, worN, endpoint=False)
+    gd = np.zeros_like(w)
+    for row in sos_np:
+        _, gi = group_delay(row[:3], row[3:], worN)
+        gd += gi
+    return w, gd
+
+
 def design_chebyshev1(
     order: int, ripple_db: float, cutoff: float, btype: str = "lowpass"
 ) -> np.ndarray:

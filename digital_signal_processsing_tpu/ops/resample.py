@@ -141,3 +141,32 @@ def resample_poly(
     else:
         y = _poly_decimate(xp, taps, down)
     return y[0] if squeeze else y
+
+
+@functools.partial(jax.jit, static_argnames=("num",))
+def resample_fft(x: jax.Array, num: int) -> jax.Array:
+    """Fourier-domain resampling to exactly ``num`` samples
+    (scipy.signal.resample, real input, no window).
+
+    Truncates or zero-extends the one-sided spectrum, with scipy's
+    Nyquist-bin bookkeeping (doubled when downsampling drops its conjugate
+    half, halved when upsampling splits it). Assumes the signal is
+    periodic like scipy does; use :func:`resample_poly` / Farrow for
+    streaming or non-periodic data.
+    """
+    if num < 1:
+        raise ValueError(f"num must be >= 1, got {num}")
+    xp, squeeze = _as_planar(x)
+    c, t = xp.shape
+    X = jnp.fft.rfft(xp.astype(jnp.float32), axis=-1)
+    n = min(num, t)
+    nyq = n // 2 + 1
+    Y = jnp.zeros((c, num // 2 + 1), X.dtype)
+    Y = Y.at[:, :nyq].set(X[:, :nyq])
+    if n % 2 == 0:
+        if num < t:
+            Y = Y.at[:, n // 2].multiply(2.0)
+        elif num > t:
+            Y = Y.at[:, n // 2].multiply(0.5)
+    y = jnp.fft.irfft(Y, n=num, axis=-1) * (num / t)
+    return y[0] if squeeze else y

@@ -71,4 +71,67 @@ def white_noise(t: int, *, amplitude: float = 1.0, seed: int = 0) -> jax.Array:
     return amplitude * jax.random.normal(key, (t,), jnp.float32)
 
 
-__all__ = ["tone", "chirp", "white_noise"]
+@functools.partial(jax.jit, static_argnames=("t", "duty"))
+def square(
+    freq: float | jax.Array,
+    t: int,
+    *,
+    duty: float = 0.5,
+    t0: jax.Array | int = 0,
+) -> jax.Array:
+    """Square wave: +1 for the first ``duty`` of each cycle, -1 after
+    (scipy.signal.square semantics on phase 2*pi*freq*n). Exact fractional
+    phase, so the edges don't drift at long lengths."""
+    f = jnp.asarray(freq, jnp.float32).reshape(1, 1)
+    p0 = _frac_mul_int(f, jnp.asarray(t0, jnp.int32))
+    pn = _frac_mul_int(f, jnp.arange(t, dtype=jnp.int32)[None, :])
+    frac = (p0 + pn)[0]
+    frac = frac - jnp.floor(frac)
+    return jnp.where(frac < duty, 1.0, -1.0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("t", "width"))
+def sawtooth(
+    freq: float | jax.Array,
+    t: int,
+    *,
+    width: float = 1.0,
+    t0: jax.Array | int = 0,
+) -> jax.Array:
+    """Sawtooth/triangle wave (scipy.signal.sawtooth semantics): rises
+    -1 -> 1 over the first ``width`` of each cycle, falls back over the
+    rest. ``width=1`` pure saw, ``width=0.5`` symmetric triangle."""
+    if not 0.0 <= width <= 1.0:
+        raise ValueError(f"width must be in [0, 1], got {width}")
+    f = jnp.asarray(freq, jnp.float32).reshape(1, 1)
+    p0 = _frac_mul_int(f, jnp.asarray(t0, jnp.int32))
+    pn = _frac_mul_int(f, jnp.arange(t, dtype=jnp.int32)[None, :])
+    frac = (p0 + pn)[0]
+    frac = frac - jnp.floor(frac)
+    rise = -1.0 + 2.0 * frac / max(width, 1e-30)
+    fall = 1.0 - 2.0 * (frac - width) / max(1.0 - width, 1e-30)
+    return jnp.where(frac < width, rise, fall).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("fc", "bw", "bwr"))
+def gausspulse(
+    t: jax.Array,
+    *,
+    fc: float = 1000.0,
+    bw: float = 0.5,
+    bwr: float = -6.0,
+) -> jax.Array:
+    """Gaussian-modulated sinusoid (scipy.signal.gausspulse): a cosine at
+    ``fc`` Hz under a Gaussian envelope whose fractional bandwidth ``bw``
+    is measured at ``bwr`` dB. ``t`` in seconds, any shape."""
+    if fc < 0 or bw <= 0 or bwr >= 0:
+        raise ValueError(f"need fc >= 0, bw > 0, bwr < 0; got {fc}, {bw}, {bwr}")
+    import numpy as np
+
+    ref = float(np.power(10.0, bwr / 20.0))
+    a = -((np.pi * fc * bw) ** 2) / (4.0 * np.log(ref))
+    tf = t.astype(jnp.float32)
+    return jnp.exp(-a * tf * tf) * jnp.cos(2.0 * jnp.pi * fc * tf)
+
+
+__all__ = ["tone", "chirp", "white_noise", "square", "sawtooth", "gausspulse"]
