@@ -20,7 +20,21 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["iirfilter", "design_elliptic", "zpk2sos", "butter_zpk_proto"]
+__all__ = [
+    "iirfilter",
+    "iirdesign",
+    "design_elliptic",
+    "design_bessel",
+    "zpk2sos",
+    "butter_zpk_proto",
+    "buttord",
+    "cheb1ord",
+    "cheb2ord",
+    "ellipord",
+    "iirnotch",
+    "iirpeak",
+    "iircomb",
+]
 
 
 # --- Jacobi elliptic functions via Landen transformations --------------------
@@ -275,6 +289,7 @@ _PROTOS = {
     "cheby1": lambda n, rp, rs: _cheby1_zpk_proto(n, rp),
     "cheby2": lambda n, rp, rs: _cheby2_zpk_proto(n, rs),
     "ellip": lambda n, rp, rs: _ellip_zpk_proto(n, rp, rs),
+    "bessel": lambda n, rp, rs: _bessel_zpk_proto(n),
 }
 
 
@@ -343,3 +358,386 @@ def design_elliptic(
     scipy.signal.ellip's magnitude response (tests/test_design_spectral.py).
     """
     return iirfilter(order, Wn, btype=btype, ftype="ellip", rp=rp_db, rs=rs_db)
+
+
+# --- minimum order selection (scipy *ord semantics) ----------------------------
+
+
+def _ellipk_modulus(k: float) -> float:
+    """Complete elliptic integral K(k) (MODULUS argument, like Orfanidis —
+    scipy.special.ellipk takes m = k^2) via the arithmetic-geometric mean."""
+    if not 0.0 <= k < 1.0:
+        raise ValueError(f"modulus must be in [0, 1), got {k}")
+    a, b = 1.0, float(np.sqrt(1.0 - k * k))
+    while abs(a - b) > 1e-15 * a:
+        a, b = 0.5 * (a + b), float(np.sqrt(a * b))
+    return float(np.pi / (2.0 * a))
+
+
+def _order_continuous(family: str, nat: float, gpass: float, gstop: float) -> float:
+    """Continuous (non-integer) minimum order at analog selectivity ``nat``.
+
+    ``nat`` is the stopband-edge frequency of the passband-normalized analog
+    prototype. Standard closed forms; elliptic uses the exact degree
+    equation N = [K(k) K'(k1)] / [K'(k) K(k1)].
+    """
+    nat = abs(float(nat))
+    d = (10.0 ** (0.1 * gstop) - 1.0) / (10.0 ** (0.1 * gpass) - 1.0)
+    if family == "butter":
+        return np.log10(d) / (2.0 * np.log10(nat))
+    if family in ("cheby1", "cheby2"):
+        return float(np.arccosh(np.sqrt(d)) / np.arccosh(nat))
+    if family == "ellip":
+        k = 1.0 / nat
+        k1 = 1.0 / np.sqrt(d)
+        kc = np.sqrt(max(1.0 - k * k, 0.0))
+        k1c = np.sqrt(max(1.0 - k1 * k1, 0.0))
+        return float(
+            (_ellipk_modulus(k) * _ellipk_modulus(k1c))
+            / (_ellipk_modulus(kc) * _ellipk_modulus(k1))
+        )
+    raise ValueError(f"unknown family {family!r}")
+
+
+def _golden_min(f, lo: float, hi: float, tol: float = 1e-8) -> float:
+    """Golden-section minimizer on [lo, hi] (hand-rolled: design is
+    numpy-only at runtime; mirrors the fminbound role in scipy's *ord)."""
+    invphi = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = float(lo), float(hi)
+    c, dd = b - invphi * (b - a), a + invphi * (b - a)
+    fc, fd = f(c), f(dd)
+    while (b - a) > tol * (abs(a) + abs(b) + 1e-30):
+        if fc < fd:
+            b, dd, fd = dd, c, fc
+            c = b - invphi * (b - a)
+            fc = f(c)
+        else:
+            a, c, fc = c, dd, fd
+            dd = a + invphi * (b - a)
+            fd = f(dd)
+    return 0.5 * (a + b)
+
+
+def _band_type(wp, ws) -> str:
+    wp = np.atleast_1d(np.asarray(wp, np.float64))
+    ws = np.atleast_1d(np.asarray(ws, np.float64))
+    if wp.size != ws.size or wp.size not in (1, 2):
+        raise ValueError("wp and ws must both be scalars or both be pairs")
+    if np.any(wp <= 0) or np.any(wp >= 1) or np.any(ws <= 0) or np.any(ws >= 1):
+        raise ValueError("band edges must be in (0, 1) Nyquist units")
+    if wp.size == 1:
+        return "lowpass" if wp[0] < ws[0] else "highpass"
+    if wp[0] < wp[1] and ws[0] < ws[1]:
+        if ws[0] < wp[0] and wp[1] < ws[1]:
+            return "bandpass"
+        if wp[0] < ws[0] and ws[1] < wp[1]:
+            return "bandstop"
+    raise ValueError(f"inconsistent band edges wp={wp}, ws={ws}")
+
+
+def _band_nat(btype, passb, stopb, family, gpass, gstop):
+    """(selectivity nat, possibly-adjusted analog passband edges).
+
+    Bandstop adjusts each passband edge inward (1-D golden-section on the
+    continuous order, like scipy's fminbound step) — the raw edges
+    over-constrain one side of the notch.
+    """
+    if btype == "lowpass":
+        return stopb[0] / passb[0], passb
+    if btype == "highpass":
+        return passb[0] / stopb[0], passb
+    if btype == "bandpass":
+        w02 = passb[0] * passb[1]
+        bw = passb[1] - passb[0]
+        nats = (stopb**2 - w02) / (stopb * bw)
+        return min(abs(nats)), passb
+    # bandstop
+    passb = passb.copy()
+
+    def order_at(edge_idx, w):
+        pb = passb.copy()
+        pb[edge_idx] = w
+        w02 = pb[0] * pb[1]
+        bw = pb[1] - pb[0]
+        nats = (stopb * bw) / (stopb**2 - w02)
+        return _order_continuous(family, min(abs(nats)), gpass, gstop)
+
+    passb[0] = _golden_min(
+        lambda w: order_at(0, w), passb[0], stopb[0] - 1e-12
+    )
+    passb[1] = _golden_min(
+        lambda w: order_at(1, w), stopb[1] + 1e-12, passb[1]
+    )
+    w02 = passb[0] * passb[1]
+    bw = passb[1] - passb[0]
+    nats = (stopb * bw) / (stopb**2 - w02)
+    return min(abs(nats)), passb
+
+
+def _wn_from_proto(W0: float, btype: str, passb: np.ndarray) -> np.ndarray:
+    """Analog frequencies mapping to passband-normalized prototype frequency
+    ``W0`` under the band transform anchored at ``passb`` (inverts the
+    LP->{LP,HP,BP,BS} maps; the butter/cheby2 natural-frequency step)."""
+    if btype == "lowpass":
+        return np.array([W0 * passb[0]])
+    if btype == "highpass":
+        return np.array([passb[0] / W0])
+    w02 = passb[0] * passb[1]
+    bw = passb[1] - passb[0]
+    if btype == "bandpass":
+        # (W^2 - w02)/(bw W) = +/-W0  ->  W = -/+W0 bw/2 + sqrt((W0 bw/2)^2 + w02)
+        half = W0 * bw / 2.0
+        hi = half + np.sqrt(half * half + w02)
+        return np.array([w02 / hi, hi])
+    # bandstop: bw W/(w02 - W^2) = +/-W0 -> W0 W^2 +/- bw W - W0 w02 = 0
+    disc = np.sqrt(bw * bw + 4.0 * W0 * W0 * w02)
+    lo = (-bw + disc) / (2.0 * W0)
+    hi = (bw + disc) / (2.0 * W0)
+    return np.array([lo, hi])
+
+
+def _iir_ord(family: str, wp, ws, gpass: float, gstop: float):
+    if gpass <= 0 or gstop <= 0:
+        raise ValueError(f"gpass/gstop must be > 0 dB, got {gpass}, {gstop}")
+    if gpass >= gstop:
+        raise ValueError(
+            f"gpass ({gpass} dB) must be smaller than gstop ({gstop} dB)"
+        )
+    btype = _band_type(wp, ws)
+    passb = np.tan(np.pi * np.atleast_1d(np.asarray(wp, np.float64)) / 2.0)
+    stopb = np.tan(np.pi * np.atleast_1d(np.asarray(ws, np.float64)) / 2.0)
+    nat, passb = _band_nat(btype, passb, stopb, family, gpass, gstop)
+    order = int(np.ceil(_order_continuous(family, nat, gpass, gstop) - 1e-9))
+    order = max(order, 1)
+
+    if family == "butter":
+        # -3 dB natural frequency meeting the passband spec exactly
+        W0 = (10.0 ** (0.1 * gpass) - 1.0) ** (-1.0 / (2.0 * order))
+        wn_analog = _wn_from_proto(W0, btype, passb)
+        wn = 2.0 / np.pi * np.arctan(wn_analog)
+    elif family == "cheby2":
+        # stopband edge meeting the passband spec exactly
+        d = (10.0 ** (0.1 * gstop) - 1.0) / (10.0 ** (0.1 * gpass) - 1.0)
+        W0 = float(np.cosh(np.arccosh(np.sqrt(d)) / order))
+        wn_analog = _wn_from_proto(W0, btype, passb)
+        wn = 2.0 / np.pi * np.arctan(wn_analog)
+    else:  # cheby1 / ellip anchor at the (bandstop-adjusted) passband edges
+        wn = 2.0 / np.pi * np.arctan(passb)
+    wn = np.sort(wn)
+    return order, (float(wn[0]) if wn.size == 1 else wn.astype(np.float64))
+
+
+def buttord(wp, ws, gpass: float, gstop: float):
+    """(order, wn) of the cheapest Butterworth meeting the band spec
+    (scipy.signal.buttord, digital, Nyquist units). ``wn`` is the -3 dB
+    natural frequency to pass to :func:`iirfilter`/design_butterworth."""
+    return _iir_ord("butter", wp, ws, gpass, gstop)
+
+
+def cheb1ord(wp, ws, gpass: float, gstop: float):
+    """(order, wn) for Chebyshev I (scipy.signal.cheb1ord semantics)."""
+    return _iir_ord("cheby1", wp, ws, gpass, gstop)
+
+
+def cheb2ord(wp, ws, gpass: float, gstop: float):
+    """(order, wn) for Chebyshev II; ``wn`` is the stopband-side design
+    frequency meeting the passband spec exactly (scipy.signal.cheb2ord)."""
+    return _iir_ord("cheby2", wp, ws, gpass, gstop)
+
+
+def ellipord(wp, ws, gpass: float, gstop: float):
+    """(order, wn) for an elliptic filter via the exact degree equation
+    (scipy.signal.ellipord semantics)."""
+    return _iir_ord("ellip", wp, ws, gpass, gstop)
+
+
+_ORDS = {
+    "butter": buttord,
+    "cheby1": cheb1ord,
+    "cheby2": cheb2ord,
+    "ellip": ellipord,
+}
+
+
+def iirdesign(
+    wp, ws, gpass: float, gstop: float, *, ftype: str = "ellip"
+) -> np.ndarray:
+    """Band-spec-driven IIR design -> SOS rows (scipy.signal.iirdesign).
+
+    Picks the minimum order for ``ftype`` via the matching *ord rule, then
+    designs through :func:`iirfilter`. ``wp``/``ws`` in (0, 1) Nyquist
+    units (scalars, or pairs for bandpass/bandstop specs).
+    """
+    if ftype not in _ORDS:
+        raise ValueError(f"ftype must be one of {sorted(_ORDS)}, got {ftype!r}")
+    order, wn = _ORDS[ftype](wp, ws, gpass, gstop)
+    btype = _band_type(wp, ws)
+    return iirfilter(
+        order, wn, btype=btype, ftype=ftype, rp=gpass, rs=gstop
+    )
+
+
+# --- Bessel/Thomson family -----------------------------------------------------
+
+
+_BESSEL_MAX_ORDER = 25  # np.roots conditioning on the reverse Bessel poly
+
+
+def _bessel_zpk_proto(order: int, norm: str = "phase"):
+    """Bessel analog prototype: poles = roots of the reverse Bessel
+    polynomial theta_n(s), no zeros; maximally flat GROUP DELAY.
+
+    ``norm``: 'phase' (scipy default — phase response crosses its midpoint
+    at w=1, poles scaled by theta_n(0)^(-1/n)), 'delay' (unit group delay
+    at DC — unscaled roots), 'mag' (-3 dB at w=1, scale found by
+    bisection on the magnitude).
+    """
+    n = order
+    if n > _BESSEL_MAX_ORDER:
+        raise ValueError(
+            f"bessel design supported to order {_BESSEL_MAX_ORDER} "
+            f"(np.roots conditioning), got {n}"
+        )
+    import math
+
+    # theta_n(s) = sum_k a_k s^k, a_k = (2n-k)! / (2^(n-k) k! (n-k)!)
+    a = np.array(
+        [
+            math.factorial(2 * n - k)
+            / (2 ** (n - k) * math.factorial(k) * math.factorial(n - k))
+            for k in range(n + 1)
+        ],
+        np.float64,
+    )
+    p = np.roots(a[::-1])  # highest power first
+    if norm == "phase":
+        p = p / a[0] ** (1.0 / n)
+    elif norm == "mag":
+        # H normalized to H(0)=1; find a with |H(j a)| = 1/sqrt(2), then
+        # scale poles so the -3 dB point lands at w=1
+        k0 = np.real(np.prod(-p))
+
+        def mag(w):
+            return abs(k0 / np.prod(1j * w - p))
+
+        lo, hi = 1e-6, 1e6
+        for _ in range(200):
+            mid = np.sqrt(lo * hi)
+            if mag(mid) > 1.0 / np.sqrt(2.0):
+                lo = mid
+            else:
+                hi = mid
+        p = p / np.sqrt(lo * hi)
+    elif norm != "delay":
+        raise ValueError(f"norm must be phase/delay/mag, got {norm!r}")
+    k = float(np.real(np.prod(-p)))  # H(0) = 1
+    return np.array([], complex), p, k
+
+
+def design_bessel(
+    order: int, Wn, *, btype: str = "lowpass", norm: str = "phase"
+) -> np.ndarray:
+    """Bessel/Thomson digital filter -> SOS rows (scipy.signal.bessel).
+
+    Linear-phase-like: maximally flat group delay in the passband (the
+    bilinear transform warps it near Nyquist like scipy's). Magnitude
+    parity vs scipy.signal.bessel(norm=...) in tests/test_design_spectral.
+    """
+    z, p, k = _bessel_zpk_proto(order, norm)
+    return _zpk_band_design(z, p, k, Wn, btype)
+
+
+def _zpk_band_design(z, p, k, Wn, btype: str) -> np.ndarray:
+    """Shared band-transform + bilinear + SOS tail of iirfilter for a
+    caller-supplied analog prototype."""
+    if btype in ("lowpass", "highpass"):
+        wn = float(np.squeeze(np.asarray(Wn)))
+        if not 0.0 < wn < 1.0:
+            raise ValueError(f"Wn must be in (0,1) of Nyquist, got {Wn}")
+        warped = np.tan(np.pi * wn / 2.0)
+        z, p, k = (
+            _lp2lp_zpk(z, p, k, warped)
+            if btype == "lowpass"
+            else _lp2hp_zpk(z, p, k, warped)
+        )
+    elif btype in ("bandpass", "bandstop"):
+        lo, hi = (float(v) for v in np.asarray(Wn).reshape(2))
+        if not 0.0 < lo < hi < 1.0:
+            raise ValueError(f"need 0 < low < high < 1 (Nyquist), got {Wn}")
+        w1, w2 = np.tan(np.pi * lo / 2.0), np.tan(np.pi * hi / 2.0)
+        wo, bw = np.sqrt(w1 * w2), w2 - w1
+        z, p, k = (
+            _lp2bp_zpk(z, p, k, wo, bw)
+            if btype == "bandpass"
+            else _lp2bs_zpk(z, p, k, wo, bw)
+        )
+    else:
+        raise ValueError(f"unknown btype {btype!r}")
+    z, p, k = _bilinear_zpk(z, p, k)
+    return zpk2sos(z, p, k)
+
+
+# --- notch / peak / comb biquads (scipy.signal.iirnotch/iirpeak/iircomb) -------
+
+
+def _notch_peak(w0: float, Q: float, kind: str):
+    if not 0.0 < w0 < 1.0:
+        raise ValueError(f"w0 must be in (0, 1) Nyquist units, got {w0}")
+    if Q <= 0:
+        raise ValueError(f"Q must be > 0, got {Q}")
+    om = np.pi * w0
+    bw_half = np.tan(om / (2.0 * Q))  # tan(bw/2), bw = om/Q rad
+    gain = 1.0 / (1.0 + bw_half)
+    if kind == "notch":
+        b = gain * np.array([1.0, -2.0 * np.cos(om), 1.0])
+    else:  # peak: unity AT w0, zero at DC/Nyquist
+        b = (1.0 - gain) * np.array([1.0, 0.0, -1.0])
+    a = np.array([1.0, -2.0 * gain * np.cos(om), 2.0 * gain - 1.0])
+    return b.astype(np.float64), a.astype(np.float64)
+
+
+def iirnotch(w0: float, Q: float):
+    """(b, a) second-order notch at ``w0`` Nyquist units, -3 dB bandwidth
+    ``w0/Q`` (scipy.signal.iirnotch)."""
+    return _notch_peak(w0, Q, "notch")
+
+
+def iirpeak(w0: float, Q: float):
+    """(b, a) second-order resonator passing only ``w0`` (scipy.signal.iirpeak)."""
+    return _notch_peak(w0, Q, "peak")
+
+
+def iircomb(w0: float, Q: float, *, ftype: str = "notch", pass_zero: bool = False):
+    """(b, a) comb filter notching (or peaking) every harmonic of ``w0``
+    (scipy.signal.iircomb semantics; ``w0`` in Nyquist units must divide 2
+    to an integer number of teeth).
+
+    ``pass_zero=False`` places notches/peaks AT the harmonics of w0;
+    ``True`` shifts them to the midpoints (scipy 1.9 behavior).
+    """
+    if not 0.0 < w0 < 1.0:
+        raise ValueError(f"w0 must be in (0, 1) Nyquist units, got {w0}")
+    if Q <= 0:
+        raise ValueError(f"Q must be > 0, got {Q}")
+    if ftype not in ("notch", "peak"):
+        raise ValueError(f"ftype must be notch or peak, got {ftype!r}")
+    teeth = 2.0 / w0
+    n = int(round(teeth))
+    if abs(teeth - n) > 1e-9:
+        raise ValueError(
+            f"w0 must divide the sampling band evenly: 2/w0 = {teeth} not integer"
+        )
+    # Orfanidis comb: beta = tan(N bw/4); bw = w0/Q in rad (om0 = pi w0).
+    # H(z) = (b0 +/- b0 z^-N)/(1 -/+ (2g-1) z^-N); the z^-N sign in b is
+    # + iff pass_zero (teeth at the midpoints); a's sign tracks b for
+    # notch and flips for peak.
+    beta = np.tan(n * (np.pi * w0 / Q) / 4.0)
+    g = 1.0 / (1.0 + beta)
+    b0 = g if ftype == "notch" else 1.0 - g
+    sb = 1.0 if pass_zero else -1.0
+    sa = sb if ftype == "notch" else -sb
+    b = np.zeros(n + 1)
+    a = np.zeros(n + 1)
+    b[0], b[n] = b0, sb * b0
+    a[0], a[n] = 1.0, sa * (2.0 * g - 1.0)
+    return b, a

@@ -455,7 +455,7 @@ class TestIirDesignPipeline:
         with pytest.raises(ValueError, match="rs"):
             iirfilter(4, 0.3, ftype="cheby2")
         with pytest.raises(ValueError, match="ftype"):
-            iirfilter(4, 0.3, ftype="bessel")
+            iirfilter(4, 0.3, ftype="legendre")
         with pytest.raises(ValueError, match="Nyquist"):
             iirfilter(4, 1.5)
         with pytest.raises(ValueError, match="low < high"):

@@ -1,0 +1,167 @@
+"""Order selection, iirdesign, Bessel, and notch/peak/comb parity vs scipy.
+
+Covers the round-3 design-surface completion in ops/iir_design.py: the
+*ord family (buttord/cheb1ord/cheb2ord/ellipord), the band-spec-driven
+iirdesign front-end, the Bessel/Thomson prototypes (all three norms), and
+the iirnotch/iirpeak/iircomb biquad/comb designers.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from digital_signal_processsing_tpu.ops import iir_design as d
+
+SPECS = [
+    (0.2, 0.3, 1.0, 40.0),
+    (0.1, 0.15, 0.5, 60.0),
+    (0.4, 0.3, 1.0, 40.0),
+    (0.7, 0.5, 3.0, 80.0),
+    ([0.2, 0.5], [0.1, 0.6], 1.0, 40.0),
+    ([0.3, 0.4], [0.25, 0.5], 2.0, 60.0),
+    ([0.1, 0.6], [0.2, 0.5], 1.0, 40.0),
+    ([0.2, 0.7], [0.3, 0.6], 3.0, 50.0),
+]
+
+ORD_PAIRS = [
+    (d.buttord, sps.buttord),
+    (d.cheb1ord, sps.cheb1ord),
+    (d.cheb2ord, sps.cheb2ord),
+    (d.ellipord, sps.ellipord),
+]
+
+
+@pytest.mark.parametrize("ours,theirs", ORD_PAIRS, ids=lambda p: getattr(p, "__name__", ""))
+@pytest.mark.parametrize("wp,ws,gpass,gstop", SPECS)
+def test_ord_matches_scipy(ours, theirs, wp, ws, gpass, gstop):
+    n1, w1 = ours(wp, ws, gpass, gstop)
+    n2, w2 = theirs(wp, ws, gpass, gstop)
+    assert n1 == n2
+    # bandstop wn solves a 1-D edge optimization; scipy's fminbound stops
+    # at xtol=1e-5, ours at a tighter golden-section tol
+    np.testing.assert_allclose(
+        np.atleast_1d(np.asarray(w1, np.float64)),
+        np.atleast_1d(np.asarray(w2, np.float64)),
+        atol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("ftype", ["butter", "cheby1", "cheby2", "ellip"])
+@pytest.mark.parametrize(
+    "wp,ws",
+    [(0.2, 0.3), (0.5, 0.35), ([0.2, 0.5], [0.1, 0.6]), ([0.1, 0.6], [0.2, 0.5])],
+)
+def test_iirdesign_meets_spec(ftype, wp, ws):
+    gpass, gstop = 1.0, 40.0
+    sos = d.iirdesign(wp, ws, gpass, gstop, ftype=ftype)
+    w, h = sps.sosfreqz(np.asarray(sos, np.float64), worN=4096)
+    wn = w / np.pi
+    btype = d._band_type(wp, ws)
+    mag_db = 20.0 * np.log10(np.abs(h) + 1e-300)
+    if btype == "lowpass":
+        pb, sb = wn <= wp, wn >= ws
+    elif btype == "highpass":
+        pb, sb = wn >= wp, wn <= ws
+    elif btype == "bandpass":
+        pb = (wn >= wp[0]) & (wn <= wp[1])
+        sb = (wn <= ws[0]) | (wn >= ws[1])
+    else:
+        pb = (wn <= wp[0]) | (wn >= wp[1])
+        sb = (wn >= ws[0]) & (wn <= ws[1])
+    # small numerical slack on the passband edge bins
+    assert mag_db[pb].min() >= -gpass - 0.05
+    assert mag_db[sb].max() <= -gstop + 0.2
+
+
+@pytest.mark.parametrize("order", [2, 3, 5, 8, 12])
+@pytest.mark.parametrize("norm", ["phase", "delay", "mag"])
+def test_bessel_magnitude_parity(order, norm):
+    for btype, wn in [
+        ("lowpass", 0.3),
+        ("highpass", 0.4),
+        ("bandpass", (0.2, 0.5)),
+        ("bandstop", (0.2, 0.5)),
+    ]:
+        sos1 = d.design_bessel(order, wn, btype=btype, norm=norm)
+        sos2 = sps.bessel(order, wn, btype=btype, norm=norm, output="sos")
+        w, h1 = sps.sosfreqz(np.asarray(sos1, np.float64), worN=1024)
+        _, h2 = sps.sosfreqz(sos2, worN=1024)
+        np.testing.assert_allclose(np.abs(h1), np.abs(h2), atol=1e-4)
+
+
+def test_bessel_group_delay_flat():
+    # norm='delay' lowpass: group delay ~constant across the passband
+    sos = d.design_bessel(5, 0.2, norm="delay")
+    from digital_signal_processsing_tpu.ops.iir import sos_group_delay
+
+    w, gd = sos_group_delay(np.asarray(sos, np.float64), worN=512)
+    band = (w / np.pi) < 0.1
+    # 0.0247 measured — identical to scipy's own digital bessel (the
+    # bilinear transform warps the analog flatness slightly)
+    assert np.ptp(gd[band]) / np.mean(gd[band]) < 0.03
+
+
+def test_bessel_order_cap():
+    with pytest.raises(ValueError):
+        d.design_bessel(40, 0.3)
+
+
+def test_bessel_via_iirfilter():
+    sos1 = d.iirfilter(4, 0.3, btype="lowpass", ftype="bessel")
+    sos2 = d.design_bessel(4, 0.3)
+    np.testing.assert_allclose(sos1, sos2)
+
+
+@pytest.mark.parametrize("w0,Q", [(0.3, 30.0), (0.1, 5.0), (0.7, 12.0)])
+def test_notch_peak_parity(w0, Q):
+    for ours, theirs in [(d.iirnotch, sps.iirnotch), (d.iirpeak, sps.iirpeak)]:
+        b1, a1 = ours(w0, Q)
+        b2, a2 = theirs(w0, Q)
+        np.testing.assert_allclose(b1, b2, atol=1e-12)
+        np.testing.assert_allclose(a1, a2, atol=1e-12)
+
+
+@pytest.mark.parametrize("ftype", ["notch", "peak"])
+@pytest.mark.parametrize("pass_zero", [False, True])
+@pytest.mark.parametrize("w0,Q", [(0.2, 30.0), (0.1, 5.0), (0.25, 80.0)])
+def test_iircomb_parity(ftype, pass_zero, w0, Q):
+    b1, a1 = d.iircomb(w0, Q, ftype=ftype, pass_zero=pass_zero)
+    b2, a2 = sps.iircomb(w0, Q, ftype=ftype, pass_zero=pass_zero)
+    np.testing.assert_allclose(b1, b2, atol=1e-12)
+    np.testing.assert_allclose(a1, a2, atol=1e-12)
+
+
+def test_iircomb_rejects_noninteger_teeth():
+    with pytest.raises(ValueError):
+        d.iircomb(0.3, 30.0)
+
+
+def test_notch_kills_tone_on_device():
+    # end-to-end: the notch biquad actually removes its tone through the
+    # TPU sosfilt path (lfilter -> ba_to_sos -> Pallas/XLA dispatch)
+    import jax.numpy as jnp
+
+    from digital_signal_processsing_tpu.ops.iir import lfilter
+
+    t = np.arange(8192)
+    tone = np.sin(np.pi * 0.3 * t).astype(np.float32)
+    other = np.sin(np.pi * 0.1 * t).astype(np.float32)
+    b, a = d.iirnotch(0.3, 30.0)
+    y = np.asarray(lfilter(b, a, jnp.asarray(tone + other)))
+    # steady-state: notched tone gone, other tone preserved
+    tail = slice(4096, None)
+    corr_tone = np.abs(np.dot(y[tail], tone[tail])) / np.dot(tone[tail], tone[tail])
+    corr_other = np.abs(np.dot(y[tail], other[tail])) / np.dot(other[tail], other[tail])
+    assert corr_tone < 0.05
+    assert corr_other > 0.9
+
+
+def test_ord_error_paths():
+    with pytest.raises(ValueError):
+        d.buttord(0.3, 0.3, -1.0, 40.0)
+    with pytest.raises(ValueError):
+        d.buttord(0.2, 0.3, 40.0, 1.0)  # gpass >= gstop
+    with pytest.raises(ValueError):
+        d.buttord([0.2, 0.5], [0.25, 0.6], 1.0, 40.0)  # straddling edges
+    with pytest.raises(ValueError):
+        d.iirdesign(0.2, 0.3, 1.0, 40.0, ftype="bogus")
