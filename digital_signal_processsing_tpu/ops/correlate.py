@@ -95,6 +95,75 @@ def autocorrelate(
     return r
 
 
+@functools.partial(jax.jit, static_argnames=("mode", "method"))
+def fftconvolve(
+    a: jax.Array, v: jax.Array, mode: str = "full", *, method: str = "auto"
+) -> jax.Array:
+    """Convolve ``a`` with ``v`` along the last axis via one padded DFT
+    round trip (scipy.signal.fftconvolve, real inputs).
+
+    Convolution is correlation with the flipped template — same engine
+    dispatch as :func:`correlate` (MXU-factored DFT on TPU, XLA FFT
+    anchor). ``same`` is centered on ``a`` like scipy.
+    """
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r}; options {MODES}")
+    full = correlate(a, v[..., ::-1], mode="full", method=method)
+    ta, tv = a.shape[-1], v.shape[-1]
+    if mode == "full":
+        return full
+    if mode == "same":
+        start = (tv - 1) // 2
+        return full[..., start : start + ta]
+    if ta < tv:
+        raise ValueError(f"valid mode needs len(a) >= len(v), got {ta} < {tv}")
+    return full[..., tv - 1 : ta]
+
+
+def oaconvolve(
+    a: jax.Array, v: jax.Array, mode: str = "full", *, method: str = "auto"
+) -> jax.Array:
+    """Overlap-save convolution for long streams with a short kernel
+    (scipy.signal.oaconvolve's role).
+
+    Routes through :func:`ops.fir.fir_filter`'s auto dispatch — the fused
+    per-block VMEM overlap-save Pallas engine on TPU when it wins, the
+    lane-blocked MXU direct conv otherwise — instead of one monolithic
+    length-(Ta+Tv) FFT whose working set busts VMEM. Falls back to
+    :func:`fftconvolve` when the "kernel" is more than half the stream
+    (block decomposition stops paying).
+    """
+    ta, tv = a.shape[-1], v.shape[-1]
+    if tv > max(ta // 2, 16384):
+        return fftconvolve(a, v, mode, method=method)
+    from .fir import fir_filter
+
+    xp = a if a.ndim == 2 else a[None, :]
+    pad = [(0, 0)] * (xp.ndim - 1) + [(0, tv - 1)]
+    full = fir_filter(jnp.pad(xp.astype(jnp.float32), pad), jnp.asarray(v))
+    if a.ndim != 2:
+        full = full[0]
+    if mode == "full":
+        return full
+    if mode == "same":
+        start = (tv - 1) // 2
+        return full[..., start : start + ta]
+    if ta < tv:
+        raise ValueError(f"valid mode needs len(a) >= len(v), got {ta} < {tv}")
+    return full[..., tv - 1 : ta]
+
+
+def convolve(
+    a: jax.Array, v: jax.Array, mode: str = "full", *, method: str = "auto"
+) -> jax.Array:
+    """scipy.signal.convolve-compatible front door: auto-dispatches to the
+    overlap-save/direct engine (long stream, short kernel) or the one-shot
+    DFT (:func:`fftconvolve`)."""
+    if method == "fft":
+        return fftconvolve(a, v, mode)
+    return oaconvolve(a, v, mode, method=method)
+
+
 def find_delay(a: jax.Array, v: jax.Array) -> jax.Array:
     """Lag (samples) at which template ``v`` best aligns inside ``a``.
 
@@ -105,4 +174,12 @@ def find_delay(a: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.argmax(full, axis=-1) - (v.shape[-1] - 1)
 
 
-__all__ = ["correlate", "autocorrelate", "find_delay", "MODES"]
+__all__ = [
+    "correlate",
+    "autocorrelate",
+    "convolve",
+    "fftconvolve",
+    "oaconvolve",
+    "find_delay",
+    "MODES",
+]

@@ -538,3 +538,117 @@ def hilbert_fir(
 def envelope(x: jax.Array, *, method: str = "auto") -> jax.Array:
     """Instantaneous amplitude of a real signal: |hilbert(x)|."""
     return jnp.abs(hilbert(x, method=method)).astype(jnp.float32)
+
+
+# --- chirp-z / zoom spectra ----------------------------------------------------
+
+_CZT_MATMUL_MAX = 1 << 23  # t*m entries; two f32 chirp matrices = 64 MB HBM
+
+
+def _czt_chirp(t: int, m: int, w: complex, a: complex):
+    """(t, m) chirp matrix M[n, k] = a^-n w^(nk) as host float64 planar
+    (cos, sin) parts. Phases via float64 mod-2pi; magnitudes via logs so
+    off-circle a/w don't overflow."""
+    n = np.arange(t, dtype=np.float64)[:, None]
+    k = np.arange(m, dtype=np.float64)[None, :]
+    nk = n * k
+    la, ta_ = np.log(np.abs(a)), np.angle(a)
+    lw, tw = np.log(np.abs(w)), np.angle(w)
+    mag = np.exp(-n * la + nk * lw)
+    ph = -n * ta_ + np.mod(nk * tw, 2.0 * np.pi)
+    return (mag * np.cos(ph)).astype(np.float32), (mag * np.sin(ph)).astype(
+        np.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("m", "w", "a"))
+def czt(
+    x: jax.Array,
+    m: int | None = None,
+    w: complex | None = None,
+    a: complex = 1.0 + 0.0j,
+) -> jax.Array:
+    """Chirp-z transform: ``m`` samples along the spiral z_k = a w^-k
+    (scipy.signal.czt semantics; default w spaces the unit circle evenly,
+    reducing to the DFT).
+
+    TPU spelling: ONE dense (t, m) planar matmul — the MXU is the
+    butterfly engine, and an arbitrary-spiral CZT is literally a matrix
+    product, so for zoom-spectrum shapes (t x m <= 2^23) nothing beats
+    spelling it as one. Larger products fall back to Bluestein's
+    chirp-convolution identity nk = (n^2 + k^2 - (k-n)^2)/2 on the XLA
+    FFT. Real or complex input; complex64 output like :func:`stft`.
+    """
+    t = x.shape[-1]
+    if m is None:
+        m = t
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if w is None:
+        w = complex(np.exp(-2j * np.pi / m))
+    w = complex(w)
+    a = complex(a)
+    if jnp.iscomplexobj(x):
+        xr, xi = jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
+    else:
+        xr, xi = x.astype(jnp.float32), None
+    if t * m <= _CZT_MATMUL_MAX:
+        mr, mi = _czt_chirp(t, m, w, a)
+        mr, mi = jnp.asarray(mr), jnp.asarray(mi)
+        yr = xr @ mr
+        yi = xr @ mi
+        if xi is not None:
+            yr = yr - xi @ mi
+            yi = yi + xi @ mr
+        return jax.lax.complex(yr, yi)
+    # Bluestein: X[k] = w^(k^2/2) * conv(x[n] a^-n w^(n^2/2), w^(-j^2/2))[t-1+k]
+    n = np.arange(t, dtype=np.float64)
+    j = np.arange(-(t - 1), m, dtype=np.float64)
+    k = np.arange(m, dtype=np.float64)
+    la, ta_ = np.log(np.abs(a)), np.angle(a)
+    lw, tw = np.log(np.abs(w)), np.angle(w)
+
+    def _cexp(logmag, phase):
+        mag = np.exp(logmag)
+        return (
+            jnp.asarray((mag * np.cos(phase)).astype(np.float32)),
+            jnp.asarray((mag * np.sin(phase)).astype(np.float32)),
+        )
+
+    ar, ai = _cexp(-n * la + (n * n / 2.0) * lw,
+                   -n * ta_ + np.mod(n * n / 2.0 * tw, 2 * np.pi))
+    br, bi = _cexp(-(j * j / 2.0) * lw, np.mod(-(j * j / 2.0) * tw, 2 * np.pi))
+    cr, ci = _cexp((k * k / 2.0) * lw, np.mod(k * k / 2.0 * tw, 2 * np.pi))
+    ur = xr * ar - (xi * ai if xi is not None else 0.0)
+    ui = xr * ai + (xi * ar if xi is not None else 0.0)
+    u = jax.lax.complex(ur, ui)
+    b = jax.lax.complex(br, bi)
+    nfft = 1 << int(np.ceil(np.log2(t + m + t - 2)))
+    conv = jnp.fft.ifft(
+        jnp.fft.fft(u, n=nfft) * jnp.fft.fft(b, n=nfft), n=nfft
+    )[..., t - 1 : t - 1 + m]
+    return conv * jax.lax.complex(cr, ci)
+
+
+def zoomfft(
+    x: jax.Array, fn, m: int | None = None, *, fs: float = 2.0
+) -> jax.Array:
+    """Zoomed DFT: ``m`` bins spanning [f1, f2) without computing the full
+    spectrum (scipy.signal.zoomfft, endpoint=False).
+
+    ``fn``: (f1, f2) in the units of ``fs`` (default Nyquist units), or a
+    scalar for [0, fn). One MXU matmul via :func:`czt` — the classic
+    band-selectable alternative to padding the global FFT.
+    """
+    fn = np.atleast_1d(np.asarray(fn, np.float64))
+    if fn.size == 1:
+        fn = np.array([0.0, float(fn[0])])
+    f1, f2 = float(fn[0]), float(fn[1])
+    if not -fs / 2 <= f1 <= f2 <= fs:
+        raise ValueError(f"need f1 <= f2 within the sampling band, got {fn}")
+    t = x.shape[-1]
+    if m is None:
+        m = t
+    a = complex(np.exp(2j * np.pi * f1 / fs))
+    w = complex(np.exp(-2j * np.pi * (f2 - f1) / (m * fs)))
+    return czt(x, m, w, a)

@@ -886,3 +886,53 @@ def savgol_filter(
         ext = jnp.pad(xf, ((0, 0), (half, half)), mode=pad_mode)
         y = _centered_fir(ext, c)
     return y[0] if squeeze else y
+
+
+def kaiserord(ripple_db: float, width: float) -> tuple[int, float]:
+    """(num_taps, beta) for a Kaiser-window FIR meeting ``ripple_db`` of
+    stopband attenuation with a ``width``-wide transition (Nyquist units) —
+    scipy.signal.kaiserord's (numtaps, beta) contract over the existing
+    :func:`kaiser_beta`/:func:`kaiser_num_taps` estimates.
+    """
+    ripple_db = abs(float(ripple_db))
+    if ripple_db < 8:
+        raise ValueError(
+            "ripple below 8 dB is outside Kaiser's formula (scipy raises too)"
+        )
+    if not 0.0 < width < 1.0:
+        raise ValueError(f"width must be in (0,1) Nyquist units, got {width}")
+    n = int(np.ceil((ripple_db - 7.95) / (2.285 * np.pi * width))) + 1
+    return n, kaiser_beta(ripple_db)
+
+
+def minimum_phase(h: np.ndarray, *, n_fft: int | None = None) -> np.ndarray:
+    """Minimum-phase spectral factor of a linear-phase FIR (homomorphic
+    method, scipy.signal.minimum_phase semantics: half-length output).
+
+    Folds the cepstrum of log|H| so all zeros move inside the unit circle
+    while |H| is preserved (sqrt in magnitude at half length). Host-side
+    float64; the big FFT is a one-time design cost like the rest of the
+    tap designers.
+    """
+    h = np.asarray(h, np.float64)
+    if h.ndim != 1 or h.size < 3:
+        raise ValueError(f"h must be 1-D with >= 3 taps, got shape {h.shape}")
+    if n_fft is None:
+        n_fft = 1 << int(np.ceil(np.log2(2 * (h.size - 1) / 0.01)))
+    if n_fft < h.size:
+        raise ValueError(f"n_fft {n_fft} < len(h) {h.size}")
+    # HALF log magnitude: the half-length result's magnitude is sqrt|H|,
+    # so cascading it twice reproduces the original response
+    spec = np.abs(np.fft.fft(h, n_fft))
+    spec += 1e-7 * spec[spec > 0].min()  # homomorphic-safe floor
+    logmag = 0.5 * np.log(spec)
+    # fold + TRUNCATE the cepstrum at half the filter length (smooths the
+    # factorization like scipy's homomorphic variant)
+    cep = np.real(np.fft.ifft(logmag))
+    win = np.zeros(n_fft)
+    win[0] = 1.0
+    stop = (h.size + 1) // 2
+    win[1:stop] = 2.0
+    h_min = np.real(np.fft.ifft(np.exp(np.fft.fft(cep * win))))
+    n_out = h.size // 2 + h.size % 2
+    return h_min[:n_out].astype(np.float64)

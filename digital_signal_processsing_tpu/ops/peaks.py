@@ -137,3 +137,42 @@ def find_peaks(
     if height is not None:
         props["peak_heights"] = x[peaks]
     return peaks, props
+
+
+def peak_widths(x, peaks, *, rel_height: float = 0.5, prominence_data=None):
+    """(widths, width_heights, left_ips, right_ips) of each peak at
+    ``rel_height`` of its prominence (scipy.signal.peak_widths, host-side).
+
+    The evaluation height is ``peak_height - rel_height * prominence``;
+    crossings are linearly interpolated between samples, searched only
+    within each peak's prominence bases like scipy.
+    """
+    if rel_height < 0:
+        raise ValueError(f"rel_height must be >= 0, got {rel_height}")
+    x = np.asarray(x, np.float64)
+    peaks = np.asarray(peaks, np.intp)
+    if prominence_data is None:
+        prominence_data = peak_prominences(x, peaks)
+    prom, lbase, rbase = prominence_data
+    widths = np.empty(peaks.shape, np.float64)
+    wh = np.empty(peaks.shape, np.float64)
+    lips = np.empty(peaks.shape, np.float64)
+    rips = np.empty(peaks.shape, np.float64)
+    for k, p in enumerate(peaks):
+        height = x[p] - rel_height * prom[k]
+        wh[k] = height
+        i = p
+        while i > lbase[k] and x[i] > height:
+            i -= 1
+        lip = float(i)
+        if x[i] < height:  # interpolate between i and i+1
+            lip = i + (height - x[i]) / (x[i + 1] - x[i])
+        j = p
+        while j < rbase[k] and x[j] > height:
+            j += 1
+        rip = float(j)
+        if x[j] < height:
+            rip = j - (height - x[j]) / (x[j - 1] - x[j])
+        lips[k], rips[k] = lip, rip
+        widths[k] = rip - lip
+    return widths, wh, lips, rips

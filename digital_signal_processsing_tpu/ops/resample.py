@@ -170,3 +170,37 @@ def resample_fft(x: jax.Array, num: int) -> jax.Array:
             Y = Y.at[:, n // 2].multiply(0.5)
     y = jnp.fft.irfft(Y, n=num, axis=-1) * (num / t)
     return y[0] if squeeze else y
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down"))
+def upfirdn(
+    h: jax.Array | np.ndarray, x: jax.Array, up: int = 1, down: int = 1
+) -> jax.Array:
+    """Zero-stuff by ``up``, FIR filter by ``h``, keep every ``down``-th
+    sample (scipy.signal.upfirdn semantics + output length).
+
+    TPU spelling: the zero-stuffing rides :func:`ops.fir.blocked_interp_conv`'s
+    banded tap matrix (dense MXU frames; an lhs-dilated conv would run at
+    ~1/128 utilization), and the decimation is a strided slice of the full
+    conv — XLA folds it into the output gather.
+    """
+    if up < 1 or down < 1:
+        raise ValueError(f"up/down must be >= 1, got {up}/{down}")
+    from .fir import blocked_causal_conv, blocked_interp_conv
+
+    taps = jnp.asarray(h, jnp.float32)
+    if taps.ndim != 1:
+        raise ValueError(f"h must be 1-D taps, got shape {taps.shape}")
+    xp, squeeze = _as_planar(x)
+    xp = xp.astype(jnp.float32)
+    t, k = xp.shape[-1], taps.shape[0]
+    n_full = (t - 1) * up + k  # full conv length of the zero-stuffed stream
+    # right-pad so the causal blocked conv covers the full-conv tail
+    extra = -(-(k - 1) // up) if up > 1 else k - 1
+    xpad = jnp.pad(xp, ((0, 0), (0, extra)))
+    if up > 1:
+        y = blocked_interp_conv(xpad, taps, up=up)
+    else:
+        y = blocked_causal_conv(xpad, taps)
+    y = y[..., :n_full][..., ::down]
+    return y[0] if squeeze else y
