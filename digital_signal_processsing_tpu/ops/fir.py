@@ -936,3 +936,24 @@ def minimum_phase(h: np.ndarray, *, n_fft: int | None = None) -> np.ndarray:
     h_min = np.real(np.fft.ifft(np.exp(np.fft.fft(cep * win))))
     n_out = h.size // 2 + h.size % 2
     return h_min[:n_out].astype(np.float64)
+
+
+def deconvolve(signal, divisor) -> tuple[np.ndarray, np.ndarray]:
+    """(quotient, remainder) polynomial long division so that
+    ``signal = convolve(divisor, quotient) + remainder``
+    (scipy.signal.deconvolve; host-side float64 — it is the inverse-design
+    step, not a stream op).
+    """
+    num = np.atleast_1d(np.asarray(signal, np.float64))
+    den = np.atleast_1d(np.asarray(divisor, np.float64))
+    if den[0] == 0.0:
+        raise ValueError("divisor[0] must be nonzero")
+    if num.size < den.size:
+        return np.array([0.0]), num.copy()
+    nq = num.size - den.size + 1
+    q = np.zeros(nq)
+    r = num.copy()
+    for i in range(nq):
+        q[i] = r[i] / den[0]
+        r[i : i + den.size] -= q[i] * den
+    return q, r

@@ -1778,3 +1778,34 @@ def design_chebyshev2(
         g = np.polyval(a[:2], ref) / np.polyval(b[:2], ref)
         rows.append(np.concatenate([b * g, a]))
     return np.asarray(rows, np.float32)
+
+
+def lfiltic(b, a, y, x=None) -> np.ndarray:
+    """Direct-form-II-transposed initial state from past outputs ``y``
+    (most recent first) and past inputs ``x`` (scipy.signal.lfiltic).
+
+    Pairs with the (b, a) spelling of :func:`lfilter`; for the SOS device
+    path convert with :func:`ba_to_sos` and seed :func:`sosfilt_chunk`.
+    """
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    n = max(a.size, b.size) - 1
+    if a[0] != 1.0:
+        if a[0] == 0.0:
+            raise ValueError("a[0] must be nonzero")
+        b, a = b / a[0], a / a[0]
+    y = np.asarray(y, np.float64)
+    x = np.zeros(0) if x is None else np.asarray(x, np.float64)
+    y = np.concatenate([y, np.zeros(max(0, n - y.size))])[:n]
+    x = np.concatenate([x, np.zeros(max(0, n - x.size))])[:n]
+    bp = np.concatenate([b, np.zeros(max(0, n + 1 - b.size))])
+    ap = np.concatenate([a, np.zeros(max(0, n + 1 - a.size))])
+    zi = np.zeros(n)
+    # z[m-1] = sum_{j>m} b[j] x[j-m] - a[j] y[j-m]  (DF2T recurrence rolled
+    # back through the stored past samples)
+    for m in range(n, 0, -1):
+        acc = 0.0
+        for j in range(m, n + 1):
+            acc += bp[j] * x[j - m] - ap[j] * y[j - m]
+        zi[m - 1] = acc
+    return zi

@@ -741,3 +741,88 @@ def iircomb(w0: float, Q: float, *, ftype: str = "notch", pass_zero: bool = Fals
     b[0], b[n] = b0, sb * b0
     a[0], a[n] = 1.0, sa * (2.0 * g - 1.0)
     return b, a
+
+
+# --- representation conversions (scipy.signal tf2zpk/zpk2tf/sos2*/bilinear) ----
+
+
+def tf2zpk(b, a):
+    """(z, p, k) from transfer-function coefficients (scipy.signal.tf2zpk;
+    float64 host-side, trims leading numerator zeros into the gain)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a[0] == 0.0:
+        raise ValueError("denominator must have a nonzero leading coefficient")
+    b, a = b / a[0], a / a[0]
+    bt = np.trim_zeros(b, "f")
+    if bt.size == 0:
+        return np.array([], complex), np.roots(a), 0.0
+    k = bt[0]
+    z = np.roots(bt / k)
+    # leading zeros trimmed from b are zeros at the origin of the INVERSE
+    # variable — scipy drops them from z (degree bookkeeping only)
+    return z, np.roots(a), float(k)
+
+
+def zpk2tf(z, p, k):
+    """(b, a) polynomial coefficients from zeros/poles/gain
+    (scipy.signal.zpk2tf; real-coefficient result for conjugate-closed
+    inputs)."""
+    b = k * np.poly(np.asarray(z, complex))
+    a = np.poly(np.asarray(p, complex))
+    if np.allclose(b.imag, 0.0, atol=1e-12):
+        b = b.real
+    if np.allclose(a.imag, 0.0, atol=1e-12):
+        a = a.real
+    return np.atleast_1d(b), np.atleast_1d(a)
+
+
+def sos2tf(sos):
+    """(b, a) from an SOS cascade by polynomial multiplication
+    (scipy.signal.sos2tf)."""
+    sos = np.asarray(sos, np.float64).reshape(-1, 6)
+    b, a = np.array([1.0]), np.array([1.0])
+    for row in sos:
+        b = np.convolve(b, row[:3])
+        a = np.convolve(a, row[3:])
+    return b, a
+
+
+def sos2zpk(sos):
+    """(z, p, k) from an SOS cascade (scipy.signal.sos2zpk: 2 zeros/poles
+    per section including the padding ones at the origin)."""
+    sos = np.asarray(sos, np.float64).reshape(-1, 6)
+    z, p, k = [], [], 1.0
+    for row in sos:
+        zi, pi, ki = tf2zpk(row[:3], row[3:])
+        # keep the degree-2 bookkeeping: pad trimmed origin roots back
+        z.extend(np.append(zi, np.zeros(2 - len(zi))))
+        p.extend(np.append(pi, np.zeros(2 - len(pi))))
+        k *= ki
+    return np.asarray(z, complex), np.asarray(p, complex), float(k)
+
+
+def normalize(b, a):
+    """(b, a) scaled so a[0] == 1, leading numerator zeros kept
+    (scipy.signal.normalize without the dimension games)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a[0] == 0.0:
+        raise ValueError("denominator must have a nonzero leading coefficient")
+    return b / a[0], a / a[0]
+
+
+def bilinear(b, a, fs: float = 2.0):
+    """Digital (b, a) from an ANALOG transfer function via the Tustin map
+    s -> 2 fs (z-1)/(z+1) (scipy.signal.bilinear; no prewarp — warp the
+    analog design frequency yourself or use the zpk pipeline which does).
+    """
+    z, p, k = tf2zpk(b, a)
+    fs2 = 2.0 * float(fs)
+    deg = len(p) - len(z)
+    zd = (fs2 + z) / (fs2 - z) if len(z) else np.array([], complex)
+    pd = (fs2 + p) / (fs2 - p)
+    zd = np.append(zd, -np.ones(deg))
+    num = np.real(np.prod(fs2 - z)) if len(z) else 1.0
+    kd = k * num / np.real(np.prod(fs2 - p))
+    return zpk2tf(zd, pd, kd)

@@ -176,3 +176,31 @@ def peak_widths(x, peaks, *, rel_height: float = 0.5, prominence_data=None):
         lips[k], rips[k] = lip, rip
         widths[k] = rip - lip
     return widths, wh, lips, rips
+
+
+def argrelextrema(x, comparator, *, order: int = 1):
+    """Indices of relative extrema under ``comparator`` vs every neighbor
+    within ``order`` samples on both sides (scipy.signal.argrelextrema,
+    1-D, 'clip' boundary semantics)."""
+    x = np.asarray(x)
+    if x.ndim != 1:
+        raise ValueError(f"argrelextrema wants 1-D, got shape {x.shape}")
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    n = x.shape[0]
+    keep = np.ones(n, bool)
+    idx = np.arange(n)
+    for shift in range(1, order + 1):
+        keep &= comparator(x, x[np.minimum(idx + shift, n - 1)])
+        keep &= comparator(x, x[np.maximum(idx - shift, 0)])
+    return (np.nonzero(keep)[0],)
+
+
+def argrelmax(x, *, order: int = 1):
+    """Relative maxima (scipy.signal.argrelmax)."""
+    return argrelextrema(x, np.greater, order=order)
+
+
+def argrelmin(x, *, order: int = 1):
+    """Relative minima (scipy.signal.argrelmin)."""
+    return argrelextrema(x, np.less, order=order)

@@ -165,3 +165,105 @@ def test_ord_error_paths():
         d.buttord([0.2, 0.5], [0.25, 0.6], 1.0, 40.0)  # straddling edges
     with pytest.raises(ValueError):
         d.iirdesign(0.2, 0.3, 1.0, 40.0, ftype="bogus")
+
+
+# --- representation conversions + initial conditions ---------------------------
+
+
+class TestConversions:
+    def test_tf2zpk_zpk2tf_roundtrip(self):
+        b, a = sps.butter(5, 0.3)
+        z1, p1, k1 = d.tf2zpk(b, a)
+        z2, p2, k2 = sps.tf2zpk(b, a)
+        assert abs(k1 - k2) < 1e-12
+        np.testing.assert_allclose(np.sort_complex(z1), np.sort_complex(z2), atol=1e-9)
+        np.testing.assert_allclose(np.sort_complex(p1), np.sort_complex(p2), atol=1e-9)
+        bb, aa = d.zpk2tf(z1, p1, k1)
+        np.testing.assert_allclose(bb, b, atol=1e-12)
+        np.testing.assert_allclose(aa, a, atol=1e-12)
+
+    def test_sos2tf_sos2zpk(self):
+        sos = sps.butter(6, 0.2, output="sos")
+        b1, a1 = d.sos2tf(sos)
+        b2, a2 = sps.sos2tf(sos)
+        np.testing.assert_allclose(b1, b2, atol=1e-12)
+        np.testing.assert_allclose(a1, a2, atol=1e-12)
+        z1, p1, k1 = d.sos2zpk(sos)
+        z2, p2, k2 = sps.sos2zpk(sos)
+        assert abs(k1 - k2) < 1e-12
+        np.testing.assert_allclose(np.sort_complex(z1), np.sort_complex(z2), atol=1e-9)
+        np.testing.assert_allclose(np.sort_complex(p1), np.sort_complex(p2), atol=1e-9)
+
+    def test_bilinear_matches_scipy(self):
+        ba, aa = sps.butter(3, 10.0, analog=True)
+        b1, a1 = d.bilinear(ba, aa, fs=100)
+        b2, a2 = sps.bilinear(ba, aa, fs=100)
+        np.testing.assert_allclose(b1, b2, atol=1e-10)
+        np.testing.assert_allclose(a1, a2, atol=1e-10)
+
+    def test_normalize(self):
+        b, a = d.normalize([2.0, 4.0], [2.0, -1.0])
+        np.testing.assert_allclose(b, [1.0, 2.0])
+        np.testing.assert_allclose(a, [1.0, -0.5])
+        with pytest.raises(ValueError):
+            d.normalize([1.0], [0.0, 1.0])
+
+    def test_design_roundtrip_through_zpk(self):
+        # sos -> zpk -> sos preserves the response
+        sos = d.iirfilter(6, [0.2, 0.5], btype="bandpass", ftype="ellip", rp=1.0, rs=40.0)
+        z, p, k = d.sos2zpk(sos)
+        sos2 = d.zpk2sos(z, p, k)
+        w, h1 = sps.sosfreqz(np.asarray(sos, np.float64), worN=1024)
+        _, h2 = sps.sosfreqz(np.asarray(sos2, np.float64), worN=1024)
+        np.testing.assert_allclose(np.abs(h1), np.abs(h2), atol=1e-5)
+
+
+class TestLfilticDeconvolve:
+    def test_lfiltic_parity(self):
+        rng = np.random.default_rng(9)
+        from digital_signal_processsing_tpu.ops.iir import lfiltic
+
+        for b, a in [
+            sps.butter(3, 0.3),
+            (np.array([0.5, 0.2]), np.array([1.0, -0.4])),
+            sps.cheby1(4, 1, 0.2),
+        ]:
+            y = rng.normal(0, 1, 6)
+            x = rng.normal(0, 1, 6)
+            np.testing.assert_allclose(
+                lfiltic(b, a, y, x), sps.lfiltic(b, a, y, x), atol=1e-12
+            )
+
+    def test_lfiltic_short_history_padded(self):
+        from digital_signal_processsing_tpu.ops.iir import lfiltic
+
+        b, a = sps.butter(4, 0.25)
+        np.testing.assert_allclose(
+            lfiltic(b, a, [1.0]), sps.lfiltic(b, a, [1.0]), atol=1e-12
+        )
+
+    def test_deconvolve_parity(self):
+        rng = np.random.default_rng(10)
+        from digital_signal_processsing_tpu.ops.fir import deconvolve
+
+        sig = rng.normal(0, 1, 50)
+        div = np.array([1.0, 0.5, -0.2])
+        q1, r1 = deconvolve(sig, div)
+        q2, r2 = sps.deconvolve(sig, div)
+        np.testing.assert_allclose(q1, q2, atol=1e-10)
+        np.testing.assert_allclose(r1, r2, atol=1e-10)
+        # reconstruction identity
+        np.testing.assert_allclose(np.convolve(div, q1) + r1, sig, atol=1e-10)
+
+    def test_argrel_parity(self):
+        rng = np.random.default_rng(11)
+        from digital_signal_processsing_tpu.ops.peaks import argrelmax, argrelmin
+
+        x = rng.normal(0, 1, 500)
+        for order in (1, 3, 7):
+            np.testing.assert_array_equal(
+                argrelmax(x, order=order)[0], sps.argrelmax(x, order=order)[0]
+            )
+            np.testing.assert_array_equal(
+                argrelmin(x, order=order)[0], sps.argrelmin(x, order=order)[0]
+            )
