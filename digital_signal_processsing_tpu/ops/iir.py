@@ -1489,13 +1489,21 @@ def sosfiltfilt(sos, x: jax.Array, *, method: str = "auto") -> jax.Array:
     """Zero-phase forward-backward SOS filtering (scipy.signal.sosfiltfilt).
 
     Forward pass, reverse, filter again, reverse — squared magnitude
-    response, zero phase. Edge transients are suppressed with scipy's
-    odd-reflection padding of length ``6 * (n_sections + 1)`` (Gustafsson-
-    free variant; matches scipy's default within the reflected-edge
-    approximation, exact away from the edges).
+    response, zero phase. Follows scipy's full edge recipe: odd-reflection
+    padding of length ``6 * (n_sections + 1)`` AND each pass seeded with
+    the steady-state initial conditions (:func:`sosfilt_zi` scaled by the
+    pass's first sample), so the result matches scipy everywhere, edges
+    included. The seeded passes ride the same chunk dispatch (Pallas
+    block scan at production lengths).
     """
     sos_np = np.asarray(sos, np.float64).reshape(-1, 6)
-    pad = 6 * (sos_np.shape[0] + 1)
+    # scipy's default padlen: 3x the cascade's effective order (trailing
+    # zero coefficients don't add state)
+    pad = 3 * (
+        2 * sos_np.shape[0]
+        + 1
+        - min(int((sos_np[:, 2] == 0).sum()), int((sos_np[:, 5] == 0).sum()))
+    )
     t = x.shape[-1]
     if t <= pad:
         raise ValueError(
@@ -1506,9 +1514,18 @@ def sosfiltfilt(sos, x: jax.Array, *, method: str = "auto") -> jax.Array:
     left = 2.0 * xf[..., :1] - xf[..., pad:0:-1]
     right = 2.0 * xf[..., -1:] - xf[..., -2 : -pad - 2 : -1]
     ext = jnp.concatenate([left, xf, right], axis=-1)
-    y = sosfilt(sos_np, ext, method=method)
-    y = sosfilt(sos_np, y[..., ::-1], method=method)[..., ::-1]
-    return y[..., pad : pad + t]
+    # steady-state seed per pass: zi (n, 2) broadcast over batch, scaled
+    # by the pass's first sample (scipy.signal.sosfiltfilt's scheme)
+    zi = jnp.asarray(sosfilt_zi(sos_np), jnp.float32)  # (n, 2)
+    batch = ext.shape[:-1]
+    zi_b = zi.reshape((zi.shape[0],) + (1,) * len(batch) + (2,))
+    _, y = sosfilt_chunk(
+        zi_b * ext[None, ..., :1], sos_np, ext, method=method
+    )
+    _, y = sosfilt_chunk(
+        zi_b * y[None, ..., -1:], sos_np, y[..., ::-1], method=method
+    )
+    return y[..., ::-1][..., pad : pad + t]
 
 
 def lfilter_zi(b, a) -> np.ndarray:

@@ -269,11 +269,9 @@ def test_sosfiltfilt_matches_scipy(rng):
     got = np.asarray(sosfiltfilt(sos, x))
     want = sps.sosfiltfilt(sos, x.astype(np.float64), axis=-1)
     scale = np.max(np.abs(want))
-    # interior is exact to float32; the edges differ only by the padding
-    # length (ours 6*(n+1) vs scipy's 3*(2n+1)) — both are reflected-edge
-    # approximations of the same zero-phase response
-    assert np.max(np.abs(got - want)[:, 50:-50]) / scale < 1e-5
-    assert np.max(np.abs(got - want)) / scale < 5e-2
+    # round 3: scipy's default padlen + steady-state zi seeding per pass
+    # makes the whole stream — EDGES INCLUDED — float32-exact vs scipy
+    assert np.max(np.abs(got - want)) / scale < 1e-5
     # zero phase: a delayed impulse stays centered
     imp = np.zeros(2048, np.float32)
     imp[1024] = 1.0
@@ -376,3 +374,26 @@ class TestSosfiltFused:
         got = np.asarray(sosfilt_pallas_fused(sos, x, tile_rows=8, lane_pass="mxu"))
         sc = np.max(np.abs(want))
         assert np.max(np.abs(got - want)) / sc < 1e-4
+
+
+def test_sosfiltfilt_edges_exact_all_families(rng):
+    # the round-3 zi-seeded recipe: parity at the very first/last samples
+    import jax.numpy as jnp
+    import scipy.signal as sps
+
+    from digital_signal_processsing_tpu.ops.iir import filtfilt, sosfiltfilt
+
+    x = rng.normal(size=1500).astype(np.float32)
+    for sos in [
+        sps.butter(4, 0.2, output="sos"),
+        sps.ellip(5, 1.0, 40.0, 0.3, output="sos"),
+        sps.cheby1(3, 1.0, [0.2, 0.5], btype="bandpass", output="sos"),
+    ]:
+        got = np.asarray(sosfiltfilt(sos, jnp.asarray(x)))
+        want = sps.sosfiltfilt(sos, x.astype(np.float64))
+        edge = np.abs(got - want)[list(range(10)) + list(range(-10, 0))]
+        assert edge.max() < 1e-4, edge.max()
+    b, a = sps.butter(4, 0.25)
+    got = np.asarray(filtfilt(b, a, jnp.asarray(x)))
+    want = sps.filtfilt(b, a, x.astype(np.float64))
+    assert np.abs(got - want).max() < 1e-4
