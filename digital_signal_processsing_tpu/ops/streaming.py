@@ -121,3 +121,119 @@ def fir_chunk(
         y = fir_direct(xp, taps)
         new_tail = state.tail
     return FirState(tail=new_tail), (y[0] if squeeze else y)
+
+
+# --- streaming STFT / WOLA synthesis -------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StftState:
+    """Carry for streaming analysis: the last nfft-hop input samples.
+
+    Zero at stream start, so the streamed frame sequence equals the
+    one-shot :func:`ops.fft.stft` of the stream PREFIXED with nfft-hop
+    zeros (the standard real-time priming); dropping the first
+    ``nfft//hop - 1`` frames recovers exact unprimed one-shot parity.
+    """
+
+    tail: jax.Array  # (channels, nfft - hop) float32
+
+
+def stft_init(nfft: int, hop: int, channels: int = 1) -> StftState:
+    if hop < 1 or nfft % hop != 0:
+        raise ValueError(f"streaming stft needs hop | nfft, got {hop}/{nfft}")
+    return StftState(tail=jnp.zeros((channels, nfft - hop), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window", "method"))
+def stft_chunk(
+    state: StftState,
+    x: jax.Array,
+    *,
+    nfft: int = 1024,
+    hop: int = 512,
+    window: str = "sqrt_hann",
+    method: str = "auto",
+) -> tuple[StftState, jax.Array]:
+    """One chunk of the streaming STFT: (channels, L) -> (channels,
+    L//hop, nfft//2+1), L a multiple of hop (static frame count — the
+    jit-friendly granularity contract; buffer ragged input host-side).
+    """
+    from .fft import stft
+
+    squeeze = x.ndim == 1
+    xp = (x[None, :] if squeeze else x).astype(jnp.float32)
+    c, L = xp.shape
+    if L % hop != 0 or L == 0:
+        raise ValueError(
+            f"chunk length {L} must be a nonzero multiple of hop {hop}"
+        )
+    ext = jnp.concatenate([state.tail, xp], axis=-1)
+    out = stft(ext, nfft=nfft, hop=hop, window=window, method=method)
+    new_tail = ext[..., L:]
+    return StftState(tail=new_tail), (out[0] if squeeze else out)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class IstftState:
+    """Carry for streaming WOLA synthesis: the not-yet-complete OLA tail
+    (nfft - hop samples)."""
+
+    tail: jax.Array  # (channels, nfft - hop) float32
+
+
+def istft_init(nfft: int, hop: int, channels: int = 1) -> IstftState:
+    if hop < 1 or nfft % hop != 0:
+        raise ValueError(f"streaming istft needs hop | nfft, got {hop}/{nfft}")
+    return IstftState(tail=jnp.zeros((channels, nfft - hop), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window", "method"))
+def istft_chunk(
+    state: IstftState,
+    s: jax.Array,
+    *,
+    nfft: int = 1024,
+    hop: int = 512,
+    window: str = "sqrt_hann",
+    method: str = "auto",
+) -> tuple[IstftState, jax.Array]:
+    """One chunk of WOLA synthesis: (channels, f, nfft//2+1) frames ->
+    (channels, f*hop) fully-summed output samples.
+
+    Concatenated chunk outputs + a final :func:`istft_flush` equal the
+    one-shot :func:`ops.fft.istft` of the concatenated frames. With
+    ``window='sqrt_hann'``, ``hop = nfft//2`` frames from
+    :func:`stft_chunk`, the round trip reconstructs the input delayed by
+    nfft - hop samples (the WOLA pipeline latency).
+    """
+    from .fft import _resolve_fft_method, _mxu_irfft, spectral_window
+    import numpy as np
+
+    squeeze = s.ndim == 2
+    sp = s[None] if squeeze else s
+    c, f, _ = sp.shape
+    if f < 1:
+        raise ValueError("need at least one frame per chunk")
+    r = nfft // hop
+    if _resolve_fft_method(method, nfft) == "mxu":
+        time_frames = _mxu_irfft(sp, nfft)
+    else:
+        time_frames = jnp.fft.irfft(sp, n=nfft, axis=-1)
+    frames = time_frames * jnp.asarray(spectral_window(window, nfft))
+    parts = frames.reshape(c, f, r, hop)
+    acc = jnp.zeros((c, f + r - 1, hop), jnp.float32)
+    for i in range(r):
+        acc = acc.at[:, i : i + f, :].add(parts[:, :, i, :])
+    flat = acc.reshape(c, (f + r - 1) * hop)
+    flat = flat.at[:, : nfft - hop].add(state.tail)
+    out = flat[:, : f * hop]
+    new_tail = flat[:, f * hop :]
+    return IstftState(tail=new_tail), (out[0] if squeeze else out)
+
+
+def istft_flush(state: IstftState) -> jax.Array:
+    """The final nfft-hop OLA tail after the last chunk."""
+    return state.tail

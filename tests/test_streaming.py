@@ -1,5 +1,6 @@
 """Streaming ops: chunked processing == one-shot processing, bit-exact."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -121,3 +122,107 @@ def test_checkpoint_dtype_mismatch_raises(tmp_path):
     save_pytree(tmp_path / "s.npz", {"a": np.ones(4, np.float64)})
     with pytest.raises(ValueError, match="dtype"):
         load_pytree(tmp_path / "s.npz", {"a": np.ones(4, np.float32)})
+
+
+class TestStreamingStft:
+    def test_chunked_analysis_matches_primed_one_shot(self, rng):
+        from digital_signal_processsing_tpu.ops.fft import stft
+        from digital_signal_processsing_tpu.ops.streaming import (
+            stft_chunk,
+            stft_init,
+        )
+
+        nfft, hop = 256, 128
+        x = rng.normal(size=(2, 4096)).astype(np.float32)
+        st = stft_init(nfft, hop, 2)
+        frames = []
+        for a, b in [(0, 512), (512, 1536), (1536, 4096)]:
+            st, f = stft_chunk(st, jnp.asarray(x[:, a:b]), nfft=nfft, hop=hop)
+            frames.append(np.asarray(f))
+        got = np.concatenate(frames, axis=1)
+        primed = np.concatenate([np.zeros((2, nfft - hop), np.float32), x], -1)
+        want = np.asarray(
+            stft(jnp.asarray(primed), nfft=nfft, hop=hop, window="sqrt_hann")
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # dropping the first nfft//hop - 1 frames recovers unprimed parity
+        unprimed = np.asarray(
+            stft(jnp.asarray(x), nfft=nfft, hop=hop, window="sqrt_hann")
+        )
+        r = nfft // hop
+        np.testing.assert_allclose(
+            got[:, r - 1 : r - 1 + unprimed.shape[1]], unprimed, atol=1e-5
+        )
+
+    def test_chunked_synthesis_matches_one_shot(self, rng):
+        from digital_signal_processsing_tpu.ops.fft import istft, stft
+        from digital_signal_processsing_tpu.ops.streaming import (
+            istft_chunk,
+            istft_flush,
+            istft_init,
+        )
+
+        nfft, hop = 256, 128
+        x = rng.normal(size=4096).astype(np.float32)
+        s = np.asarray(stft(jnp.asarray(x), nfft=nfft, hop=hop, window="sqrt_hann"))
+        ist = istft_init(nfft, hop, 1)
+        outs = []
+        for a, b in [(0, 5), (5, 17), (17, s.shape[0])]:
+            ist, y = istft_chunk(
+                ist, jnp.asarray(s[None, a:b]), nfft=nfft, hop=hop
+            )
+            outs.append(np.asarray(y)[0])
+        outs.append(np.asarray(istft_flush(ist))[0])
+        got = np.concatenate(outs)
+        want = np.asarray(istft(jnp.asarray(s), nfft=nfft, hop=hop))
+        np.testing.assert_allclose(got[: want.shape[-1]], want, atol=1e-5)
+
+    @pytest.mark.parametrize("ratio", [2, 4])
+    def test_round_trip_reconstructs_with_latency(self, rng, ratio):
+        # analysis -> synthesis streams reconstruct the input delayed by
+        # nfft - hop (the WOLA pipeline latency); sqrt_hann at hop=nfft/2
+        # is the PR pair, hop=nfft/4 overlap-adds to a constant (2x) too
+        from digital_signal_processsing_tpu.ops.streaming import (
+            istft_chunk,
+            istft_init,
+            stft_chunk,
+            stft_init,
+        )
+
+        nfft = 256
+        hop = nfft // ratio
+        x = rng.normal(size=(1, 8 * nfft)).astype(np.float32)
+        st = stft_init(nfft, hop, 1)
+        ist = istft_init(nfft, hop, 1)
+        rec = []
+        for a in range(0, x.shape[-1], 2 * nfft):
+            st, f = stft_chunk(
+                st, jnp.asarray(x[:, a : a + 2 * nfft]), nfft=nfft, hop=hop
+            )
+            ist, y = istft_chunk(ist, f, nfft=nfft, hop=hop)
+            rec.append(np.asarray(y))
+        rec = np.concatenate(rec, axis=-1)
+        lat = nfft - hop
+        scale = ratio / 2.0  # sqrt_hann^2 overlap-adds to ratio/2
+        interior = slice(lat + nfft, rec.shape[-1] - nfft)
+        np.testing.assert_allclose(
+            rec[:, interior] / scale,
+            x[:, : rec.shape[-1] - lat][:, slice(nfft, rec.shape[-1] - lat - nfft)],
+            atol=1e-4,
+        )
+
+    def test_granularity_and_init_rejections(self):
+        from digital_signal_processsing_tpu.ops.streaming import (
+            stft_chunk,
+            stft_init,
+            istft_init,
+        )
+
+        with pytest.raises(ValueError):
+            stft_init(256, 100)
+        with pytest.raises(ValueError):
+            istft_init(256, 0)
+        st = stft_init(256, 128, 1)
+        with pytest.raises(ValueError):
+            stft_chunk(st, jnp.ones((1, 300)), nfft=256, hop=128)
