@@ -1826,3 +1826,327 @@ def lfiltic(b, a, y, x=None) -> np.ndarray:
             acc += bp[j] * x[j - m] - ap[j] * y[j - m]
         zi[m - 1] = acc
     return zi
+
+
+# --- time-varying second-order sections (round 3) ------------------------------
+#
+# LPC synthesis, adaptive notch tracking, and parameter-automated audio
+# filters all need biquads whose coefficients CHANGE along the stream. The
+# affine block-scan structure of _biquad_kernel survives unchanged: the
+# per-sample map x -> A_t x + c_t just picks up a data-dependent
+# A_t = [[-a1[t], 1], [-a2[t], 0]], so all six components ride full tiles
+# (the scalar-A fusion of _biquad_fused_kernel is unavailable by
+# construction — A_t^s differs per lane). Coefficients stream through VMEM
+# tiles shaped like the signal. Reference analog: none (the CUDA study is
+# fixed-coefficient); semantics follow the standard time-varying DF2T:
+#     y[t]  = b0[t] x[t] + s1[t-1]
+#     s1[t] = b1[t] x[t] - a1[t] y[t] + s2[t-1]
+#     s2[t] = b2[t] x[t] - a2[t] y[t]
+
+
+def _biquad_tv_kernel(*refs, rows: int, seeded: bool = False):
+    """One time-varying biquad over a flat stream tile.
+
+    Mirrors :func:`_biquad_kernel` with the SMEM scalar coefficients
+    replaced by a VMEM coefficient block ``(1, 5, rows, 128)`` holding the
+    per-sample planes ``[b0, b1, b2, a1, a2]`` (a0 pre-normalized to 1).
+    """
+    from jax.experimental import pallas as pl
+
+    if seeded:
+        c_ref, s_ref, x_ref, o_ref, so_ref, carry_ref = refs
+    else:
+        c_ref, x_ref, o_ref, carry_ref = refs
+        s_ref = so_ref = None
+
+    ch = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        if seeded:
+            carry_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32) + s_ref[ch, 0]
+            carry_ref[1:2, :] = jnp.zeros((1, 128), jnp.float32) + s_ref[ch, 1]
+        else:
+            carry_ref[:] = jnp.zeros((2, 128), jnp.float32)
+
+    cf = c_ref[0]
+    b0, b1, b2, a1, a2 = cf[0], cf[1], cf[2], cf[3], cf[4]
+    xf = x_ref[0].astype(jnp.float32)
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    m = (
+        -a1,
+        jnp.ones_like(xf),
+        -a2,
+        jnp.zeros_like(xf),
+        xf * (b1 - a1 * b0),
+        xf * (b2 - a2 * b0),
+    )
+
+    def scan_axis(m, axis, size):
+        s = 1
+        while s < size:
+            left = tuple(_roll_fill(v, s, axis, f) for v, f in zip(m, ident))
+            m = _compose_affine(left, m)
+            s *= 2
+        return m
+
+    m = scan_axis(m, 1, 128)
+    rowm = tuple(_fill_all_from_tail1(v) for v in m)
+    rowm = scan_axis(rowm, 0, rows)
+    exm = tuple(_roll_fill(v, 1, 0, f) for v, f in zip(rowm, ident))
+    c1 = carry_ref[0:1, :]
+    c2 = carry_ref[1:2, :]
+    s1_row = exm[0] * c1 + exm[1] * c2 + exm[4]
+    s2_row = exm[2] * c1 + exm[3] * c2 + exm[5]
+    exl = tuple(_roll_fill(v, 1, 1, f) for v, f in zip(m, ident))
+    s1 = exl[0] * s1_row + exl[1] * s2_row + exl[4]
+    o_ref[0] = b0 * xf + s1
+    lr = tuple(v[rows - 1 :, :] for v in rowm)
+    carry_ref[0:1, :] = lr[0] * c1 + lr[1] * c2 + lr[4]
+    carry_ref[1:2, :] = lr[2] * c1 + lr[3] * c2 + lr[5]
+    if seeded:
+        so_ref[0] = carry_ref[:]
+
+
+def _tv_coef_planes(sos_t: jax.Array, batch, n: int, tile_rows: int):
+    """(S, [batch,] n, 6) per-sample rows -> (S, C, 5, R, 128) VMEM planes.
+
+    Normalizes a0 per sample, broadcasts section rows shared across
+    channels, and pads the tail with identity-stable rows (b=0, a1=a2=0:
+    A = [[0,1],[0,0]], so padded state stays bounded and, the filters being
+    causal, never reaches a kept output).
+    """
+    sos_t = jnp.asarray(sos_t, jnp.float32)
+    if sos_t.ndim == 2:
+        sos_t = sos_t[None]
+    if sos_t.shape[-1] != 6 or sos_t.shape[-2] != n:
+        raise ValueError(
+            f"sos_t must end in (n={n}, 6), got {sos_t.shape[-2:]}"
+        )
+    nsec = sos_t.shape[0]
+    nch = int(np.prod(batch)) if batch else 1
+    mid = sos_t.shape[1:-2]
+    if mid == ():
+        sos_t = jnp.broadcast_to(sos_t[:, None], (nsec, nch, n, 6))
+    else:
+        sos_t = sos_t.reshape(nsec, -1, n, 6)
+        if sos_t.shape[1] != nch:
+            raise ValueError(
+                f"sos_t batch dims {mid} do not match signal batch {batch}"
+            )
+    a0 = sos_t[..., 3:4]
+    planes = jnp.concatenate([sos_t[..., 0:3], sos_t[..., 4:6]], -1) / a0
+    # (S, C, n, 5) -> pad n to tile multiple -> (S, C, 5, R, 128)
+    from ..utils import layout
+
+    padded = layout.round_up(max(n, 1), tile_rows * 128)
+    if padded != n:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, padded - n), (0, 0)))
+    planes = planes.reshape(nsec, nch, padded // 128, 128, 5)
+    return jnp.moveaxis(planes, -1, 2)
+
+
+def sosfilt_tv(
+    sos_t: jax.Array, x: jax.Array, *, tile_rows: int = 256
+) -> jax.Array:
+    """Time-varying SOS cascade over the last axis (zero initial state).
+
+    ``sos_t``: per-sample scipy-layout section rows, shape ``(S, n, 6)``
+    (coefficients shared across channels), ``(n, 6)`` (single section), or
+    ``(S, *batch, n, 6)`` matching ``x``'s leading axes. ``a0`` may vary
+    and is normalized per sample. Coefficients are applied AT each output
+    sample (standard time-varying DF2T; see module comment). Coefficient
+    traffic is 5 tiles per section per signal tile, so the op is
+    HBM-bound: for step-wise (per-frame) automation prefer
+    :func:`sosfilt_tv_frames`, which expands frames in-graph.
+    """
+    import functools as _ft
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    y3d, batch, n = _to_planar_tiles(x, tile_rows)
+    nch, rtot = y3d.shape[0], y3d.shape[1]
+    coef = _tv_coef_planes(sos_t, batch, n, tile_rows)
+
+    section = pl.pallas_call(
+        _ft.partial(_biquad_tv_kernel, rows=tile_rows),
+        out_shape=jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
+        grid=(nch, rtot // tile_rows),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 5, tile_rows, 128),
+                lambda c, t: (c, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_rows, 128),
+                lambda c, t: (c, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, 128), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((2, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+    y3d, _ = jax.lax.scan(lambda y, cf: (section(cf, y), None), y3d, coef)
+    return _from_planar_tiles(y3d, batch, n)
+
+
+def sosfilt_tv_frames(
+    sos_frames: jax.Array, x: jax.Array, frame_len: int, *, tile_rows: int = 256
+) -> jax.Array:
+    """Step-wise time-varying SOS: one coefficient row per FRAME.
+
+    ``sos_frames``: ``(S, n_frames, 6)`` or ``(n_frames, 6)`` or
+    ``(S, *batch, n_frames, 6)``; frame ``f`` governs samples
+    ``[f*frame_len, (f+1)*frame_len)``. ``x.shape[-1]`` may be at most
+    ``n_frames * frame_len`` (a short tail reuses the last frame's rows
+    implicitly via truncation of the expanded schedule).
+    """
+    sos_frames = jnp.asarray(sos_frames, jnp.float32)
+    if sos_frames.ndim == 2:
+        sos_frames = sos_frames[None]
+    n = x.shape[-1]
+    nf = sos_frames.shape[-2]
+    if nf * frame_len < n:
+        raise ValueError(
+            f"{nf} frames x {frame_len} < signal length {n}"
+        )
+    expanded = jnp.repeat(sos_frames, frame_len, axis=-2)[..., :n, :]
+    return sosfilt_tv(expanded, x, tile_rows=tile_rows)
+
+
+def sosfilt_tv_chunk(
+    state: jax.Array,
+    sos_t: jax.Array,
+    x: jax.Array,
+    *,
+    tile_rows: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming time-varying SOS chunk (same state contract as
+    :func:`sosfilt_chunk`: ``state`` is ``(S, *batch, 2)`` DF2T sections).
+
+    The tile-aligned head runs the seeded Pallas kernel; a sub-tile tail
+    runs the XLA sample scan seeded with the head's out-state, keeping the
+    hand-off exact (cf. :func:`sosfilt_chunk_pallas`).
+    """
+    tile = tile_rows * 128
+    n = x.shape[-1]
+    main = (n // tile) * tile
+    if main == 0:
+        return _sosfilt_tv_chunk_xla(state, sos_t, x)
+    st1, y_main = _sosfilt_tv_chunk_aligned(
+        state, sos_t[..., :main, :], x[..., :main], tile_rows
+    )
+    if main == n:
+        return st1, y_main
+    st2, y_tail = _sosfilt_tv_chunk_xla(
+        st1, sos_t[..., main:, :], x[..., main:]
+    )
+    return st2, jnp.concatenate([y_main, y_tail], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _sosfilt_tv_chunk_aligned(state, sos_t, x, tile_rows: int):
+    import functools as _ft
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    y3d, batch, n = _to_planar_tiles(x, tile_rows)
+    nch, rtot = y3d.shape[0], y3d.shape[1]
+    coef = _tv_coef_planes(sos_t, batch, n, tile_rows)
+    nsec = coef.shape[0]
+    st = jnp.asarray(state, jnp.float32).reshape(nsec, nch, 2)
+
+    section = pl.pallas_call(
+        _ft.partial(_biquad_tv_kernel, rows=tile_rows, seeded=True),
+        out_shape=[
+            jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
+            jax.ShapeDtypeStruct((nch, 2, 128), jnp.float32),
+        ],
+        grid=(nch, rtot // tile_rows),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 5, tile_rows, 128),
+                lambda c, t: (c, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, tile_rows, 128),
+                lambda c, t: (c, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_rows, 128),
+                lambda c, t: (c, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, 128), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def step(y, xs):
+        cf, st_c2 = xs
+        y2, st_out = section(cf, st_c2, y)
+        return y2, st_out[:, :, 0]
+
+    y3d, new_st = jax.lax.scan(step, y3d, (coef, st))
+    return (
+        new_st.reshape(jnp.asarray(state).shape),
+        _from_planar_tiles(y3d, batch, n),
+    )
+
+
+@jax.jit
+def _sosfilt_tv_chunk_xla(state, sos_t, x):
+    """Per-sample lax.scan spelling — the seeded XLA anchor for short
+    tails and the TV parity reference on any backend."""
+    n = x.shape[-1]
+    batch = x.shape[:-1]
+    nch = int(np.prod(batch)) if batch else 1
+    sos_t = jnp.asarray(sos_t, jnp.float32)
+    if sos_t.ndim == 2:
+        sos_t = sos_t[None]
+    nsec = sos_t.shape[0]
+    if sos_t.ndim == 3:
+        sos_t = jnp.broadcast_to(sos_t[:, None], (nsec, nch, n, 6))
+    else:
+        sos_t = sos_t.reshape(nsec, nch, n, 6)
+    a0 = sos_t[..., 3:4]
+    sos_n = jnp.concatenate([sos_t[..., 0:3] / a0, sos_t[..., 4:6] / a0], -1)
+    st = jnp.asarray(state, jnp.float32).reshape(nsec, nch, 2)
+    xf = x.astype(jnp.float32).reshape(nch, n)
+
+    def sample(carry, inp):
+        st, = carry
+        xt, ct = inp  # (nch,), (nsec, nch, 5)
+        def section(y, sc):
+            row, s = sc  # (nch, 5), (nch, 2)
+            b0, b1, b2, a1, a2 = (row[:, i] for i in range(5))
+            yo = b0 * y + s[:, 0]
+            s1 = b1 * y - a1 * yo + s[:, 1]
+            s2 = b2 * y - a2 * yo
+            return yo, jnp.stack([s1, s2], -1)
+        y, new_st = jax.lax.scan(section, xt, (ct, st))
+        return (new_st,), y
+
+    (st,), y = jax.lax.scan(
+        sample, (st,), (xf.T, jnp.moveaxis(sos_n, 2, 0))
+    )
+    return st.reshape(jnp.asarray(state).shape), y.T.reshape(batch + (n,))
