@@ -1,0 +1,247 @@
+"""Linear-predictive coding, frame-parallel on TPU.
+
+Analysis (autocorrelation method + Levinson-Durbin) and synthesis (the
+time-varying all-pole vocoder filter) for speech/audio codecs. The
+reference CUDA study has no LPC analog; this rides the round-3
+time-varying filtering surface (``ops.iir.sosfilt_tv``) and exists so a
+user gets the classic frame-wise LPC pipeline without leaving the device.
+
+TPU-first design notes:
+
+- **Levinson-Durbin without gathers**: the order-``m`` step needs the
+  reversed prefixes ``r[m-i]`` / ``a[m-i]``; per-sample gathers are
+  catastrophic on TPU, so the flip is an einsum against a precomputed
+  one-hot ``(p, p+1, p+1)`` constant — each recursion step is two tiny
+  matvecs, batched over all frames at once in one ``lax.scan`` over order.
+- **Frame-parallel synthesis**: an all-pole filter is sequential along
+  time, but within a frame the coefficients are constant, so the run
+  decomposes exactly into (1) a zero-initial-state pass over all frames
+  SIMULTANEOUSLY (one ``lax.scan`` of ``frame_len`` steps, frames in the
+  batch dims), which also emits the zero-input basis responses
+  ``w_t = e0^T A^{t+1}``, (2) an O(log frame_len) repeated-squaring
+  computation of each frame's state-transition matrix ``A^L`` and a
+  log-depth ``associative_scan`` over frames for the true frame-entry
+  states, and (3) one einsum superposing the zero-input correction.
+  Wall-clock is ONE frame's recursion regardless of signal length.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flip_onehots(p: int) -> np.ndarray:
+    """flip[m-1] maps v (p+1,) -> u with u[i] = v[m-i] for 0 <= i <= m."""
+    f = np.zeros((p, p + 1, p + 1), np.float32)
+    for m in range(1, p + 1):
+        for i in range(m + 1):
+            f[m - 1, i, m - i] = 1.0
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=())
+def levinson(r: jax.Array):
+    """Batched Levinson-Durbin: Toeplitz autocorrelation -> AR coefficients.
+
+    ``r``: ``(..., p+1)`` autocorrelation lags (lag 0 first).
+    Returns ``(a, k, err)``: prediction polynomial ``(..., p+1)`` with
+    ``a[..., 0] == 1`` (so ``A(z) = 1 + a1 z^-1 + ...``), reflection
+    coefficients ``(..., p)``, and the final prediction-error power
+    ``(...,)``. Matches ``scipy.linalg.solve_toeplitz`` /
+    ``librosa.lpc`` conventions: the synthesis filter is ``1/A(z)``.
+    """
+    r = jnp.asarray(r, jnp.float32)
+    p = r.shape[-1] - 1
+    batch = r.shape[:-1]
+    flips = jnp.asarray(_flip_onehots(p))
+    a0 = jnp.zeros(batch + (p + 1,), jnp.float32).at[..., 0].set(1.0)
+    err0 = r[..., 0]
+
+    def step(carry, fm):
+        a, err = carry
+        rrev = jnp.einsum("ij,...j->...i", fm, r)
+        # acc = r[m] + sum_{i=1}^{m-1} a[i] r[m-i]  (a[i]=0 for i >= m)
+        acc = jnp.sum(a * rrev, -1)
+        k = -acc / jnp.where(err > 0, err, 1.0)
+        k = jnp.where(err > 0, k, 0.0)
+        arev = jnp.einsum("ij,...j->...i", fm, a)
+        a = a + k[..., None] * arev
+        err = err * (1.0 - k * k)
+        return (a, err), k
+
+    (a, err), ks = jax.lax.scan(step, (a0, err0), flips)
+    return a, jnp.moveaxis(ks, 0, -1), err
+
+
+def frame_autocorr(
+    x: jax.Array,
+    order: int,
+    frame_len: int,
+    *,
+    hop: int | None = None,
+    window: str = "hamming",
+) -> jax.Array:
+    """Windowed per-frame autocorrelation lags ``(..., F, order+1)``.
+
+    Frame ``f`` covers ``x[..., f*hop : f*hop + frame_len]`` (standard
+    short-time analysis; ``hop`` defaults to ``frame_len``).
+    """
+    from ..utils.layout import overlapping_frames
+    from .fft import spectral_window
+
+    if hop is None:
+        hop = frame_len
+    n = x.shape[-1]
+    nframes = max(0, (n - frame_len) // hop + 1)
+    fr = overlapping_frames(
+        jnp.asarray(x, jnp.float32), nframes, hop, frame_len
+    )
+    if window is not None:
+        fr = fr * jnp.asarray(spectral_window(window, frame_len))
+    lags = [jnp.sum(fr * fr, -1)]
+    for k in range(1, order + 1):
+        lags.append(jnp.sum(fr[..., : frame_len - k] * fr[..., k:], -1))
+    return jnp.stack(lags, -1)
+
+
+def lpc(
+    x: jax.Array,
+    order: int,
+    frame_len: int,
+    *,
+    hop: int | None = None,
+    window: str = "hamming",
+) -> tuple[jax.Array, jax.Array]:
+    """Frame-wise LPC analysis: ``(a, gain)``.
+
+    ``a``: ``(..., F, order+1)`` prediction polynomials (``a[...,0]=1``),
+    ``gain``: ``(..., F)`` = sqrt(residual power), so white excitation of
+    unit power through ``gain / A(z)`` reproduces each frame's spectrum.
+    """
+    r = frame_autocorr(x, order, frame_len, hop=hop, window=window)
+    a, _, err = levinson(r)
+    return a, jnp.sqrt(jnp.maximum(err, 0.0))
+
+
+def _companion(a: jax.Array) -> jax.Array:
+    """(..., p+1) polynomial -> (..., p, p) companion transition matrix."""
+    p = a.shape[-1] - 1
+    below = jnp.broadcast_to(
+        jnp.eye(p, p, -1, dtype=a.dtype), a.shape[:-1] + (p, p)
+    )
+    return below.at[..., 0, :].set(-a[..., 1:])
+
+
+def _matrix_power(m: jax.Array, n: int) -> jax.Array:
+    """Batched m^n by square-and-multiply (n static)."""
+    p = m.shape[-1]
+    acc = jnp.broadcast_to(jnp.eye(p, dtype=m.dtype), m.shape)
+    while n:
+        if n & 1:
+            acc = acc @ m
+        n >>= 1
+        if n:
+            m = m @ m
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("frame_len",))
+def lpc_synthesis(
+    a: jax.Array,
+    gain: jax.Array,
+    excitation: jax.Array,
+    frame_len: int,
+) -> jax.Array:
+    """Time-varying all-pole synthesis ``y = gain * e / A(z)`` with
+    frame-wise coefficients and EXACT state carry-over between frames.
+
+    ``a``: ``(..., F, p+1)``; ``gain``: ``(..., F)``;
+    ``excitation``: ``(..., F*frame_len)``. Returns ``(..., F*frame_len)``.
+    Identical (up to float32 association) to running the sequential
+    recurrence ``y[t] = g_f e[t] - sum_i a_f[i] y[t-i]`` sample by sample.
+    Memory: ``p`` floats per sample for the zero-input basis responses.
+    """
+    a = jnp.asarray(a, jnp.float32)
+    p = a.shape[-1] - 1
+    batch = a.shape[:-2]
+    nf = a.shape[-2]
+    L = frame_len
+    e = jnp.asarray(excitation, jnp.float32).reshape(batch + (nf, L))
+    e = e * jnp.asarray(gain, jnp.float32)[..., None]
+
+    A = _companion(a)  # (..., F, p, p)
+    w0 = -a[..., 1:]  # e0^T A
+
+    def step(carry, et):
+        s, w = carry  # states (..., F, p), basis rows (..., F, p)
+        y = et - jnp.einsum("...i,...i->...", a[..., 1:], s)
+        s = jnp.concatenate([y[..., None], s[..., :-1]], -1)
+        wout = w
+        w = jnp.einsum("...i,...ij->...j", w, A)
+        return (s, w), (y, wout)
+
+    zeros = jnp.zeros(batch + (nf, p), jnp.float32)
+    (s_end, _), (y0, W) = jax.lax.scan(
+        step, (zeros, w0), jnp.moveaxis(e, -1, 0)
+    )
+    # y0/W lead with the time-step axis: (L, ..., F[, p])
+
+    # Frame-entry states: affine recurrence s0[f] = M[f-1] s0[f-1] + z[f-1]
+    # with M = A^L, z = the zero-state end state; log-depth over frames.
+    M = _matrix_power(A, L)
+    z = s_end  # (..., F, p)
+
+    def compose(left, right):
+        m1, z1 = left
+        m2, z2 = right
+        return m2 @ m1, jnp.einsum("...ij,...j->...i", m2, z1) + z2
+
+    Mi, zi = jax.lax.associative_scan(compose, (M, z), axis=len(batch))
+    del Mi
+    # exclusive shift: frame 0 starts at rest
+    s0 = jnp.concatenate(
+        [jnp.zeros_like(zi[..., :1, :]), zi[..., :-1, :]], axis=-2
+    )
+    y = y0 + jnp.einsum("t...fp,...fp->t...f", W, s0)
+    return jnp.moveaxis(y, 0, -1).reshape(batch + (nf * L,))
+
+
+def lpc_synthesis_ref(a, gain, excitation, frame_len):
+    """Sequential float64 golden model of :func:`lpc_synthesis` (test/CPU)."""
+    a = np.asarray(a, np.float64)
+    g = np.asarray(gain, np.float64)
+    e = np.asarray(excitation, np.float64)
+    p = a.shape[-1] - 1
+    nf = a.shape[-2]
+    y = np.zeros(nf * frame_len)
+    hist = np.zeros(p)
+    for f in range(nf):
+        for t in range(frame_len):
+            idx = f * frame_len + t
+            v = g[f] * e[idx] - np.dot(a[f, 1:], hist)
+            hist = np.concatenate([[v], hist[:-1]])
+            y[idx] = v
+    return y
+
+
+def lpc_vocoder(
+    x: jax.Array,
+    order: int,
+    frame_len: int,
+    excitation: jax.Array | None = None,
+) -> jax.Array:
+    """Analyze-resynthesize round trip: ``x``'s LPC spectral envelope
+    driven by ``excitation`` (pulses or noise for vocoding; the original
+    prediction residual reconstructs the input). ``excitation=None`` uses
+    a fixed-seed unit-variance white noise stream.
+    """
+    a, gain = lpc(x, order, frame_len)
+    nf = a.shape[-2]
+    n = nf * frame_len
+    if excitation is None:
+        excitation = jax.random.normal(jax.random.PRNGKey(0), x.shape[:-1] + (n,))
+    return lpc_synthesis(a, gain, excitation[..., :n], frame_len)
