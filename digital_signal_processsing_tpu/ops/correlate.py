@@ -174,6 +174,48 @@ def find_delay(a: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.argmax(full, axis=-1) - (v.shape[-1] - 1)
 
 
+
+
+def correlation_lags(in1_len: int, in2_len: int, mode: str = "full"):
+    """Lag index array matching :func:`correlate`'s output
+    (scipy.signal.correlation_lags)."""
+    import numpy as np
+
+    if mode == "full":
+        return np.arange(-in2_len + 1, in1_len)
+    if mode == "same":
+        lags = np.arange(-in2_len + 1, in1_len)
+        mid = lags.size // 2
+        bound = in1_len // 2
+        if in1_len % 2 == 0:
+            return lags[mid - bound : mid + bound]
+        return lags[mid - bound : mid + bound + 1]
+    if mode == "valid":
+        bound = in1_len - in2_len
+        return np.arange(bound + 1) if bound >= 0 else np.arange(bound, 1)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def vectorstrength(events, period):
+    """Vector strength of events relative to (an array of) periods
+    (scipy.signal.vectorstrength): resultant length and angle of the
+    events mapped to phase circles."""
+    import jax.numpy as jnp
+
+    events = jnp.asarray(events, jnp.float32)
+    period = jnp.asarray(period, jnp.float32)
+    scalar = period.ndim == 0
+    per = jnp.atleast_1d(period)
+    ang = 2.0 * jnp.pi * events[None, :] / per[:, None]
+    re = jnp.mean(jnp.cos(ang), -1)
+    im = jnp.mean(jnp.sin(ang), -1)
+    strength = jnp.sqrt(re * re + im * im)
+    phase = jnp.arctan2(im, re)
+    if scalar:
+        return strength[0], phase[0]
+    return strength, phase
+
+
 __all__ = [
     "correlate",
     "autocorrelate",
@@ -182,4 +224,6 @@ __all__ = [
     "oaconvolve",
     "find_delay",
     "MODES",
+    "correlation_lags",
+    "vectorstrength",
 ]

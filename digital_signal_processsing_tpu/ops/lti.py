@@ -1,0 +1,465 @@
+"""LTI system representations, discretization, and simulation.
+
+State-space <-> transfer-function <-> zpk conversions, continuous-to-
+discrete transforms, partial-fraction expansion, and discrete-time
+simulation. Conversions and expansions are host-side numpy design
+functions (they run once, at filter-design time, like the IIR designers
+— reference analog: none; parity target scipy.signal); simulation
+(``dlsim``/``dstep``/``dimpulse``) runs on device as a ``lax.scan`` over
+the (tiny) state with the batch axes vectorized — for long streams with
+a scalar output prefer converting to SOS (``ops.iir_design.zpk2sos``)
+and the Pallas ``sosfilt`` path, which is the throughput spelling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --- representation conversions (scipy.signal.tf2ss etc.) ----------------------
+
+
+def tf2ss(b, a):
+    """Transfer function -> controller-canonical state space
+    (scipy.signal.tf2ss)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a[0] == 0:
+        raise ValueError("a[0] must be nonzero")
+    b = b / a[0]
+    a = a / a[0]
+    n = a.size - 1
+    b = np.concatenate([np.zeros(max(0, a.size - b.size)), b])
+    if b.size > a.size:
+        raise ValueError("improper transfer function (deg b > deg a)")
+    if n == 0:
+        return (
+            np.zeros((0, 0)),
+            np.zeros((0, 1)),
+            np.zeros((1, 0)),
+            np.atleast_2d(b[0]),
+        )
+    A = np.vstack([-a[1:], np.eye(n - 1, n)])
+    B = np.eye(n, 1)
+    C = (b[1:] - b[0] * a[1:])[None, :]
+    D = np.atleast_2d(b[0])
+    return A, B, C, D
+
+
+def ss2tf(A, B, C, D, input: int = 0):
+    """State space -> transfer function (scipy.signal.ss2tf)."""
+    A = np.atleast_2d(np.asarray(A, np.float64))
+    B = np.atleast_2d(np.asarray(B, np.float64))
+    C = np.atleast_2d(np.asarray(C, np.float64))
+    D = np.atleast_2d(np.asarray(D, np.float64))
+    if A.size == 0:
+        return D.copy(), np.ones(1)
+    B = B[:, input : input + 1]
+    D = D[:, input : input + 1]
+    den = np.poly(A)
+    nout = C.shape[0]
+    num = np.zeros((nout, den.size))
+    for i in range(nout):
+        num[i] = np.poly(A - B @ C[i : i + 1, :]) + (D[i, 0] - 1.0) * den
+    return num, den
+
+
+def zpk2ss(z, p, k):
+    """Zeros/poles/gain -> state space (scipy.signal.zpk2ss)."""
+    from .iir_design import zpk2tf
+
+    b, a = zpk2tf(z, p, k)
+    return tf2ss(b, a)
+
+
+def ss2zpk(A, B, C, D, input: int = 0):
+    """State space -> zeros/poles/gain (scipy.signal.ss2zpk)."""
+    from .iir_design import tf2zpk
+
+    num, den = ss2tf(A, B, C, D, input=input)
+    return tf2zpk(num[0], den)
+
+
+def abcd_normalize(A=None, B=None, C=None, D=None):
+    """Fill in compatibly-shaped zero matrices for missing state-space
+    members (scipy.signal.abcd_normalize)."""
+    given = {
+        "A": None if A is None else np.atleast_2d(np.asarray(A, np.float64)),
+        "B": None if B is None else np.atleast_2d(np.asarray(B, np.float64)),
+        "C": None if C is None else np.atleast_2d(np.asarray(C, np.float64)),
+        "D": None if D is None else np.atleast_2d(np.asarray(D, np.float64)),
+    }
+    n = p = q = None  # states, inputs, outputs
+    if given["A"] is not None:
+        n = given["A"].shape[0]
+    if given["B"] is not None:
+        n = given["B"].shape[0] if n is None else n
+        p = given["B"].shape[1]
+    if given["C"] is not None:
+        n = given["C"].shape[1] if n is None else n
+        q = given["C"].shape[0]
+    if given["D"] is not None:
+        q = given["D"].shape[0] if q is None else q
+        p = given["D"].shape[1] if p is None else p
+    if n is None or p is None or q is None:
+        raise ValueError("not enough information to infer system shapes")
+    A = np.zeros((n, n)) if given["A"] is None else given["A"]
+    B = np.zeros((n, p)) if given["B"] is None else given["B"]
+    C = np.zeros((q, n)) if given["C"] is None else given["C"]
+    D = np.zeros((q, p)) if given["D"] is None else given["D"]
+    if A.shape != (n, n) or B.shape != (n, p) or C.shape != (q, n) or D.shape != (q, p):
+        raise ValueError(
+            f"inconsistent shapes A{A.shape} B{B.shape} C{C.shape} D{D.shape}"
+        )
+    return A, B, C, D
+
+
+# --- continuous -> discrete (scipy.signal.cont2discrete) -----------------------
+
+
+def _expm(m: np.ndarray) -> np.ndarray:
+    import scipy.linalg as sla
+
+    return sla.expm(m)
+
+
+def cont2discrete(system, dt: float, method: str = "zoh", alpha=None):
+    """Discretize a continuous state-space (A, B, C, D)
+    (scipy.signal.cont2discrete; pass tf/zpk through the converters).
+
+    Methods: ``zoh``, ``foh``, ``impulse``, ``gbt`` (with ``alpha``),
+    ``bilinear``/``tustin`` (gbt 1/2), ``euler``/``forward_diff``
+    (gbt 0), ``backward_diff`` (gbt 1).
+    """
+    if len(system) == 2:
+        system = tf2ss(*system)
+    elif len(system) == 3:
+        system = zpk2ss(*system)
+    elif len(system) != 4:
+        raise ValueError("system must be (b,a), (z,p,k) or (A,B,C,D)")
+    A, B, C, D = (np.atleast_2d(np.asarray(m, np.float64)) for m in system)
+    n, p = A.shape[0], B.shape[1]
+
+    if method == "gbt":
+        if alpha is None or not 0.0 <= alpha <= 1.0:
+            raise ValueError("gbt needs alpha in [0, 1]")
+    elif method in ("bilinear", "tustin"):
+        method, alpha = "gbt", 0.5
+    elif method in ("euler", "forward_diff"):
+        method, alpha = "gbt", 0.0
+    elif method == "backward_diff":
+        method, alpha = "gbt", 1.0
+
+    if method == "gbt":
+        ima = np.eye(n) - alpha * dt * A
+        Ad = np.linalg.solve(ima, np.eye(n) + (1.0 - alpha) * dt * A)
+        Bd = np.linalg.solve(ima, dt * B)
+        Cd = np.linalg.solve(ima.T, C.T).T
+        Dd = D + alpha * (C @ Bd)
+    elif method == "zoh":
+        em = np.zeros((n + p, n + p))
+        em[:n, :n] = A * dt
+        em[:n, n:] = B * dt
+        ms = _expm(em)
+        Ad, Bd, Cd, Dd = ms[:n, :n], ms[:n, n:], C.copy(), D.copy()
+    elif method == "foh":
+        em = np.zeros((n + 2 * p, n + 2 * p))
+        em[:n, :n] = A * dt
+        em[:n, n : n + p] = B * dt
+        em[n : n + p, n + p :] = np.eye(p)
+        ms = _expm(em)
+        phi = ms[:n, :n]
+        g1 = ms[:n, n : n + p]
+        g2 = ms[:n, n + p :]
+        Ad = phi
+        Bd = g1 + phi @ g2 - g2
+        Cd = C.copy()
+        Dd = D + C @ g2
+    elif method == "impulse":
+        if not np.allclose(D, 0):
+            raise ValueError("impulse method requires D == 0")
+        Ad = _expm(A * dt)
+        Bd = Ad @ B * dt
+        Cd = C.copy()
+        Dd = C @ B * dt
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return Ad, Bd, Cd, Dd, dt
+
+
+# --- discrete-time simulation (scipy.signal.dlsim/dstep/dimpulse) --------------
+
+
+def dlsim(system, u, x0=None):
+    """Simulate (A, B, C, D[, dt]) on input ``u`` ``(T, p)``; returns
+    ``(y, x)`` with ``y`` ``(T, q)`` and ``x`` ``(T, n)``.
+
+    Runs as one ``lax.scan`` on device (state stays resident); the matrices
+    are closed over as constants so XLA folds the tiny matvecs.
+    """
+    if len(system) == 5:
+        system = system[:4]
+    A, B, C, D = (
+        jnp.atleast_2d(jnp.asarray(m, jnp.float32)) for m in system
+    )
+    u = jnp.atleast_2d(jnp.asarray(u, jnp.float32))
+    if u.ndim == 2 and u.shape[0] == 1 and B.shape[1] == 1:
+        u = u.T
+    n = A.shape[0]
+    x0 = (
+        jnp.zeros((n,), jnp.float32)
+        if x0 is None
+        else jnp.asarray(x0, jnp.float32).reshape(n)
+    )
+
+    def step(x, ut):
+        y = C @ x + D @ ut
+        return A @ x + B @ ut, (y, x)
+
+    _, (y, xs) = jax.lax.scan(step, x0, u)
+    return y, xs
+
+
+def dimpulse(system, n: int):
+    """Discrete impulse response, ``n`` samples (scipy.signal.dimpulse
+    with one input). Returns ``(t, y)``."""
+    sys4 = system[:4] if len(system) >= 4 else tf2ss(*system)
+    dt = system[4] if len(system) == 5 else 1.0
+    p = np.atleast_2d(sys4[1]).shape[1]
+    u = jnp.zeros((n, p), jnp.float32).at[0].set(1.0)
+    y, _ = dlsim(sys4, u)
+    return np.arange(n) * dt, y
+
+
+def dstep(system, n: int):
+    """Discrete step response, ``n`` samples (scipy.signal.dstep with one
+    input). Returns ``(t, y)``."""
+    sys4 = system[:4] if len(system) >= 4 else tf2ss(*system)
+    dt = system[4] if len(system) == 5 else 1.0
+    p = np.atleast_2d(sys4[1]).shape[1]
+    u = jnp.ones((n, p), jnp.float32)
+    y, _ = dlsim(sys4, u)
+    return np.arange(n) * dt, y
+
+
+# --- partial fractions (scipy.signal.residue/residuez) -------------------------
+
+
+def unique_roots(p, tol: float = 1e-3, rtype: str = "min"):
+    """Group nearby roots (scipy.signal.unique_roots): returns
+    (representatives, multiplicities)."""
+    p = np.asarray(p)
+    if rtype not in ("max", "min", "avg", "mean", "maximum", "minimum"):
+        raise ValueError(f"unknown rtype {rtype!r}")
+    pout: list = []
+    mult: list = []
+    groups: list = []
+    used = np.zeros(p.size, bool)
+    for i in range(p.size):
+        if used[i]:
+            continue
+        close = np.abs(p - p[i]) < tol
+        close &= ~used
+        idx = np.nonzero(close)[0]
+        used[idx] = True
+        g = p[idx]
+        groups.append(g)
+        mult.append(idx.size)
+        if rtype in ("max", "maximum"):
+            pout.append(g[np.argmax(np.abs(g))])
+        elif rtype in ("min", "minimum"):
+            pout.append(g[np.argmin(np.abs(g))])
+        else:
+            pout.append(np.mean(g))
+    return np.asarray(pout), np.asarray(mult, int)
+
+
+def _rational_derivatives(num, den, point, count):
+    """[f(point), f'(point), ..., f^(count-1)(point)] for f = num/den via
+    the quotient rule on coefficient arrays (exact, no limits)."""
+    out = []
+    n, d = np.asarray(num, complex), np.asarray(den, complex)
+    for _ in range(count):
+        out.append(np.polyval(n, point) / np.polyval(d, point))
+        # (n/d)' = (n'd - nd')/d^2
+        n, d = (
+            np.polysub(
+                np.polymul(np.polyder(n), d), np.polymul(n, np.polyder(d))
+            ),
+            np.polymul(d, d),
+        )
+    return out
+
+
+def residue(b, a, tol: float = 1e-3, rtype: str = "avg"):
+    """Partial-fraction expansion of b(s)/a(s) (scipy.signal.residue):
+    returns ``(r, p, k)`` with poles repeated per multiplicity and
+    residues ordered by ascending power of (s - p)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a.size < 2:
+        return np.array([]), np.array([]), b / a[0]
+    k, b_rem = (
+        np.polydiv(b, a) if b.size >= a.size else (np.array([]), b)
+    )
+    poles = np.roots(a)
+    uniq, mult = unique_roots(poles, tol=tol, rtype=rtype)
+    r_all, p_all = [], []
+    for gi, (pole, m) in enumerate(zip(uniq, mult)):
+        # denominator with this pole factored out entirely
+        others = []
+        for gj, (q, mq) in enumerate(zip(uniq, mult)):
+            if gj != gi:
+                others.extend([q] * mq)
+        an = a[0] * np.poly(others) if others else np.atleast_1d(a[0])
+        # b_rem/an = sum_j r_j (s-p)^(j-1) + O((s-p)^m): Taylor at the pole
+        ders = _rational_derivatives(b_rem, an, pole, m)
+        fact = 1.0
+        taylor = []
+        for j, dv in enumerate(ders):
+            if j:
+                fact *= j
+            taylor.append(dv / fact)
+        # scipy orders residues for (s-p)^1 ... (s-p)^m as the
+        # HIGHEST-order Taylor coefficient first paired with power 1
+        r_all.extend(taylor[::-1])
+        p_all.extend([pole] * m)
+    return np.asarray(r_all), np.asarray(p_all), np.real_if_close(k)
+
+
+def residuez(b, a, tol: float = 1e-3, rtype: str = "avg"):
+    """Partial-fraction expansion of b(z^-1)/a(z^-1)
+    (scipy.signal.residuez): r_i/(1 - p_i z^-1)^j terms + direct k."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    # substitute w = z^-1: b(w)/a(w) with ascending -> np descending is a
+    # reversal; expand around the w-poles 1/p
+    brev, arev = b[::-1], a[::-1]
+    # direct polynomial part in z^-1 (appears when deg_b >= deg_a in w)
+    k, brem_rev = (
+        np.polydiv(brev, arev) if brev.size >= arev.size else (np.array([]), brev)
+    )
+    poles = np.roots(a[::-1])  # roots in w; z-poles are 1/w
+    uniq_w, mult = unique_roots(poles, tol=tol, rtype=rtype)
+    r_all, p_all = [], []
+    for gi, (wpole, m) in enumerate(zip(uniq_w, mult)):
+        others = []
+        for gj, (q, mq) in enumerate(zip(uniq_w, mult)):
+            if gj != gi:
+                others.extend([q] * mq)
+        an = arev[0] * np.poly(others) if others else np.atleast_1d(arev[0])
+        # g(w) = brem/an is analytic at w0 = wpole: Taylor c_j there
+        ders = _rational_derivatives(brem_rev, an, wpole, m)
+        fact = 1.0
+        taylor = []
+        for j, dv in enumerate(ders):
+            if j:
+                fact *= j
+            taylor.append(dv / fact)
+        pz = 1.0 / wpole
+        # f = sum_j c_j (w-w0)^(j-m) and (w-w0) = -w0 (1 - pz z^-1), so
+        # the r/(1 - pz z^-1)^s term (s = m-j) carries c_j (-w0)^(-s);
+        # scipy orders ascending s = 1..m
+        for s in range(1, m + 1):
+            r_all.append(taylor[m - s] * (-wpole) ** (-s))
+            p_all.append(pz)
+    return np.asarray(r_all), np.asarray(p_all), np.real_if_close(k[::-1])
+
+
+def invres(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
+    """Inverse of :func:`residue` (scipy.signal.invres)."""
+    r = np.atleast_1d(np.asarray(r, complex))
+    p = np.atleast_1d(np.asarray(p, complex))
+    k = np.atleast_1d(np.asarray(k)) if np.size(k) else np.zeros(0)
+    uniq, mult = unique_roots(p, tol=tol, rtype=rtype)
+    # rebuild the denominator from the GROUPED poles so repeated-root
+    # terms stay consistent with the grouping
+    a = np.ones(1, complex)
+    for pole, m in zip(uniq, mult):
+        a = np.polymul(a, np.poly([pole] * m))
+    num = np.zeros(1, complex)
+    idx = 0
+    for gi, (pole, m) in enumerate(zip(uniq, mult)):
+        other = np.ones(1, complex)
+        for gj, (q, mq) in enumerate(zip(uniq, mult)):
+            if gj != gi:
+                other = np.polymul(other, np.poly([q] * mq))
+        for j in range(1, m + 1):
+            # r_{idx+j-1} * a(s) / (s-pole)^j
+            term = np.polymul(other, np.poly([pole] * (m - j)))
+            num = np.polyadd(num, r[idx + j - 1] * term)
+        idx += m
+    if k.size:
+        num = np.polyadd(num, np.polymul(k, a))
+    return np.real_if_close(num), np.real_if_close(a)
+
+
+def invresz(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
+    """Inverse of :func:`residuez` (scipy.signal.invresz)."""
+    r = np.atleast_1d(np.asarray(r, complex))
+    p = np.atleast_1d(np.asarray(p, complex))
+    k = np.atleast_1d(np.asarray(k)) if np.size(k) else np.zeros(0)
+    uniq, mult = unique_roots(p, tol=tol, rtype=rtype)
+    # denominator prod (1 - p z^-1)^m: build in w = z^-1 ascending then
+    # express descending-in-w, finally reverse to z^-1 ascending
+    a_w = np.ones(1, complex)
+    for pole, m in zip(uniq, mult):
+        a_w = np.polymul(a_w, np.poly([1.0 / pole] * m) * (-pole) ** m)
+    num_w = np.zeros(1, complex)
+    idx = 0
+    for gi, (pole, m) in enumerate(zip(uniq, mult)):
+        other_w = np.ones(1, complex)
+        for gj, (q, mq) in enumerate(zip(uniq, mult)):
+            if gj != gi:
+                other_w = np.polymul(
+                    other_w, np.poly([1.0 / q] * mq) * (-q) ** mq
+                )
+        for s in range(1, m + 1):
+            self_w = np.poly([1.0 / pole] * (m - s)) * (-pole) ** (m - s)
+            num_w = np.polyadd(
+                num_w, r[idx + s - 1] * np.polymul(other_w, self_w)
+            )
+        idx += m
+    if k.size:
+        num_w = np.polyadd(num_w, np.polymul(k[::-1], a_w))
+    b = num_w[::-1]
+    a = a_w[::-1]
+    # normalize a[0] (the z^0 coefficient) to 1 like scipy
+    b = b / a[0]
+    a = a / a[0]
+    return np.real_if_close(b), np.real_if_close(a)
+
+
+def freqz_zpk(z, p, k, worN: int = 512):
+    """Frequency response straight from zpk (scipy.signal.freqz_zpk) —
+    numerically robust for high orders where the polynomial form
+    overflows."""
+    w = np.linspace(0, np.pi, worN, endpoint=False)
+    ejw = np.exp(1j * w)
+    h = np.full(worN, complex(k))
+    for zz in np.atleast_1d(z):
+        h = h * (ejw - zz)
+    for pp in np.atleast_1d(p):
+        h = h / (ejw - pp)
+    return w, h
+
+
+__all__ = [
+    "tf2ss",
+    "ss2tf",
+    "zpk2ss",
+    "ss2zpk",
+    "abcd_normalize",
+    "cont2discrete",
+    "dlsim",
+    "dimpulse",
+    "dstep",
+    "unique_roots",
+    "residue",
+    "residuez",
+    "invres",
+    "invresz",
+    "freqz_zpk",
+]

@@ -1,0 +1,179 @@
+"""LTI representation/discretization/simulation and partial-fraction
+tests — scipy.signal is the oracle throughout."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.signal as sps
+
+from digital_signal_processsing_tpu.ops import lti
+from digital_signal_processsing_tpu.ops import correlate as corr
+
+
+TFS = [
+    ([1.0, 3.0, 3.0], [1.0, 2.0, 1.0]),
+    ([2.0], [1.0, 0.4, 0.2]),
+    ([1.0, 0.5], [2.0, 1.0, 0.3, 0.1]),
+    ([1.0, 2.0, 3.0, 4.0], [1.0, 0.5, 0.25, 0.125]),
+]
+
+
+@pytest.mark.parametrize("b,a", TFS)
+def test_tf2ss_ss2tf_match_scipy(b, a):
+    A, B, C, D = lti.tf2ss(b, a)
+    for got, ref in zip((A, B, C, D), sps.tf2ss(b, a)):
+        assert np.allclose(got, ref, atol=1e-12)
+    num, den = lti.ss2tf(A, B, C, D)
+    numr, denr = sps.ss2tf(*sps.tf2ss(b, a))
+    assert np.allclose(num, numr, atol=1e-9)
+    assert np.allclose(den, denr, atol=1e-9)
+
+
+def test_zpk_ss_round_trip():
+    z, p, k = [0.5, -0.5], [0.9, 0.2, -0.3], 2.0
+    got = lti.zpk2ss(z, p, k)
+    for g, r in zip(got, sps.zpk2ss(z, p, k)):
+        assert np.allclose(g, r, atol=1e-12)
+    z2, p2, k2 = lti.ss2zpk(*got)
+    assert np.allclose(sorted(np.real(z2)), sorted(z), atol=1e-8)
+    assert abs(k2 - k) < 1e-8
+
+
+def test_abcd_normalize_fills_zeros():
+    A = np.eye(2)
+    C = np.ones((1, 2))
+    Af, Bf, Cf, Df = lti.abcd_normalize(A=A, C=C, D=np.zeros((1, 3)))
+    assert Bf.shape == (2, 3) and np.all(Bf == 0)
+    with pytest.raises(ValueError):
+        lti.abcd_normalize(A=A)
+
+
+CT_SYS = (
+    np.array([[0.0, 1.0], [-4.0, -0.5]]),
+    np.array([[0.0], [1.0]]),
+    np.array([[1.0, 0.0]]),
+    np.array([[0.0]]),
+)
+
+
+@pytest.mark.parametrize(
+    "method,alpha",
+    [
+        ("zoh", None),
+        ("foh", None),
+        ("impulse", None),
+        ("bilinear", None),
+        ("euler", None),
+        ("backward_diff", None),
+        ("gbt", 0.3),
+    ],
+)
+def test_cont2discrete_matches_scipy(method, alpha):
+    kw = {"alpha": alpha} if alpha is not None else {}
+    ref = sps.cont2discrete(CT_SYS, 0.05, method=method, **kw)
+    got = lti.cont2discrete(CT_SYS, 0.05, method=method, **kw)
+    for mg, mr in zip(got[:4], ref[:4]):
+        assert np.allclose(mg, mr, atol=1e-10), method
+
+
+def test_dlsim_dstep_dimpulse_match_scipy():
+    sysd = sps.cont2discrete(CT_SYS, 0.05, method="zoh")
+    u = np.random.default_rng(0).standard_normal(200)
+    _, yref, xref = sps.dlsim(sysd, u)
+    y, x = lti.dlsim(sysd, u)
+    assert np.allclose(np.asarray(y), yref, atol=1e-4)
+    assert np.allclose(np.asarray(x), xref, atol=1e-4)
+    _, (ysr,) = sps.dstep(sysd, n=50)
+    _, ys = lti.dstep(sysd, 50)
+    assert np.allclose(np.asarray(ys)[:, 0], ysr[:, 0], atol=1e-4)
+    _, (yir,) = sps.dimpulse(sysd, n=50)
+    _, yi = lti.dimpulse(sysd, 50)
+    assert np.allclose(np.asarray(yi)[:, 0], yir[:, 0], atol=1e-4)
+
+
+def _canon(r, p):
+    order = np.lexsort((np.imag(p), np.real(p)))
+    return np.asarray(r)[order], np.asarray(p)[order]
+
+
+@pytest.mark.parametrize(
+    "b,a",
+    [
+        ([-4.0, 8.0], [1.0, 6.0, 8.0]),
+        ([1.0, 2.0], [1.0, 5.0, 8.0, 4.0]),  # repeated pole
+        ([5.0, 3.0, -2.0, 7.0], [-4.0, 0.0, 8.0, 3.0]),  # improper
+        ([1.0], [1.0, 4.0, 6.0, 4.0, 1.0]),  # (s+1)^4
+    ],
+)
+def test_residue_invres_match_scipy(b, a):
+    r_ref, p_ref, k_ref = sps.residue(b, a)
+    r, p, k = lti.residue(b, a)
+    rr, pr = _canon(r_ref, p_ref)
+    rg, pg = _canon(r, p)
+    assert np.allclose(pr, pg, atol=1e-6)
+    assert np.allclose(rr, rg, atol=1e-5)
+    b2, a2 = lti.invres(r, p, k)
+    bn = np.asarray(b2, float) / np.asarray(a2, float)[0]
+    an = np.asarray(a2, float) / np.asarray(a2, float)[0]
+    bs = np.asarray(b, float) / np.asarray(a, float)[0]
+    assert np.allclose(
+        np.trim_zeros(bn, "f"), np.trim_zeros(bs, "f"), atol=1e-6
+    )
+    assert np.allclose(an, np.asarray(a, float) / a[0], atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "b,a",
+    [
+        ([1.0, -1.0], [1.0, -1.4, 0.48]),
+        ([1.0], [1.0, -1.0, 0.25]),  # repeated 0.5
+        ([2.0, 1.0, 0.0, -2.0], [1.0, -0.5]),  # direct terms
+    ],
+)
+def test_residuez_invresz_match_scipy(b, a):
+    r_ref, p_ref, k_ref = sps.residuez(b, a)
+    r, p, k = lti.residuez(b, a)
+    rr, pr = _canon(r_ref, p_ref)
+    rg, pg = _canon(r, p)
+    assert np.allclose(pr, pg, atol=1e-6)
+    assert np.allclose(rr, rg, atol=1e-5)
+    kr = np.atleast_1d(k_ref) if np.size(k_ref) else np.zeros(0)
+    kg = np.atleast_1d(k) if np.size(k) else np.zeros(0)
+    assert kr.size == kg.size and np.allclose(kr, kg, atol=1e-8)
+    b2, a2 = lti.invresz(r, p, k)
+    br_, ar_ = sps.invresz(r_ref, p_ref, k_ref)
+    assert np.allclose(np.asarray(b2, float), br_, atol=1e-6)
+    assert np.allclose(np.asarray(a2, float), ar_, atol=1e-6)
+
+
+def test_unique_roots_grouping():
+    p = np.array([1.0, 1.0005, 2.0, 2.0, 3.0])
+    u, m = lti.unique_roots(p, tol=1e-2, rtype="avg")
+    assert sorted(m.tolist()) == [1, 2, 2]
+    assert np.allclose(sorted(u), [1.00025, 2.0, 3.0])
+
+
+def test_freqz_zpk_matches_scipy():
+    w, h = lti.freqz_zpk([0.5], [0.8, -0.4], 1.5, worN=256)
+    wr, hr = sps.freqz_zpk([0.5], [0.8, -0.4], 1.5, worN=256)
+    assert np.allclose(w, wr)
+    assert np.allclose(h, hr, atol=1e-10)
+
+
+@pytest.mark.parametrize("n1,n2", [(10, 10), (10, 7), (7, 10), (8, 5)])
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_correlation_lags_matches_scipy(n1, n2, mode):
+    assert np.array_equal(
+        corr.correlation_lags(n1, n2, mode),
+        sps.correlation_lags(n1, n2, mode),
+    )
+
+
+def test_vectorstrength_matches_scipy():
+    rng = np.random.default_rng(0)
+    events = np.sort(rng.uniform(0, 100, 400))
+    for period in (1.0, [0.5, 1.0, 2.3]):
+        sr, pr = sps.vectorstrength(events, period)
+        sg, pg = corr.vectorstrength(events, period)
+        assert np.allclose(np.asarray(sg), sr, atol=1e-4)
+        assert np.allclose(np.asarray(pg), pr, atol=1e-4)
