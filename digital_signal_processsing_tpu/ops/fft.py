@@ -652,3 +652,33 @@ def zoomfft(
     a = complex(np.exp(2j * np.pi * f1 / fs))
     w = complex(np.exp(-2j * np.pi * (f2 - f1) / (m * fs)))
     return czt(x, m, w, a)
+
+
+def hilbert2(x: jax.Array, n=None) -> jax.Array:
+    """2-D analytic signal over the last two axes
+    (scipy.signal.hilbert2): fft2, zero the negative quadrants, double
+    the positive ones, ifft2. Complex output — on the TPU platform keep
+    the result device-resident or split re/im before fetching (complex64
+    host transfer is unimplemented, BENCH_NOTES r1).
+    """
+    xf = jnp.asarray(x, jnp.float32)
+    if xf.ndim < 2:
+        raise ValueError("hilbert2 needs at least 2 dimensions")
+    if n is None:
+        n1, n2 = xf.shape[-2], xf.shape[-1]
+    else:
+        n1, n2 = (n, n) if jnp.ndim(n) == 0 else (int(n[0]), int(n[1]))
+        if n1 < 1 or n2 < 1:
+            raise ValueError("shape must be positive")
+    spec = jnp.fft.fft2(xf, s=(n1, n2), axes=(-2, -1))
+
+    def half_mask(m: int) -> np.ndarray:
+        # scipy.hilbert2 drops the Nyquist bin for even sizes (unlike the
+        # 1-D hilbert, which keeps it at weight 1)
+        h = np.zeros(m, np.float32)
+        h[0] = 1.0
+        h[1 : (m + 1) // 2] = 2.0
+        return h
+
+    mask = np.outer(half_mask(n1), half_mask(n2))
+    return jnp.fft.ifft2(spec * jnp.asarray(mask), axes=(-2, -1))

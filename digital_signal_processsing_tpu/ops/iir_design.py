@@ -826,3 +826,75 @@ def bilinear(b, a, fs: float = 2.0):
     num = np.real(np.prod(fs2 - z)) if len(z) else 1.0
     kd = k * num / np.real(np.prod(fs2 - p))
     return zpk2tf(zd, pd, kd)
+
+
+def gammatone(
+    freq: float,
+    ftype: str,
+    *,
+    order: int | None = None,
+    numtaps: int | None = None,
+    fs: float = 2.0,
+):
+    """Gammatone auditory filter (scipy.signal.gammatone).
+
+    ``ftype='fir'``: sampled impulse response
+    ``t^(order-1) e^(-2 pi b t) cos(2 pi f t)`` with the ERB bandwidth
+    ``b = 1.019 * (24.7 + f/9.26449)`` and scipy's analytic scale
+    ``2 (2 pi b)^order / ((order-1)! fs)``; defaults order=4,
+    numtaps=int(0.015*fs). ``ftype='iir'``: Slaney's 4-section pole-zero
+    construction (An Efficient Implementation of the Patterson-Holdsworth
+    Auditory Filter Bank, 1993) flattened to (b, a), unit gain at
+    ``freq``. Run with :func:`~..iir.lfilter` / ``ba_to_sos`` +
+    ``sosfilt`` on device; for full filterbanks prefer the PFB
+    channelizer path.
+    """
+    import math
+
+    if not 0.0 < freq < fs / 2.0:
+        raise ValueError(f"freq must be in (0, fs/2), got {freq}")
+    erb = 24.7 + freq / 9.26449
+    if ftype == "fir":
+        order = 4 if order is None else int(order)
+        # scipy floors the default at 15 taps for low sample rates
+        numtaps = max(int(0.015 * fs), 15) if numtaps is None else int(numtaps)
+        if order < 1 or numtaps < 1:
+            raise ValueError("order and numtaps must be >= 1")
+        bw = 1.019 * erb
+        t = np.arange(numtaps) / fs
+        scale = 2.0 * (2.0 * np.pi * bw) ** order / (
+            math.factorial(order - 1) * fs
+        )
+        b = (
+            scale
+            * t ** (order - 1)
+            * np.exp(-2.0 * np.pi * bw * t)
+            * np.cos(2.0 * np.pi * freq * t)
+        )
+        return b, np.ones(1)
+    if ftype != "iir":
+        raise ValueError(f"ftype must be 'fir' or 'iir', got {ftype!r}")
+    if order is not None or numtaps is not None:
+        raise ValueError("order/numtaps only apply to ftype='fir'")
+    T = 1.0 / fs
+    w0 = 2.0 * np.pi * freq
+    bw = 2.0 * np.pi * 1.019 * erb
+    ec = np.exp(-bw * T)
+    cs, sn = np.cos(w0 * T), np.sin(w0 * T)
+    den1 = np.array([1.0, -2.0 * ec * cs, ec * ec])
+    num = np.ones(1)
+    den = np.ones(1)
+    for ck in (
+        np.sqrt(3.0 + 2.0**1.5),
+        -np.sqrt(3.0 + 2.0**1.5),
+        np.sqrt(3.0 - 2.0**1.5),
+        -np.sqrt(3.0 - 2.0**1.5),
+    ):
+        num = np.polymul(num, np.array([T, -T * ec * (cs + ck * sn)]))
+        den = np.polymul(den, den1)
+    # unit gain at the center frequency
+    z0 = np.exp(1j * w0 * T)
+    h0 = np.polyval(num, z0) / np.polyval(den, z0) * z0 ** (
+        len(den) - len(num)
+    )
+    return num / np.abs(h0), den
