@@ -227,3 +227,21 @@ __all__ = [
     "correlation_lags",
     "vectorstrength",
 ]
+
+
+def choose_conv_method(in1, in2, mode: str = "full"):
+    """Pick 'fft' or 'direct' (scipy.signal.choose_conv_method).
+
+    On TPU the honest boundary is the measured fused-overlap-save
+    crossover (k ~ several thousand, BENCH_NOTES r3), far above scipy's
+    CPU heuristic — this mirrors what :func:`convolve`'s auto dispatch
+    actually does so callers can introspect it.
+    """
+    from ..ops import fir as _fir
+
+    n1 = in1 if isinstance(in1, int) else np.shape(in1)[-1]
+    n2 = in2 if isinstance(in2, int) else np.shape(in2)[-1]
+    k = min(n1, n2)
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r}")
+    return "fft" if k >= _fir.FIR_FFT_CROSSOVER else "direct"

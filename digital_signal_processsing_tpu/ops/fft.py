@@ -682,3 +682,172 @@ def hilbert2(x: jax.Array, n=None) -> jax.Array:
 
     mask = np.outer(half_mask(n1), half_mask(n2))
     return jnp.fft.ifft2(spec * jnp.asarray(mask), axes=(-2, -1))
+
+
+# --- scipy-compat window factory + WOLA validity checks ------------------------
+
+
+def get_window(window, Nx: int, fftbins: bool = True) -> np.ndarray:
+    """Window factory (scipy.signal.get_window): string name or
+    ``(name, param)``; ``fftbins=True`` gives the PERIODIC form used for
+    spectral analysis, ``False`` the symmetric filter-design form."""
+    if isinstance(window, (tuple, list)):
+        name, *params = window
+    else:
+        name, params = window, []
+    if Nx < 1:
+        raise ValueError(f"Nx must be >= 1, got {Nx}")
+    m = Nx + 1 if fftbins else Nx
+    n = np.arange(m, dtype=np.float64)
+    if m > 1:
+        t = 2.0 * np.pi * n / (m - 1)
+    else:
+        t = np.zeros(1)
+
+    def cos_sum(coefs):
+        w = np.zeros(m)
+        for k, c in enumerate(coefs):
+            w += c * np.cos(k * t) * (-1.0) ** k
+        return w
+
+    name = {"hanning": "hann", "rect": "boxcar", "rectangular": "boxcar"}.get(
+        name, name
+    )
+    if name == "boxcar":
+        w = np.ones(m)
+    elif name in ("triang",):
+        # scipy triang is NOT bartlett: no zero endpoints
+        k = np.arange(1, (m + 1) // 2 + 1)
+        if m % 2 == 0:
+            half = (2 * k - 1) / m
+            w = np.concatenate([half, half[::-1]])
+        else:
+            half = 2 * k / (m + 1)
+            w = np.concatenate([half, half[-2::-1]])
+    elif name == "bartlett":
+        w = 1.0 - np.abs(2.0 * n / (m - 1) - 1.0) if m > 1 else np.ones(1)
+    elif name == "hann":
+        w = cos_sum([0.5, 0.5])
+    elif name == "hamming":
+        w = cos_sum([0.54, 0.46])
+    elif name == "blackman":
+        w = cos_sum([0.42, 0.5, 0.08])
+    elif name == "blackmanharris":
+        w = cos_sum([0.35875, 0.48829, 0.14128, 0.01168])
+    elif name == "nuttall":
+        w = cos_sum([0.3635819, 0.4891775, 0.1365995, 0.0106411])
+    elif name == "flattop":
+        w = cos_sum(
+            [0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368]
+        )
+    elif name == "barthann":
+        frac = np.abs(n / (m - 1) - 0.5) if m > 1 else np.zeros(1)
+        w = 0.62 - 0.48 * frac + 0.38 * np.cos(2 * np.pi * frac)
+    elif name == "bohman":
+        frac = np.abs(2.0 * n / (m - 1) - 1.0) if m > 1 else np.zeros(1)
+        w = (1 - frac) * np.cos(np.pi * frac) + np.sin(np.pi * frac) / np.pi
+        w[0] = w[-1] = 0.0
+    elif name == "parzen":
+        # scipy's parzen scales by m/2 (not m-1) with the split at (m-1)/4
+        nn = np.arange(-(m - 1) / 2.0, (m - 1) / 2.0 + 0.5, 1.0)
+        an = np.abs(nn) / (m / 2.0)
+        w = np.where(
+            np.abs(nn) <= (m - 1) / 4.0,
+            1.0 - 6.0 * an**2 + 6.0 * an**3,
+            2.0 * (1.0 - an) ** 3,
+        )
+    elif name == "cosine":
+        w = np.sin(np.pi * (n + 0.5) / m)
+    elif name == "lanczos":
+        w = np.sinc(2.0 * n / (m - 1) - 1.0) if m > 1 else np.ones(1)
+    elif name == "kaiser":
+        if not params:
+            raise ValueError("kaiser window needs a beta parameter")
+        w = np.kaiser(m, params[0])
+    elif name == "gaussian":
+        if not params:
+            raise ValueError("gaussian window needs a std parameter")
+        w = np.exp(-0.5 * ((n - (m - 1) / 2.0) / params[0]) ** 2)
+    elif name == "exponential":
+        # scipy's parameter order is (center, tau) — the single-param
+        # spelling sets the CENTER; pass (None, tau) for a decay scale
+        center = params[0] if len(params) >= 1 else None
+        tau = params[1] if len(params) >= 2 else 1.0
+        if not fftbins and center is not None:
+            raise ValueError("symmetric exponential requires center=None")
+        if center is None:
+            center = (m - 1) / 2.0
+        w = np.exp(-np.abs(n - center) / tau)
+    elif name == "tukey":
+        alpha = params[0] if params else 0.5
+        if alpha <= 0:
+            w = np.ones(m)
+        elif alpha >= 1:
+            w = cos_sum([0.5, 0.5])
+        else:
+            w = np.ones(m)
+            width = int(np.floor(alpha * (m - 1) / 2.0))
+            idx = np.arange(width + 1)
+            edge = 0.5 * (
+                1 + np.cos(np.pi * (2.0 * idx / (alpha * (m - 1)) - 1.0))
+            )
+            w[: width + 1] = edge
+            w[m - width - 1 :] = edge[::-1]
+    else:
+        raise ValueError(f"unknown window {name!r}")
+    if fftbins:
+        w = w[:-1]
+    return w.astype(np.float64)
+
+
+def check_cola(window, nperseg: int, noverlap: int, tol: float = 1e-10) -> bool:
+    """Constant-overlap-add check (scipy.signal.check_COLA): windows
+    summed at the hop must be constant — the istft/WOLA exactness
+    precondition."""
+    if not 0 <= noverlap < nperseg:
+        raise ValueError("need 0 <= noverlap < nperseg")
+    w = (
+        np.asarray(window, np.float64)
+        if not isinstance(window, (str, tuple))
+        else get_window(window, nperseg)
+    )
+    if w.shape[0] != nperseg:
+        raise ValueError("window length must equal nperseg")
+    hop = nperseg - noverlap
+    binsums = np.sum(
+        [w[i * hop : i * hop + hop] for i in range(nperseg // hop)], axis=0
+    )
+    if nperseg % hop != 0:
+        binsums[: nperseg % hop] += w[-(nperseg % hop) :]
+    return bool(np.max(np.abs(binsums - binsums[0])) < tol)
+
+
+def check_nola(window, nperseg: int, noverlap: int, tol: float = 1e-10) -> bool:
+    """Nonzero-overlap-add check (scipy.signal.check_NOLA): the weaker
+    invertibility condition for least-squares istft."""
+    if not 0 <= noverlap < nperseg:
+        raise ValueError("need 0 <= noverlap < nperseg")
+    w = (
+        np.asarray(window, np.float64)
+        if not isinstance(window, (str, tuple))
+        else get_window(window, nperseg)
+    )
+    if w.shape[0] != nperseg:
+        raise ValueError("window length must equal nperseg")
+    hop = nperseg - noverlap
+    binsums = np.sum(
+        [w[i * hop : i * hop + hop] ** 2 for i in range(nperseg // hop)],
+        axis=0,
+    )
+    if nperseg % hop != 0:
+        binsums[: nperseg % hop] += w[-(nperseg % hop) :] ** 2
+    return bool(np.min(binsums) > tol)
+
+
+def czt_points(m: int, w: complex | None = None, a: complex = 1 + 0j):
+    """The m contour points a * w^-k the CZT evaluates at
+    (scipy.signal.czt_points)."""
+    k = np.arange(m)
+    if w is None:
+        w = np.exp(-2j * np.pi / m)
+    return a * np.asarray(w) ** -k

@@ -225,6 +225,11 @@ def _next_pow2_overlap(k: int) -> int:
     return 1 << int(np.ceil(np.log2(max(k, 2))))
 
 
+# measured direct-vs-fused-overlap-save crossover on v5e (see fir_filter
+# docstring and benchmarks/r3_crossover.py)
+FIR_FFT_CROSSOVER = 6000
+
+
 def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Array:
     """Causal FIR with automatic direct/overlap-save crossover.
 
@@ -242,7 +247,7 @@ def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Ar
     from ..utils.dispatch import record_choice
 
     if method == "auto":
-        if k <= 6000:
+        if k <= FIR_FFT_CROSSOVER:
             method = "direct"
         elif isinstance(taps, jax.core.Tracer):
             method = "overlap_save_mxu"

@@ -898,3 +898,170 @@ def gammatone(
         len(den) - len(num)
     )
     return num / np.abs(h0), den
+
+
+# --- public analog prototype / transform surface (scipy names) -----------------
+#
+# The classical-design pipeline above already contains all of these as its
+# internal stages; the scipy-named entry points expose each stage for users
+# composing their own designs.
+
+
+def buttap(n: int):
+    """Butterworth analog lowpass prototype (scipy.signal.buttap)."""
+    return butter_zpk_proto(int(n))
+
+
+def cheb1ap(n: int, rp: float):
+    """Chebyshev-I analog prototype (scipy.signal.cheb1ap)."""
+    return _cheby1_zpk_proto(int(n), float(rp))
+
+
+def cheb2ap(n: int, rs: float):
+    """Chebyshev-II analog prototype (scipy.signal.cheb2ap)."""
+    return _cheby2_zpk_proto(int(n), float(rs))
+
+
+def ellipap(n: int, rp: float, rs: float):
+    """Elliptic analog prototype (scipy.signal.ellipap)."""
+    return _ellip_zpk_proto(int(n), float(rp), float(rs))
+
+
+def besselap(n: int, norm: str = "phase"):
+    """Bessel analog prototype (scipy.signal.besselap)."""
+    return _bessel_zpk_proto(int(n), norm)
+
+
+def lp2lp_zpk(z, p, k, wo: float = 1.0):
+    """Lowpass prototype -> lowpass at wo (scipy.signal.lp2lp_zpk)."""
+    return _lp2lp_zpk(np.atleast_1d(z), np.atleast_1d(p), k, float(wo))
+
+
+def lp2hp_zpk(z, p, k, wo: float = 1.0):
+    """Lowpass prototype -> highpass at wo (scipy.signal.lp2hp_zpk)."""
+    return _lp2hp_zpk(np.atleast_1d(z), np.atleast_1d(p), k, float(wo))
+
+
+def lp2bp_zpk(z, p, k, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandpass (scipy.signal.lp2bp_zpk)."""
+    return _lp2bp_zpk(np.atleast_1d(z), np.atleast_1d(p), k, float(wo), float(bw))
+
+
+def lp2bs_zpk(z, p, k, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandstop (scipy.signal.lp2bs_zpk)."""
+    return _lp2bs_zpk(np.atleast_1d(z), np.atleast_1d(p), k, float(wo), float(bw))
+
+
+def bilinear_zpk(z, p, k, fs: float):
+    """Bilinear s -> z at sample rate fs (scipy.signal.bilinear_zpk —
+    the 2fs convention; the design pipeline's internal `_bilinear_zpk`
+    bakes the tan prewarp instead)."""
+    z = np.atleast_1d(z)
+    p = np.atleast_1d(p)
+    fs2 = 2.0 * float(fs)
+    deg = len(p) - len(z)
+    zd = (fs2 + z) / (fs2 - z)
+    pd = (fs2 + p) / (fs2 - p)
+    zd = np.append(zd, -np.ones(deg))
+    num = np.prod(fs2 - z) if len(z) else 1.0
+    kd = k * np.real(num / np.prod(fs2 - p))
+    return zd, pd, kd
+
+
+def _tf_via_zpk(transform, b, a, *args):
+    z, p, k = tf2zpk(b, a)
+    return zpk2tf(*transform(z, p, k, *args))
+
+
+def lp2lp(b, a, wo: float = 1.0):
+    """TF lowpass prototype -> lowpass (scipy.signal.lp2lp)."""
+    return _tf_via_zpk(_lp2lp_zpk, b, a, float(wo))
+
+
+def lp2hp(b, a, wo: float = 1.0):
+    """TF lowpass prototype -> highpass (scipy.signal.lp2hp)."""
+    return _tf_via_zpk(_lp2hp_zpk, b, a, float(wo))
+
+
+def lp2bp(b, a, wo: float = 1.0, bw: float = 1.0):
+    """TF lowpass prototype -> bandpass (scipy.signal.lp2bp)."""
+    return _tf_via_zpk(_lp2bp_zpk, b, a, float(wo), float(bw))
+
+
+def lp2bs(b, a, wo: float = 1.0, bw: float = 1.0):
+    """TF lowpass prototype -> bandstop (scipy.signal.lp2bs)."""
+    return _tf_via_zpk(_lp2bs_zpk, b, a, float(wo), float(bw))
+
+
+def tf2sos(b, a):
+    """(b, a) -> SOS array (scipy.signal.tf2sos); the device filtering
+    path's `ops.iir.ba_to_sos` under scipy's name."""
+    from .iir import ba_to_sos
+
+    return ba_to_sos(b, a)
+
+
+def freqz_sos(sos, worN: int = 512):
+    """SOS frequency response (scipy.signal.freqz_sos / sosfreqz)."""
+    from .iir import sosfreqz
+
+    return sosfreqz(sos, worN=worN)
+
+
+def findfreqs(num, den, N: int, kind: str = "ba"):
+    """Log-spaced angular frequencies covering an analog filter's
+    interesting range (scipy.signal.findfreqs)."""
+    if kind == "ba":
+        ep = np.atleast_1d(np.roots(np.asarray(den, np.float64)))
+        tz = np.atleast_1d(np.roots(np.asarray(num, np.float64)))
+    elif kind == "zp":
+        ep = np.atleast_1d(den)
+        tz = np.atleast_1d(num)
+    else:
+        raise ValueError(f"kind must be 'ba' or 'zp', got {kind!r}")
+    if ep.size == 0:
+        ep = np.atleast_1d(-1000.0 + 0j)
+    ez = np.concatenate(
+        [
+            ep[ep.imag >= 0],
+            tz[(np.abs(tz) < 1e5) & (tz.imag >= 0)],
+        ]
+    )
+    integ = (np.abs(ez) < 1e-10).astype(float)
+    hi = np.round(
+        np.log10(np.max(3.0 * np.abs(ez.real + integ) + 1.5 * ez.imag)) + 0.5
+    )
+    lo = np.round(
+        np.log10(0.1 * np.min(np.abs(np.real(ez + integ)) + 2.0 * ez.imag))
+        - 0.5
+    )
+    return np.logspace(lo, hi, int(N))
+
+
+def freqs(b, a, worN=200):
+    """Analog frequency response H(jw) (scipy.signal.freqs)."""
+    if np.ndim(worN) == 0:
+        w = findfreqs(b, a, int(worN))
+    else:
+        w = np.asarray(worN, np.float64)
+    s = 1j * w
+    h = np.polyval(np.asarray(b, np.float64), s) / np.polyval(
+        np.asarray(a, np.float64), s
+    )
+    return w, h
+
+
+def freqs_zpk(z, p, k, worN=200):
+    """Analog frequency response from zpk (scipy.signal.freqs_zpk)."""
+    if np.ndim(worN) == 0:
+        w = findfreqs(z, p, int(worN), kind="zp")
+    else:
+        w = np.asarray(worN, np.float64)
+    s = 1j * w
+    num = np.ones_like(s) * k
+    for zz in np.atleast_1d(z):
+        num = num * (s - zz)
+    den = np.ones_like(s)
+    for pp in np.atleast_1d(p):
+        den = den * (s - pp)
+    return w, num / den

@@ -81,3 +81,42 @@ def wiener(x: jax.Array, mysize: int = 3, noise: float | None = None) -> jax.Arr
     res = l_mean + (1.0 - nz / jnp.maximum(l_var, 1e-30)) * (xf - l_mean)
     y = jnp.where(l_var < nz, l_mean, res)
     return y[0] if squeeze else y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("domain", "rank", "domain_shape")
+)
+def _order_filter_nd(x, domain, rank, domain_shape):
+    views = []
+    nd = x.ndim
+    pads = [(s // 2, s // 2) for s in domain_shape]
+    ext = jnp.pad(x, pads)
+    dom = np.asarray(domain).reshape(domain_shape).astype(bool)
+    for offs in np.ndindex(*domain_shape):
+        if not dom[offs]:
+            continue
+        sl = tuple(
+            slice(o, o + n) for o, n in zip(offs, x.shape)
+        )
+        views.append(ext[sl])
+    stack = jnp.stack(views, axis=-1)
+    return jnp.sort(stack, axis=-1)[..., rank]
+
+
+def order_filter(x: jax.Array, domain, rank: int) -> jax.Array:
+    """N-D order filter over an arbitrary 0/1 neighborhood mask
+    (scipy.signal.order_filter: odd domain sides, zero-padded edges).
+    Stacked shifted views + one VPU sort — no gathers, like the 1-D rank
+    family."""
+    domain = np.asarray(domain)
+    if any(s % 2 == 0 for s in domain.shape):
+        raise ValueError("domain sides must be odd")
+    if domain.ndim != jnp.ndim(x):
+        raise ValueError("domain rank must match input rank")
+    nnz = int(np.count_nonzero(domain))
+    if not 0 <= rank < nnz:
+        raise ValueError(f"rank must be in [0, {nnz}), got {rank}")
+    return _order_filter_nd(
+        jnp.asarray(x, jnp.float32), tuple(domain.astype(int).ravel()),
+        rank, domain.shape
+    )

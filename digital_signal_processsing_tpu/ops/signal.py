@@ -135,3 +135,77 @@ def gausspulse(
 
 
 __all__ = ["tone", "chirp", "white_noise", "square", "sawtooth", "gausspulse"]
+
+
+def sweep_poly(t: jax.Array, poly, phi: float = 0.0) -> jax.Array:
+    """Frequency sweep following a polynomial f(t)
+    (scipy.signal.sweep_poly): phase is the exact antiderivative, no
+    cumulative numeric integration."""
+    import numpy as np
+
+    c = np.atleast_1d(np.asarray(poly, np.float64))
+    # antiderivative of f(t) (descending coefficients)
+    integ = np.concatenate([c / np.arange(c.size, 0, -1), [0.0]])
+    tf = jnp.asarray(t, jnp.float32)
+    phase = jnp.polyval(jnp.asarray(integ, jnp.float32), tf)
+    return jnp.cos(2.0 * jnp.pi * phase + jnp.float32(np.pi * phi / 180.0))
+
+
+def unit_impulse(shape, idx=None, dtype=jnp.float32) -> jax.Array:
+    """Unit impulse (scipy.signal.unit_impulse): 1 at ``idx`` (default 0;
+    'mid' = center), 0 elsewhere."""
+    import numpy as np
+
+    shape = (shape,) if np.ndim(shape) == 0 else tuple(shape)
+    if idx is None:
+        idx = (0,) * len(shape)
+    elif idx == "mid":
+        idx = tuple(s // 2 for s in shape)
+    elif np.ndim(idx) == 0:
+        idx = (idx,) * len(shape)
+    out = np.zeros(shape, np.float32)
+    out[tuple(idx)] = 1.0
+    return jnp.asarray(out, dtype)
+
+
+def max_len_seq(nbits: int, state=None, length: int | None = None, taps=None):
+    """Maximum-length (pseudorandom) sequence via an LFSR
+    (scipy.signal.max_len_seq): returns ``(seq, final_state)`` of 0/1
+    int8. Host-side generation (a bit-serial recurrence is the one DSP
+    primitive with NO parallel spelling worth the transport; sequences are
+    design-time artifacts like filter taps)."""
+    import numpy as np
+
+    default_taps = {
+        2: [1], 3: [2], 4: [3], 5: [3], 6: [5], 7: [6], 8: [7, 6, 1],
+        9: [5], 10: [7], 11: [9], 12: [11, 10, 4], 13: [12, 11, 8],
+        14: [13, 12, 2], 15: [14], 16: [15, 13, 4], 17: [14], 18: [11],
+        19: [18, 17, 14], 20: [17], 21: [19], 22: [21], 23: [18],
+        24: [23, 22, 17], 25: [22], 26: [25, 24, 20], 27: [26, 25, 22],
+        28: [25], 29: [27], 30: [29, 28, 7], 31: [28], 32: [31, 30, 10],
+    }
+    if taps is None:
+        if nbits not in default_taps:
+            raise ValueError(f"nbits must be in 2..32 without taps, got {nbits}")
+        taps = default_taps[nbits]
+    taps = np.unique(np.asarray(taps, int))[::-1]
+    if np.any(taps < 0) or np.any(taps > nbits - 1):
+        raise ValueError("taps must be in [0, nbits)")
+    n_out = (1 << nbits) - 1 if length is None else int(length)
+    if state is None:
+        st = np.ones(nbits, np.int8)
+    else:
+        st = np.asarray(state, np.int8).copy()
+        if st.size != nbits or not np.any(st):
+            raise ValueError("state must be nbits long and not all zero")
+    # scipy's register convention: emit state[0], feedback = state[0] xor
+    # the tap states, shift LEFT, feedback enters at the top
+    seq = np.empty(n_out, np.int8)
+    for i in range(n_out):
+        fb = st[0]
+        seq[i] = fb
+        for tp in taps:
+            fb ^= st[tp]
+        st[:-1] = st[1:]
+        st[-1] = fb
+    return seq, st
