@@ -463,3 +463,166 @@ __all__ = [
     "invresz",
     "freqz_zpk",
 ]
+
+
+# --- continuous-time responses (scipy.signal.lsim/impulse/step/bode) -----------
+
+
+def _as_ss(system):
+    if len(system) == 2:
+        return tf2ss(*system)
+    if len(system) == 3:
+        return zpk2ss(*system)
+    if len(system) >= 4:
+        return tuple(np.atleast_2d(np.asarray(m, np.float64)) for m in system[:4])
+    raise ValueError("system must be (b,a), (z,p,k) or (A,B,C,D)")
+
+
+def _default_response_times(A, n: int) -> np.ndarray:
+    """scipy's heuristic: ~7 slowest time constants, n points."""
+    vals = np.linalg.eigvals(A) if A.size else np.array([-1.0])
+    r = np.min(np.abs(np.real(vals)))
+    if r == 0.0:
+        r = 1.0
+    return np.linspace(0.0, 7.0 / r, n)
+
+
+def lsim(system, U, T, X0=None, interp: bool = True):
+    """Continuous LTI simulation over a UNIFORM time grid
+    (scipy.signal.lsim): exact per-step discretization — first-order-hold
+    on the input when ``interp`` (scipy's linear interpolation), zero-order
+    hold otherwise — then the device ``dlsim`` scan. Returns (T, y, x).
+    The state recursion runs in float32 on device (~1e-4 relative vs
+    scipy's float64 over a few hundred steps)."""
+    T = np.asarray(T, np.float64)
+    if T.ndim != 1 or T.size < 2:
+        raise ValueError("T must be 1-D with at least 2 points")
+    dts = np.diff(T)
+    if not np.allclose(dts, dts[0], rtol=1e-6):
+        raise ValueError("this lsim requires a uniform time grid")
+    A, B, C, D = _as_ss(system)
+    n = A.shape[0]
+    if U is None:
+        U = np.zeros((T.size, B.shape[1]))
+    U = np.atleast_1d(np.asarray(U, np.float64))
+    if U.ndim == 1:
+        U = U[:, None]
+    method = "foh" if interp else "zoh"
+    Ad, Bd, Cd, Dd, _ = cont2discrete((A, B, C, D), float(dts[0]), method=method)
+    y, x = dlsim((Ad, Bd, Cd, Dd), U, x0=X0)
+    y = np.asarray(y)
+    return T, (y[:, 0] if y.shape[1] == 1 else y), np.asarray(x)
+
+
+def impulse(system, X0=None, T=None, N: int | None = None):
+    """Continuous impulse response (scipy.signal.impulse): the zero-input
+    response from state ``B`` (+ optional X0), sampled by exact ZOH
+    propagation x_{k+1} = e^{A dt} x_k."""
+    A, B, C, D = _as_ss(system)
+    if T is None:
+        T = _default_response_times(A, 100 if N is None else int(N))
+    else:
+        T = np.asarray(T, np.float64)
+    dts = np.diff(T)
+    if dts.size and not np.allclose(dts, dts[0], rtol=1e-6):
+        raise ValueError("this impulse requires a uniform time grid")
+    x0 = B[:, 0] + (0 if X0 is None else np.asarray(X0, np.float64).ravel())
+    Ad = _expm(A * float(dts[0])) if dts.size else np.eye(A.shape[0])
+    y, _ = dlsim(
+        (Ad, np.zeros_like(B), C, np.zeros_like(D)),
+        np.zeros((T.size, B.shape[1])),
+        x0=x0,
+    )
+    y = np.asarray(y)
+    return T, y[:, 0] if y.shape[1] == 1 else y
+
+
+def step(system, X0=None, T=None, N: int | None = None):
+    """Continuous step response (scipy.signal.step) via exact ZOH
+    discretization and the device scan."""
+    A, B, C, D = _as_ss(system)
+    if T is None:
+        T = _default_response_times(A, 100 if N is None else int(N))
+    else:
+        T = np.asarray(T, np.float64)
+    dts = np.diff(T)
+    if dts.size and not np.allclose(dts, dts[0], rtol=1e-6):
+        raise ValueError("this step requires a uniform time grid")
+    Ad, Bd, Cd, Dd, _ = cont2discrete(
+        (A, B, C, D), float(dts[0]) if dts.size else 1.0, method="zoh"
+    )
+    y, _ = dlsim((Ad, Bd, Cd, Dd), np.ones((T.size, B.shape[1])), x0=X0)
+    y = np.asarray(y)
+    return T, y[:, 0] if y.shape[1] == 1 else y
+
+
+def freqresp(system, w=None, n: int = 10000):
+    """Continuous frequency response H(jw) (scipy.signal.freqresp)."""
+    from .iir_design import findfreqs, freqs, freqs_zpk
+
+    if len(system) == 3:
+        z, p, k = system
+        if w is None:
+            w = findfreqs(z, p, n, kind="zp")
+        return freqs_zpk(z, p, k, worN=np.asarray(w, np.float64))
+    if len(system) == 2:
+        b, a = system
+    else:
+        num, den = ss2tf(*_as_ss(system))
+        b, a = num[0], den
+    if w is None:
+        w = findfreqs(b, a, n)
+    return freqs(b, a, worN=np.asarray(w, np.float64))
+
+
+def bode(system, w=None, n: int = 100):
+    """Continuous Bode magnitude (dB) and phase (deg)
+    (scipy.signal.bode)."""
+    w, h = freqresp(system, w=w, n=n)
+    mag = 20.0 * np.log10(np.maximum(np.abs(h), 1e-300))
+    phase = np.unwrap(np.angle(h)) * 180.0 / np.pi
+    return w, mag, phase
+
+
+def dfreqresp(system, w=None, n: int = 64, whole: bool = False):
+    """Discrete frequency response (scipy.signal.dfreqresp).
+
+    System tuples follow scipy's dlti convention — dt is ALWAYS the last
+    element: ``(b, a, dt)``, ``(z, p, k, dt)``, or ``(A, B, C, D, dt)``.
+    """
+    sys = tuple(system)
+    if len(sys) == 3:
+        b, a, dt = sys
+    elif len(sys) == 4:
+        from .iir_design import zpk2tf
+
+        b, a = zpk2tf(*sys[:3])
+        dt = sys[3]
+    elif len(sys) == 5:
+        num, den = ss2tf(*_as_ss(sys[:4]))
+        b, a = num[0], den
+        dt = sys[4]
+    else:
+        raise ValueError(
+            "system must be (b, a, dt), (z, p, k, dt) or (A, B, C, D, dt)"
+        )
+    if w is None:
+        w = np.linspace(0, 2 * np.pi if whole else np.pi, n, endpoint=False)
+    else:
+        w = np.asarray(w, np.float64)
+    ejw = np.exp(1j * w)
+    h = np.polyval(np.asarray(b, np.float64), ejw) / np.polyval(
+        np.asarray(a, np.float64), ejw
+    ) * ejw ** (len(np.atleast_1d(a)) - len(np.atleast_1d(b)))
+    # scipy convention: dfreqresp keeps rad/SAMPLE; dbode rescales by dt
+    return w, h
+
+
+def dbode(system, w=None, n: int = 100):
+    """Discrete Bode plot data (scipy.signal.dbode): frequencies in
+    rad/time-unit (rad/sample divided by dt)."""
+    dt = system[-1] if len(system) in (3, 4, 5) else 1.0
+    w, h = dfreqresp(system, w=w, n=n)
+    mag = 20.0 * np.log10(np.maximum(np.abs(h), 1e-300))
+    phase = np.unwrap(np.angle(h)) * 180.0 / np.pi
+    return w / dt, mag, phase

@@ -177,3 +177,67 @@ def test_vectorstrength_matches_scipy():
         sg, pg = corr.vectorstrength(events, period)
         assert np.allclose(np.asarray(sg), sr, atol=1e-4)
         assert np.allclose(np.asarray(pg), pr, atol=1e-4)
+
+
+def test_lsim_matches_scipy_both_holds():
+    rng = np.random.default_rng(0)
+    T = np.linspace(0, 10, 501)
+    U = np.sin(2 * np.pi * 0.3 * T) + 0.3 * rng.standard_normal(T.size)
+    for interp in (True, False):
+        _, yr, _ = sps.lsim(CT_SYS, U, T, interp=interp)
+        _, yg, _ = lti.lsim(CT_SYS, U, T, interp=interp)
+        # float32 device scan vs scipy float64
+        assert (
+            np.max(np.abs(np.asarray(yg) - yr)) / np.max(np.abs(yr)) < 1e-3
+        ), interp
+    with pytest.raises(ValueError):
+        lti.lsim(CT_SYS, U[:4], np.array([0.0, 0.1, 0.3, 0.35]))
+
+
+def test_impulse_step_match_scipy():
+    T = np.linspace(0, 10, 501)
+    _, yr = sps.impulse(CT_SYS, T=T)
+    _, yg = lti.impulse(CT_SYS, T=T)
+    assert np.max(np.abs(np.asarray(yg) - yr)) / np.max(np.abs(yr)) < 1e-3
+    _, yr = sps.step(CT_SYS, T=T)
+    _, yg = lti.step(CT_SYS, T=T)
+    assert np.max(np.abs(np.asarray(yg) - yr)) / np.max(np.abs(yr)) < 1e-3
+    tr, _ = sps.impulse(CT_SYS)
+    tg, _ = lti.impulse(CT_SYS)
+    assert np.isclose(tr[-1], tg[-1])  # same default-horizon heuristic
+
+
+def test_freqresp_bode_match_scipy():
+    b, a = [1.0, 3.0], [1.0, 2.0, 10.0]
+    wr, hr = sps.freqresp((b, a), n=200)
+    wg, hg = lti.freqresp((b, a), n=200)
+    assert np.allclose(wr, wg) and np.allclose(hr, hg)
+    wr, hr = sps.freqresp(CT_SYS, w=np.logspace(-1, 2, 60))
+    wg, hg = lti.freqresp(CT_SYS, w=np.logspace(-1, 2, 60))
+    assert np.allclose(hr, hg, rtol=1e-8)
+    zpk = ([0.5j, -0.5j], [-1 + 2j, -1 - 2j], 1.5)
+    wr, hr = sps.freqresp(zpk, w=np.logspace(-1, 1, 30))
+    wg, hg = lti.freqresp(zpk, w=np.logspace(-1, 1, 30))
+    assert np.allclose(hr, hg, rtol=1e-9)
+    wr, mr, ph_r = sps.bode((b, a), n=80)
+    wg, mg, ph_g = lti.bode((b, a), n=80)
+    assert np.allclose(mr, mg, atol=1e-8)
+    assert np.allclose(ph_r, ph_g, atol=1e-6)
+
+
+def test_dfreqresp_dbode_match_scipy():
+    sysd = sps.cont2discrete(CT_SYS, 0.05, method="bilinear")
+    bd, ad = sps.ss2tf(*[np.atleast_2d(m) for m in sysd[:4]])
+    tfd = (bd[0], ad, 0.05)
+    wr, hr = sps.dfreqresp(tfd, n=128)
+    wg, hg = lti.dfreqresp(tfd, n=128)
+    assert np.allclose(wr, wg) and np.allclose(hr, hg, atol=1e-9)
+    ssd = tuple(list(sysd))
+    wr, hr = sps.dfreqresp(ssd, n=64)
+    wg, hg = lti.dfreqresp(ssd, n=64)
+    assert np.allclose(wr, wg) and np.allclose(hr, hg, atol=1e-7)
+    wr, mr, ph_r = sps.dbode(tfd, n=50)
+    wg, mg, ph_g = lti.dbode(tfd, n=50)
+    assert np.allclose(wr, wg)
+    assert np.allclose(mr, mg, atol=1e-7)
+    assert np.allclose(ph_r, ph_g, atol=1e-5)
