@@ -962,3 +962,102 @@ def deconvolve(signal, divisor) -> tuple[np.ndarray, np.ndarray]:
         q[i] = r[i] / den[0]
         r[i : i + den.size] -= q[i] * den
     return q, r
+
+
+def firwin(
+    numtaps: int,
+    cutoff,
+    *,
+    window: str | tuple = "hamming",
+    pass_zero=True,
+    scale: bool = True,
+    fs: float = 2.0,
+) -> np.ndarray:
+    """scipy.signal.firwin-compatible multiband window-method design.
+
+    Generalizes the ``design_lowpass/highpass/bandpass/bandstop`` family
+    to arbitrary band stacks: ``cutoff`` is a scalar or ascending band-edge
+    list in the units of ``fs``; ``pass_zero`` a bool or one of
+    'lowpass'/'highpass'/'bandpass'/'bandstop'. Windows go through
+    :func:`~.fft.get_window` (symmetric form) so the full window family is
+    accepted.
+    """
+    from .fft import get_window as _gw
+
+    cutoff = np.atleast_1d(np.asarray(cutoff, np.float64)) / (fs / 2.0)
+    if cutoff.ndim > 1:
+        raise ValueError("cutoff must be 1-D")
+    if cutoff.size == 0:
+        raise ValueError("at least one cutoff frequency is required")
+    if np.any(cutoff <= 0) or np.any(cutoff >= 1):
+        raise ValueError("cutoffs must be strictly inside (0, fs/2)")
+    if np.any(np.diff(cutoff) <= 0):
+        raise ValueError("cutoffs must be strictly increasing")
+    if isinstance(pass_zero, str):
+        if pass_zero in ("bandstop", "lowpass"):
+            pass_zero = True
+        elif pass_zero in ("bandpass", "highpass"):
+            pass_zero = False
+        else:
+            raise ValueError(f"invalid pass_zero {pass_zero!r}")
+    pass_nyquist = bool(cutoff.size & 1) ^ bool(pass_zero)
+    if pass_nyquist and numtaps % 2 == 0:
+        raise ValueError(
+            "even numtaps has a zero at Nyquist; use odd numtaps for a "
+            "filter passing fs/2"
+        )
+    if pass_zero:
+        cutoff = np.concatenate([[0.0], cutoff])
+    if pass_nyquist:
+        cutoff = np.concatenate([cutoff, [1.0]])
+    bands = cutoff.reshape(-1, 2)
+    m = np.arange(numtaps) - (numtaps - 1) / 2.0
+    h = np.zeros(numtaps)
+    for left, right in bands:
+        h += right * np.sinc(right * m) - left * np.sinc(left * m)
+    win = (
+        _get_window(window, numtaps)
+        if isinstance(window, str) and window == "rect"
+        else np.asarray(_gw(window, numtaps, fftbins=False))
+    )
+    h *= win
+    if scale:
+        left, right = bands[0]
+        if left == 0.0:
+            scale_f = 0.0
+        elif right == 1.0:
+            scale_f = 1.0
+        else:
+            scale_f = 0.5 * (left + right)
+        h /= np.sum(h * np.cos(np.pi * m * scale_f))
+    return h
+
+
+def firwin_2d(
+    hsize,
+    window,
+    *,
+    fc=None,
+    fs: float = 2.0,
+    circular: bool = False,
+    pass_zero=True,
+) -> np.ndarray:
+    """Separable (or circularly symmetric) 2-D window-method FIR design
+    (scipy.signal.firwin_2d); pair with ``ops.twod.convolve2d``."""
+    if len(hsize) != 2:
+        raise ValueError("hsize must be a 2-element tuple or list")
+    if fc is None:
+        raise ValueError("cutoff frequency fc is required")
+    if circular:
+        n_r = max(hsize[0], hsize[1]) * 8
+        win_r = firwin(n_r, fc, window=window, fs=fs, pass_zero=pass_zero)
+        f1, f2 = np.meshgrid(
+            np.linspace(-1, 1, hsize[0]), np.linspace(-1, 1, hsize[1])
+        )
+        r = np.sqrt(f1**2 + f2**2)
+        return np.interp(r, np.linspace(0, 1, n_r), win_r)
+    if len(window) != 2 or isinstance(window, str):
+        raise ValueError("window must be a 2-element tuple or list")
+    row = firwin(hsize[0], fc, window=window[0], fs=fs, pass_zero=pass_zero)
+    col = firwin(hsize[1], fc, window=window[1], fs=fs, pass_zero=pass_zero)
+    return np.outer(row, col)

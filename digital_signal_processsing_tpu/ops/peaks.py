@@ -204,3 +204,135 @@ def argrelmax(x, *, order: int = 1):
 def argrelmin(x, *, order: int = 1):
     """Relative minima (scipy.signal.argrelmin)."""
     return argrelextrema(x, np.less, order=order)
+
+
+# --- CWT-based peak finding (scipy.signal.find_peaks_cwt) ----------------------
+#
+# The Du-Kibbe-Lin ridge-line method (Bioinformatics 22(17), 2006): peaks
+# persist as connected relative maxima across wavelet scales while noise
+# does not. The CWT itself rides the MXU correlation bank
+# (ops.wavelets.cwt); ridge tracking is a host-side O(scales x peaks)
+# bookkeeping pass over the (few) per-scale maxima.
+
+
+def _relmax_rows(matr: np.ndarray) -> np.ndarray:
+    """Boolean order-1 relative maxima along the last axis, edges
+    clipped (never maxima)."""
+    left = np.concatenate([matr[:, :1], matr[:, :-1]], axis=1)
+    right = np.concatenate([matr[:, 1:], matr[:, -1:]], axis=1)
+    return (matr > left) & (matr > right)
+
+
+def _identify_ridge_lines(matr, max_distances, gap_thresh):
+    """Link per-scale relative maxima into ridge lines (largest scale
+    down), allowing up to ``gap_thresh`` skipped scales per line."""
+    if len(max_distances) < matr.shape[0]:
+        raise ValueError(
+            "max_distances must have at least as many rows as matr"
+        )
+    all_max = _relmax_rows(matr)
+    has_relmax = np.nonzero(all_max.any(axis=1))[0]
+    if len(has_relmax) == 0:
+        return []
+    start_row = has_relmax[-1]
+    ridge_lines = [
+        [[start_row], [col], 0] for col in np.nonzero(all_max[start_row])[0]
+    ]
+    final_lines = []
+    cols = np.arange(matr.shape[1])
+    for row in range(start_row - 1, -1, -1):
+        this_max_cols = cols[all_max[row]]
+        for line in ridge_lines:
+            line[2] += 1
+        prev_cols = np.array([line[1][-1] for line in ridge_lines])
+        for col in this_max_cols:
+            line = None
+            if prev_cols.size:
+                diffs = np.abs(col - prev_cols)
+                closest = int(np.argmin(diffs))
+                if diffs[closest] <= max_distances[row]:
+                    line = ridge_lines[closest]
+            if line is not None:
+                line[1].append(col)
+                line[0].append(row)
+                line[2] = 0
+            else:
+                ridge_lines.append([[row], [col], 0])
+        for ind in range(len(ridge_lines) - 1, -1, -1):
+            if ridge_lines[ind][2] > gap_thresh:
+                final_lines.append(ridge_lines[ind])
+                del ridge_lines[ind]
+    out = []
+    for line in final_lines + ridge_lines:
+        sortargs = np.argsort(line[0])
+        rows_s = np.zeros_like(sortargs)
+        cols_s = np.zeros_like(sortargs)
+        rows_s[sortargs] = line[0]
+        cols_s[sortargs] = line[1]
+        out.append([rows_s, cols_s])
+    return out
+
+
+def _filter_ridge_lines(
+    cwt_mat, ridge_lines, window_size=None, min_length=None,
+    min_snr=1.0, noise_perc=10.0,
+):
+    num_points = cwt_mat.shape[1]
+    if min_length is None:
+        min_length = np.ceil(cwt_mat.shape[0] / 4)
+    if window_size is None:
+        window_size = np.ceil(num_points / 20)
+    window_size = int(window_size)
+    hf, odd = divmod(window_size, 2)
+    row_one = cwt_mat[0, :]
+    noises = np.empty_like(row_one)
+    for ind in range(num_points):
+        lo = max(ind - hf, 0)
+        hi = min(ind + hf + odd, num_points)
+        noises[ind] = np.percentile(row_one[lo:hi], noise_perc)
+
+    def keep(line):
+        if len(line[0]) < min_length:
+            return False
+        with np.errstate(divide="ignore", invalid="ignore"):
+            snr = abs(cwt_mat[line[0][0], line[1][0]] / noises[line[1][0]])
+        return not snr < min_snr
+
+    return [line for line in ridge_lines if keep(line)]
+
+
+def find_peaks_cwt(
+    vector,
+    widths,
+    *,
+    wavelet=None,
+    max_distances=None,
+    gap_thresh=None,
+    min_length=None,
+    min_snr: float = 1.0,
+    noise_perc: float = 10.0,
+    window_size=None,
+):
+    """Wavelet-persistence peak finding (scipy.signal.find_peaks_cwt):
+    ricker CWT (MXU correlation bank), ridge-line linking across scales,
+    SNR/length filtering. Robust where plain find_peaks drowns in noise."""
+    from .wavelets import cwt as _cwt, ricker as _ricker
+
+    widths = np.atleast_1d(np.asarray(widths))
+    if gap_thresh is None:
+        gap_thresh = np.ceil(widths[0])
+    if max_distances is None:
+        max_distances = widths / 4.0
+    if wavelet is None:
+        wavelet = _ricker
+    cwt_mat = np.asarray(
+        _cwt(np.asarray(vector, np.float64), wavelet, widths), np.float64
+    )
+    ridge_lines = _identify_ridge_lines(cwt_mat, max_distances, gap_thresh)
+    filtered = _filter_ridge_lines(
+        cwt_mat, ridge_lines, window_size=window_size,
+        min_length=min_length, min_snr=min_snr, noise_perc=noise_perc,
+    )
+    locs = np.asarray([line[1][0] for line in filtered], int)
+    locs.sort()
+    return locs

@@ -214,3 +214,58 @@ def test_freqs_zpk_matches_scipy():
     wg, hg = iird.freqs_zpk(zz, pp, 1.5, worN=40)
     wr, hr = sps.freqs_zpk(zz, pp, 1.5, worN=40)
     assert np.allclose(wg, wr) and np.allclose(hg, hr)
+
+
+def test_firwin_matches_scipy():
+    from digital_signal_processsing_tpu.ops import fir
+
+    cases = [
+        dict(numtaps=31, cutoff=0.3),
+        dict(numtaps=32, cutoff=0.3),
+        dict(numtaps=31, cutoff=0.3, pass_zero=False),
+        dict(numtaps=31, cutoff=[0.2, 0.5], pass_zero=False),
+        dict(numtaps=31, cutoff=[0.2, 0.5], pass_zero=True),
+        dict(numtaps=41, cutoff=[0.1, 0.3, 0.6, 0.8], pass_zero=False),
+        dict(numtaps=31, cutoff=0.3, window=("kaiser", 6.0)),
+        dict(numtaps=31, cutoff=0.3, window="blackmanharris"),
+        dict(numtaps=31, cutoff=3000, fs=16000),
+        dict(numtaps=31, cutoff=0.3, scale=False),
+        dict(numtaps=21, cutoff=[0.2, 0.6], pass_zero="bandpass"),
+        dict(numtaps=21, cutoff=0.4, pass_zero="highpass"),
+    ]
+    for kw in cases:
+        assert np.max(np.abs(fir.firwin(**kw) - sps.firwin(**kw))) < 1e-12, kw
+    with pytest.raises(ValueError):
+        fir.firwin(20, 0.4, pass_zero=False)  # even taps, passes Nyquist
+    with pytest.raises(ValueError):
+        fir.firwin(21, [0.5, 0.2])
+
+
+def test_firwin_2d_matches_scipy():
+    from digital_signal_processsing_tpu.ops import fir
+
+    for kw in [
+        dict(hsize=(5, 5), window=("hamming", "hamming"), fc=0.3),
+        dict(hsize=(7, 5), window=(("kaiser", 5.0), "hann"), fc=0.4),
+        dict(hsize=(5, 5), window="hamming", fc=0.3, circular=True),
+    ]:
+        assert np.max(np.abs(fir.firwin_2d(**kw) - sps.firwin_2d(**kw))) < 1e-12
+    with pytest.raises(ValueError):
+        fir.firwin_2d((5, 5), ("hamming", "hamming"))  # fc required
+
+
+def test_find_peaks_cwt_matches_scipy():
+    from digital_signal_processsing_tpu.ops import peaks
+
+    for trial in range(4):
+        rng = np.random.default_rng(trial)
+        x = np.sin(2 * np.pi * np.arange(400) / 40.0)
+        x = x + 0.2 * rng.standard_normal(400)
+        ref = sps.find_peaks_cwt(x, np.arange(1, 12))
+        got = peaks.find_peaks_cwt(x, np.arange(1, 12))
+        assert np.array_equal(np.asarray(ref), got), trial
+    x = np.sin(2 * np.pi * np.arange(600) / 60.0)
+    x = x + 0.3 * np.random.default_rng(9).standard_normal(600)
+    ref = sps.find_peaks_cwt(x, np.arange(2, 20), min_snr=2.0, noise_perc=15)
+    got = peaks.find_peaks_cwt(x, np.arange(2, 20), min_snr=2.0, noise_perc=15)
+    assert np.array_equal(np.asarray(ref), got)
