@@ -222,11 +222,31 @@ def dlsim(system, u, x0=None):
     return y, xs
 
 
+def _as_dss(system):
+    """Normalize a discrete-system tuple to ((A, B, C, D), dt).
+
+    Accepted: ``(b, a)``, ``(b, a, dt)``, ``(A, B, C, D)``,
+    ``(A, B, C, D, dt)``, ``(z, p, k, dt)`` (the 4-tuple is
+    disambiguated by whether the second element is a matrix).
+    """
+    sys = tuple(system)
+    if len(sys) == 2:
+        return tf2ss(*sys), 1.0
+    if len(sys) == 3:
+        return tf2ss(sys[0], sys[1]), float(sys[2])
+    if len(sys) == 4:
+        if np.ndim(sys[1]) == 2:
+            return tuple(sys), 1.0
+        return zpk2ss(*sys[:3]), float(sys[3])
+    if len(sys) == 5:
+        return tuple(sys[:4]), float(sys[4])
+    raise ValueError("unsupported discrete system tuple")
+
+
 def dimpulse(system, n: int):
     """Discrete impulse response, ``n`` samples (scipy.signal.dimpulse
     with one input). Returns ``(t, y)``."""
-    sys4 = system[:4] if len(system) >= 4 else tf2ss(*system)
-    dt = system[4] if len(system) == 5 else 1.0
+    sys4, dt = _as_dss(system)
     p = np.atleast_2d(sys4[1]).shape[1]
     u = jnp.zeros((n, p), jnp.float32).at[0].set(1.0)
     y, _ = dlsim(sys4, u)
@@ -236,8 +256,7 @@ def dimpulse(system, n: int):
 def dstep(system, n: int):
     """Discrete step response, ``n`` samples (scipy.signal.dstep with one
     input). Returns ``(t, y)``."""
-    sys4 = system[:4] if len(system) >= 4 else tf2ss(*system)
-    dt = system[4] if len(system) == 5 else 1.0
+    sys4, dt = _as_dss(system)
     p = np.atleast_2d(sys4[1]).shape[1]
     u = jnp.ones((n, p), jnp.float32)
     y, _ = dlsim(sys4, u)
@@ -626,3 +645,230 @@ def dbode(system, w=None, n: int = 100):
     mag = 20.0 * np.log10(np.maximum(np.abs(h), 1e-300))
     phase = np.unwrap(np.angle(h)) * 180.0 / np.pi
     return w / dt, mag, phase
+
+
+# --- class API (scipy.signal.lti / dlti and representation classes) ------------
+#
+# Thin object wrappers over the functional surface above so scipy-style
+# code (`sys = lti(b, a); sys.bode(); sys.step()`) ports directly. All
+# heavy lifting stays in the functions (device scans, host conversions).
+
+
+class _LTIBase:
+    """Common behavior for continuous/discrete systems in any
+    representation."""
+
+    dt = None  # None = continuous
+
+    # representation conversions ------------------------------------------------
+    def to_ss(self):
+        A, B, C, D = _as_ss(self._system)
+        return (
+            StateSpace(A, B, C, D)
+            if self.dt is None
+            else StateSpace(A, B, C, D, dt=self.dt)
+        )
+
+    def to_tf(self):
+        num, den = ss2tf(*_as_ss(self._system))
+        return (
+            TransferFunction(num[0], den)
+            if self.dt is None
+            else TransferFunction(num[0], den, dt=self.dt)
+        )
+
+    def to_zpk(self):
+        z, p, k = ss2zpk(*_as_ss(self._system))
+        return (
+            ZerosPolesGain(z, p, k)
+            if self.dt is None
+            else ZerosPolesGain(z, p, k, dt=self.dt)
+        )
+
+    @property
+    def poles(self):
+        return self.to_zpk().p
+
+    @property
+    def zeros(self):
+        return self.to_zpk().z
+
+    def dcgain(self):
+        num, den = ss2tf(*_as_ss(self._system))
+        if self.dt is None:
+            return float(num[0][-1] / den[-1])
+        return float(np.sum(num[0]) / np.sum(den))
+
+    # responses ----------------------------------------------------------------
+    def _check_continuous(self):
+        if self.dt is not None:
+            raise ValueError("continuous-time method on a discrete system")
+
+    def impulse(self, X0=None, T=None, N=None):
+        if self.dt is None:
+            return impulse(self._system, X0=X0, T=T, N=N)
+        n = 100 if N is None else int(N)
+        return dimpulse(tuple(self._system) + (self.dt,), n)
+
+    def step(self, X0=None, T=None, N=None):
+        if self.dt is None:
+            return step(self._system, X0=X0, T=T, N=N)
+        n = 100 if N is None else int(N)
+        return dstep(tuple(self._system) + (self.dt,), n)
+
+    def output(self, U, T, X0=None):
+        if self.dt is None:
+            return lsim(self._system, U, T, X0=X0)
+        y, x = dlsim(_as_ss(self._system), U, x0=X0)
+        return T, np.asarray(y), np.asarray(x)
+
+    def freqresp(self, w=None, n=10000):
+        if self.dt is None:
+            return freqresp(self._system, w=w, n=n)
+        num, den = ss2tf(*_as_ss(self._system))
+        return dfreqresp((num[0], den, self.dt), w=w, n=n)
+
+    def bode(self, w=None, n=100):
+        if self.dt is None:
+            return bode(self._system, w=w, n=n)
+        num, den = ss2tf(*_as_ss(self._system))
+        return dbode((num[0], den, self.dt), w=w, n=n)
+
+    def __repr__(self):
+        dt = "continuous" if self.dt is None else f"dt={self.dt}"
+        return f"{type(self).__name__}({dt})"
+
+
+class StateSpace(_LTIBase):
+    """State-space system (scipy.signal.StateSpace)."""
+
+    def __init__(self, A, B, C, D, *, dt=None):
+        self.A, self.B, self.C, self.D = abcd_normalize(A, B, C, D)
+        self.dt = dt
+        self._system = (self.A, self.B, self.C, self.D)
+
+
+class TransferFunction(_LTIBase):
+    """Transfer-function system (scipy.signal.TransferFunction)."""
+
+    def __init__(self, num, den, *, dt=None):
+        self.num = np.atleast_1d(np.asarray(num, np.float64))
+        self.den = np.atleast_1d(np.asarray(den, np.float64))
+        self.dt = dt
+        self._system = (self.num, self.den)
+
+
+class ZerosPolesGain(_LTIBase):
+    """Zeros-poles-gain system (scipy.signal.ZerosPolesGain)."""
+
+    def __init__(self, z, p, k, *, dt=None):
+        self.z = np.atleast_1d(np.asarray(z))
+        self.p = np.atleast_1d(np.asarray(p))
+        self.k = float(k)
+        self.dt = dt
+        self._system = (self.z, self.p, self.k)
+
+
+def lti(*system):
+    """Continuous-system factory (scipy.signal.lti): dispatches on arity
+    — (num, den), (z, p, k), or (A, B, C, D)."""
+    if len(system) == 2:
+        return TransferFunction(*system)
+    if len(system) == 3:
+        return ZerosPolesGain(*system)
+    if len(system) == 4:
+        return StateSpace(*system)
+    raise ValueError("lti takes 2 (tf), 3 (zpk) or 4 (ss) arguments")
+
+
+def dlti(*system, dt=True):
+    """Discrete-system factory (scipy.signal.dlti)."""
+    dt = 1.0 if dt is True else float(dt)
+    if len(system) == 2:
+        return TransferFunction(*system, dt=dt)
+    if len(system) == 3:
+        return ZerosPolesGain(*system, dt=dt)
+    if len(system) == 4:
+        return StateSpace(*system, dt=dt)
+    raise ValueError("dlti takes 2 (tf), 3 (zpk) or 4 (ss) arguments")
+
+
+# --- pole placement (scipy.signal.place_poles) ---------------------------------
+
+
+def _ackermann(A, b, poles):
+    n = A.shape[0]
+    ctrb = np.hstack(
+        [np.linalg.matrix_power(A, i) @ b for i in range(n)]
+    )
+    phi = np.poly(poles)  # descending
+    phiA = np.zeros_like(A)
+    for c in phi:
+        phiA = phiA @ A + c * np.eye(n)
+    e_last = np.zeros(n)
+    e_last[-1] = 1.0
+    return e_last @ np.linalg.solve(ctrb, phiA)
+
+
+class _PlaceResult:
+    def __init__(self, gain, computed, requested):
+        self.gain_matrix = gain
+        self.computed_poles = computed
+        self.requested_poles = requested
+        self.rtol = float(
+            np.max(
+                np.abs(np.sort_complex(computed) - np.sort_complex(requested))
+            )
+            / max(1.0, np.max(np.abs(requested)))
+        )
+        self.nb_iter = 1
+
+    def __repr__(self):
+        return f"PlaceResult(rtol={self.rtol:.2e})"
+
+
+def place_poles(A, B, poles, *, maxiter: int = 30, seed: int = 0):
+    """Full-state-feedback pole placement: K with
+    ``eig(A - B K) = poles`` (scipy.signal.place_poles' contract).
+
+    SISO uses Ackermann's formula; multi-input reduces to SISO through a
+    random input combination ``B v`` (valid w.p. 1 for controllable
+    pairs), retrying until the closed-loop eigenvalues verify. The
+    result's ``gain_matrix`` generally differs from scipy's (the K for a
+    MIMO placement is not unique); ``computed_poles`` is the contract.
+    """
+    A = np.atleast_2d(np.asarray(A, np.float64))
+    B = np.atleast_2d(np.asarray(B, np.float64))
+    poles = np.asarray(poles, complex)
+    n, m = A.shape[0], B.shape[1]
+    if poles.size != n:
+        raise ValueError(f"need exactly {n} poles, got {poles.size}")
+    # conjugate-closed requirement for a real K
+    if not np.allclose(np.sort_complex(poles), np.sort_complex(poles.conj())):
+        raise ValueError("poles must be conjugate-symmetric")
+    rng = np.random.default_rng(seed)
+    last_err = None
+    for it in range(maxiter):
+        v = (
+            np.ones((m, 1))
+            if (m == 1 or it == 0)
+            else rng.standard_normal((m, 1))
+        )
+        b = B @ v
+        try:
+            k_row = _ackermann(A, b, poles)
+        except np.linalg.LinAlgError as exc:
+            last_err = exc
+            continue
+        K = v @ k_row[None, :]
+        computed = np.linalg.eigvals(A - B @ K)
+        if np.allclose(
+            np.sort_complex(computed), np.sort_complex(poles),
+            rtol=1e-4, atol=1e-6 * max(1.0, np.max(np.abs(poles))),
+        ):
+            return _PlaceResult(np.real(K), computed, poles)
+        last_err = ValueError("placement did not verify")
+    raise ValueError(
+        f"pole placement failed after {maxiter} attempts: {last_err} "
+        "(is (A, B) controllable?)"
+    )

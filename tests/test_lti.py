@@ -241,3 +241,89 @@ def test_dfreqresp_dbode_match_scipy():
     assert np.allclose(wr, wg)
     assert np.allclose(mr, mg, atol=1e-7)
     assert np.allclose(ph_r, ph_g, atol=1e-5)
+
+
+def test_class_api_continuous():
+    sys_tf = lti.lti([1.0, 3.0], [1.0, 2.0, 10.0])
+    ref = sps.lti([1.0, 3.0], [1.0, 2.0, 10.0])
+    assert np.allclose(
+        sorted(np.round(sys_tf.poles, 6)), sorted(np.round(ref.poles, 6))
+    )
+    assert np.allclose(
+        sorted(np.round(sys_tf.zeros, 6)), sorted(np.round(ref.zeros, 6))
+    )
+    assert abs(sys_tf.dcgain() - 0.3) < 1e-9
+    T = np.linspace(0, 10, 301)
+    _, yg = sys_tf.step(T=T)
+    _, yr = ref.step(T=T)
+    assert np.max(np.abs(np.asarray(yg) - yr)) / np.max(np.abs(yr)) < 1e-3
+    _, mg, phg = sys_tf.bode(n=60)
+    _, mr, phr = ref.bode(n=60)
+    assert np.allclose(mg, mr, atol=1e-6)
+    assert np.allclose(phg, phr, atol=1e-5)
+    _, hg = sys_tf.freqresp(n=50)
+    _, hr = ref.freqresp(n=50)
+    assert np.allclose(hg, hr)
+    U = np.sin(T)
+    _, yg, _ = sys_tf.output(U, T)
+    _, yr, _ = ref.output(U, T)
+    assert np.max(np.abs(np.asarray(yg) - yr)) / np.max(np.abs(yr)) < 1e-3
+    # representation round trip preserves the response
+    back = sys_tf.to_ss().to_zpk().to_tf()
+    _, h2 = back.freqresp(w=np.logspace(-1, 2, 40))
+    _, h1 = sys_tf.freqresp(w=np.logspace(-1, 2, 40))
+    assert np.allclose(h1, h2, rtol=1e-6)
+    with pytest.raises(ValueError):
+        lti.lti([1.0])
+
+
+def test_class_api_discrete():
+    dsys = lti.dlti([0.2, 0.1], [1.0, -0.7], dt=0.5)
+    dref = sps.dlti([0.2, 0.1], [1.0, -0.7], dt=0.5)
+    tg, yg = dsys.step(N=40)
+    tr, (yr,) = dref.step(n=40)
+    assert np.allclose(np.asarray(yg)[:, 0], yr[:, 0], atol=1e-4)
+    assert np.allclose(tg, tr)
+    _, yi = dsys.impulse(N=30)
+    _, (yri,) = dref.impulse(n=30)
+    assert np.allclose(np.asarray(yi)[:, 0], yri[:, 0], atol=1e-5)
+    wg, hg = dsys.freqresp(n=32)
+    wr, hr = dref.freqresp(n=32)
+    assert np.allclose(wg, wr) and np.allclose(hg, hr, atol=1e-6)
+    wg, mg, _ = dsys.bode(n=32)
+    wr, mr, _ = dref.bode(n=32)
+    assert np.allclose(wg, wr) and np.allclose(mg, mr, atol=1e-5)
+    # output() dispatches to dlsim for discrete systems
+    _, yd, _ = dsys.output(np.ones(5), np.arange(5) * 0.5)
+    assert np.asarray(yd).shape[0] == 5
+    # continuous-only guard
+    with pytest.raises(ValueError):
+        lti._LTIBase._check_continuous(dsys)
+
+
+def test_place_poles_siso_matches_scipy_gain():
+    A = np.array([[0.0, 1.0], [-2.0, -3.0]])
+    B = np.array([[0.0], [1.0]])
+    want = np.array([-5.0 + 1j, -5.0 - 1j])
+    res = lti.place_poles(A, B, want)
+    ref = sps.place_poles(A, B, want)
+    assert np.allclose(res.gain_matrix, ref.gain_matrix, atol=1e-8)
+    assert np.allclose(
+        np.sort_complex(res.computed_poles), np.sort_complex(want), atol=1e-8
+    )
+
+
+def test_place_poles_mimo_places_and_validates():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((4, 4))
+    B = rng.standard_normal((4, 2))
+    want = np.array([-1.0, -2.0, -3.0 + 0.5j, -3.0 - 0.5j])
+    res = lti.place_poles(A, B, want)
+    assert np.allclose(
+        np.sort_complex(res.computed_poles), np.sort_complex(want), atol=1e-5
+    )
+    with pytest.raises(ValueError):
+        lti.place_poles(np.diag([1.0, 2.0]), np.array([[1.0], [0.0]]),
+                        [-1.0, -2.0])  # uncontrollable
+    with pytest.raises(ValueError):
+        lti.place_poles(A, B, [-1.0, -2.0, -3.0 + 1j, -4.0])  # not conjugate
