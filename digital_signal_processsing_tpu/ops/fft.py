@@ -851,3 +851,44 @@ def czt_points(m: int, w: complex | None = None, a: complex = 1 + 0j):
     if w is None:
         w = np.exp(-2j * np.pi / m)
     return a * np.asarray(w) ** -k
+
+
+class CZT:
+    """Plan-style callable chirp-z transform (scipy.signal.CZT): freezes
+    (n, m, w, a) so repeated calls reuse the jitted matmul graph."""
+
+    def __init__(self, n: int, m: int | None = None, w=None, a=1 + 0j):
+        if m is None:
+            m = n
+        if w is None:
+            w = np.exp(-2j * np.pi / m)
+        self._n, self._m, self._w, self._a = int(n), int(m), w, a
+
+    def __call__(self, x, *, axis: int = -1):
+        xm = jnp.moveaxis(jnp.asarray(x), axis, -1)
+        if xm.shape[-1] != self._n:
+            raise ValueError(
+                f"CZT planned for n={self._n}, got {xm.shape[-1]}"
+            )
+        out = czt(xm, m=self._m, w=self._w, a=self._a)
+        return jnp.moveaxis(out, -1, axis)
+
+    def points(self):
+        return czt_points(self._m, self._w, self._a)
+
+
+class ZoomFFT(CZT):
+    """Plan-style zoom FFT over a frequency band (scipy.signal.ZoomFFT)."""
+
+    def __init__(self, n: int, fn, m: int | None = None, *, fs: float = 2.0):
+        fn = np.atleast_1d(np.asarray(fn, np.float64))
+        if fn.size == 1:
+            f1, f2 = 0.0, float(fn[0])
+        else:
+            f1, f2 = float(fn[0]), float(fn[1])
+        if m is None:
+            m = n
+        w = np.exp(-2j * np.pi * (f2 - f1) / (m * fs))
+        a = np.exp(2j * np.pi * f1 / fs)
+        super().__init__(n, m, w, a)
+        self.f1, self.f2, self.fs = f1, f2, fs

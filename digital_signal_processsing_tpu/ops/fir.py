@@ -1061,3 +1061,10 @@ def firwin_2d(
     row = firwin(hsize[0], fc, window=window[0], fs=fs, pass_zero=pass_zero)
     col = firwin(hsize[1], fc, window=window[1], fs=fs, pass_zero=pass_zero)
     return np.outer(row, col)
+
+
+def kaiser_atten(numtaps: int, width: float) -> float:
+    """Attenuation (dB) of a Kaiser-window FIR with ``numtaps`` taps and
+    transition width ``width`` (Nyquist units) — the inverse of
+    :func:`kaiser_num_taps` (scipy.signal.kaiser_atten)."""
+    return 2.285 * (numtaps - 1) * np.pi * width + 7.95

@@ -1065,3 +1065,9 @@ def freqs_zpk(z, p, k, worN=200):
     for pp in np.atleast_1d(p):
         den = den * (s - pp)
     return w, num / den
+
+
+class BadCoefficients(UserWarning):
+    """Warning class for badly conditioned filter coefficients
+    (scipy.signal.BadCoefficients); raised by the conversion helpers when
+    root-finding hits near-singular polynomials."""
