@@ -96,9 +96,15 @@ def irfft(a, n=None, axis=-1):
     return jnp.fft.irfft(a, n=n, axis=axis)
 
 
-def spectral_window(window: str, nfft: int) -> np.ndarray:
+def spectral_window(window: str | tuple, nfft: int) -> np.ndarray:
     """PERIODIC analysis window (the scipy.signal spectral convention —
-    np.hanning's symmetric form biases every PSD bin ~0.3%)."""
+    np.hanning's symmetric form biases every PSD bin ~0.3%).
+
+    The classic four ("hann"/"sqrt_hann"/"hamming"/"rect") are computed
+    directly; any other name or ``(name, param)`` spec goes through
+    :func:`get_window`'s full family (fftbins form), so the spectral ops
+    accept every scipy window spec.
+    """
     k = np.arange(nfft)
     if window == "hann":
         return (0.5 - 0.5 * np.cos(2 * np.pi * k / nfft)).astype(np.float32)
@@ -112,10 +118,13 @@ def spectral_window(window: str, nfft: int) -> np.ndarray:
         return (0.54 - 0.46 * np.cos(2 * np.pi * k / nfft)).astype(np.float32)
     if window == "rect":
         return np.ones(nfft, np.float32)
-    raise ValueError(f"unknown window {window!r}")
+    return get_window(window, nfft, fftbins=True).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("nfft", "hop", "window", "method"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("nfft", "hop", "window", "method", "detrend_segments"),
+)
 def stft(
     x: jax.Array,
     *,
@@ -123,6 +132,7 @@ def stft(
     hop: int = 256,
     window: str = "hann",
     method: str = "auto",
+    detrend_segments: bool = False,
 ) -> jax.Array:
     """Short-time FT of (channels, time) -> (channels, frames, nfft//2+1).
 
@@ -138,6 +148,10 @@ def stft(
     from ..utils.layout import overlapping_frames
 
     segs = overlapping_frames(xp.astype(jnp.float32), nframes, hop, nfft)
+    if detrend_segments:
+        # scipy's welch-family detrend='constant': per-UNWINDOWED-segment
+        # mean removal before the analysis window
+        segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
     w = jnp.asarray(spectral_window(window, nfft))
     if _resolve_fft_method(method, nfft) == "mxu":
         out = _mxu_rfft(segs * w)
@@ -200,7 +214,10 @@ def power_spectrum(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nfft", "hop", "window", "scaling", "method")
+    jax.jit,
+    static_argnames=(
+        "nfft", "hop", "window", "scaling", "method", "detrend_segments"
+    ),
 )
 def welch(
     x: jax.Array,
@@ -211,6 +228,7 @@ def welch(
     fs: float = 1.0,
     scaling: str = "density",
     method: str = "auto",
+    detrend_segments: bool = False,
 ) -> jax.Array:
     """Welch PSD estimate of (channels, time) or (time,) -> (..., nfft//2+1).
 
@@ -222,7 +240,10 @@ def welch(
         hop = nfft // 2
     if hop < 1:
         raise ValueError(f"hop must be >= 1, got {hop}")
-    s = stft(x, nfft=nfft, hop=hop, window=window, method=method)
+    s = stft(
+        x, nfft=nfft, hop=hop, window=window, method=method,
+        detrend_segments=detrend_segments,
+    )
     w = spectral_window(window, nfft)  # same array the STFT applied
     if scaling == "density":
         norm = fs * float((w**2).sum())
@@ -287,7 +308,10 @@ def periodogram(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nfft", "hop", "window", "scaling", "method")
+    jax.jit,
+    static_argnames=(
+        "nfft", "hop", "window", "scaling", "method", "detrend_segments"
+    ),
 )
 def csd(
     x: jax.Array,
@@ -299,6 +323,7 @@ def csd(
     fs: float = 1.0,
     scaling: str = "density",
     method: str = "auto",
+    detrend_segments: bool = False,
 ) -> jax.Array:
     """Welch cross-spectral density conj(X)*Y (scipy.signal.csd semantics).
 
@@ -309,8 +334,14 @@ def csd(
     """
     if hop is None:
         hop = nfft // 2
-    sx = stft(x, nfft=nfft, hop=hop, window=window, method=method)
-    sy = stft(y, nfft=nfft, hop=hop, window=window, method=method)
+    sx = stft(
+        x, nfft=nfft, hop=hop, window=window, method=method,
+        detrend_segments=detrend_segments,
+    )
+    sy = stft(
+        y, nfft=nfft, hop=hop, window=window, method=method,
+        detrend_segments=detrend_segments,
+    )
     w = spectral_window(window, nfft)
     if scaling == "density":
         norm = fs * float((w**2).sum())
@@ -327,7 +358,8 @@ def csd(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nfft", "hop", "window", "method")
+    jax.jit,
+    static_argnames=("nfft", "hop", "window", "method", "detrend_segments"),
 )
 def coherence(
     x: jax.Array,
@@ -337,13 +369,20 @@ def coherence(
     hop: int | None = None,
     window: str = "hann",
     method: str = "auto",
+    detrend_segments: bool = False,
 ) -> jax.Array:
     """Magnitude-squared coherence |Pxy|^2 / (Pxx Pyy) in [0, 1]
     (scipy.signal.coherence semantics); real float32 output."""
     if hop is None:
         hop = nfft // 2
-    sx = stft(x, nfft=nfft, hop=hop, window=window, method=method)
-    sy = stft(y, nfft=nfft, hop=hop, window=window, method=method)
+    sx = stft(
+        x, nfft=nfft, hop=hop, window=window, method=method,
+        detrend_segments=detrend_segments,
+    )
+    sy = stft(
+        y, nfft=nfft, hop=hop, window=window, method=method,
+        detrend_segments=detrend_segments,
+    )
     pxy = jnp.mean(jnp.conj(sx) * sy, axis=-2)
     pxx = jnp.mean(jnp.abs(sx) ** 2, axis=-2)
     pyy = jnp.mean(jnp.abs(sy) ** 2, axis=-2)
