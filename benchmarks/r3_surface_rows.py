@@ -1,0 +1,134 @@
+"""On-chip throughput rows for the round-3 surface additions.
+
+K-differential protocol (BENCH_NOTES Methodology): two chained jit
+lengths per config, fetch-fenced, slope = per-iteration time. Configs:
+
+- sosfilt_tv: 4-section time-varying cascade at (16, 4M) — measures the
+  5-plane coefficient traffic premium over the fused fixed-coefficient
+  kernel (same shape baseline in BENCH_r02/r03 rows).
+- lpc_synthesis: order-12, 256-sample frames, 16M total samples — the
+  frame-parallel all-pole path.
+- cwt: ricker bank, 16 widths, 1M samples — the batched MXU correlation
+  bank.
+
+Run serially after r3_onchip_all.sh (never in parallel with another TPU
+client).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+K_SMALL, K_BIG = 4, 12
+REPEATS = 3
+
+
+def k_diff(name, make_fn, arg, work_items):
+    fns = {}
+    for k in (K_SMALL, K_BIG):
+        t0 = time.perf_counter()
+        f = make_fn(k)
+        np.asarray(jax.tree_util.tree_leaves(f(arg))[0].ravel()[:8])
+        fns[k] = f
+        print(f"  compiled {name} k={k}: {time.perf_counter()-t0:.1f}s", flush=True)
+    best = {k: float("inf") for k in fns}
+    for _ in range(REPEATS):
+        for k, f in fns.items():
+            t0 = time.perf_counter()
+            np.asarray(jax.tree_util.tree_leaves(f(arg))[0].ravel()[:8])
+            best[k] = min(best[k], time.perf_counter() - t0)
+    per = (best[K_BIG] - best[K_SMALL]) / (K_BIG - K_SMALL)
+    print(
+        f"{name}: {work_items / per / 1e9:.3f} GS/s "
+        f"(t{K_SMALL}={best[K_SMALL]:.3f}s t{K_BIG}={best[K_BIG]:.3f}s)",
+        flush=True,
+    )
+
+
+def main() -> None:
+    from digital_signal_processsing_tpu.ops import iir, lpc, wavelets
+
+    rng = np.random.default_rng(0)
+
+    # --- sosfilt_tv ------------------------------------------------------
+    c, t = 16, 4_000_000
+    x = jnp.asarray(rng.standard_normal((c, t)), jnp.float32)
+    r = 0.5 + 0.4 * np.sin(np.linspace(0, 20, t))
+    th = 0.3 + 0.2 * np.cos(np.linspace(0, 15, t))
+    row = np.stack(
+        [np.full(t, 0.3), 0.1 * np.sin(np.linspace(0, 5, t)),
+         np.full(t, 0.05), np.ones(t), -2 * r * np.cos(th), r * r], -1
+    )
+    sos_t = jnp.asarray(np.stack([row] * 4, 0), jnp.float32)
+
+    def make_tv(k):
+        @jax.jit
+        def chained(v):
+            def body(i, y):
+                return iir.sosfilt_tv(sos_t, y)
+
+            return jax.lax.fori_loop(0, k, body, v)
+
+        return chained
+
+    k_diff("sosfilt_tv 4sec (16,4M)", make_tv, x, c * t)
+
+    # --- lpc_synthesis ---------------------------------------------------
+    order, frame, nf, streams = 12, 256, 512, 128  # 16.8M samples total
+    poles = 0.9 * np.exp(1j * rng.uniform(0.1, np.pi - 0.1, (streams, nf, order // 2)))
+    a = np.stack(
+        [
+            [np.poly(np.concatenate([p, p.conj()])).real for p in stream]
+            for stream in poles
+        ]
+    ).astype(np.float32)
+    gain = np.ones((streams, nf), np.float32)
+    e = jnp.asarray(rng.standard_normal((streams, nf * frame)), jnp.float32)
+    aj, gj = jnp.asarray(a), jnp.asarray(gain)
+
+    def make_lpc(k):
+        @jax.jit
+        def chained(v):
+            def body(i, y):
+                return lpc.lpc_synthesis(aj, gj, y, frame)
+
+            return jax.lax.fori_loop(0, k, body, v)
+
+        return chained
+
+    k_diff(
+        f"lpc_synthesis p={order} ({streams}x{nf}x{frame})",
+        make_lpc,
+        e,
+        streams * nf * frame,
+    )
+
+    # --- cwt ricker bank -------------------------------------------------
+    n = 1_000_000
+    widths = list(range(1, 17))
+    xc = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    def make_cwt(k):
+        @jax.jit
+        def chained(v):
+            def body(i, y):
+                out = wavelets.cwt(y, wavelets.ricker, widths)
+                return out[0] * 0.0 + y  # keep signature; force the bank
+
+            return jax.lax.fori_loop(0, k, body, v)
+
+        return chained
+
+    k_diff(f"cwt ricker x{len(widths)} (1M)", make_cwt, xc, n * len(widths))
+
+
+if __name__ == "__main__":
+    main()
