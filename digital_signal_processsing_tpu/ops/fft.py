@@ -832,6 +832,48 @@ def get_window(window, Nx: int, fftbins: bool = True) -> np.ndarray:
             )
             w[: width + 1] = edge
             w[m - width - 1 :] = edge[::-1]
+    elif name == "general_cosine":
+        if not params:
+            raise ValueError("general_cosine needs a coefficient sequence")
+        w = cos_sum(np.asarray(params[0], np.float64))
+    elif name == "general_hamming":
+        if not params:
+            raise ValueError("general_hamming needs alpha")
+        alpha = float(params[0])
+        w = cos_sum([alpha, 1.0 - alpha])
+    elif name == "general_gaussian":
+        if len(params) < 2:
+            raise ValueError("general_gaussian needs (p, sigma)")
+        pw, sig = float(params[0]), float(params[1])
+        w = np.exp(-0.5 * np.abs((n - (m - 1) / 2.0) / sig) ** (2 * pw))
+    elif name == "chebwin":
+        if not params:
+            raise ValueError("chebwin needs an attenuation in dB")
+        w = _chebwin(m, float(params[0]))
+    elif name == "taylor":
+        nbar = int(params[0]) if len(params) >= 1 else 4
+        sll = float(params[1]) if len(params) >= 2 else 30.0
+        norm = bool(params[2]) if len(params) >= 3 else True
+        w = _taylor(m, nbar, sll, norm)
+    elif name == "dpss":
+        if not params:
+            raise ValueError("dpss needs a half-bandwidth parameter NW")
+        nw_ = float(params[0])
+        w = dpss_windows(m, nw_, 1)[0][0]
+        # scipy's 'approximate' norm: max-normalize, with an even-length
+        # half-sample correction M^2/(M^2 + NW)
+        w = w / np.max(np.abs(w))
+        if m % 2 == 0:
+            w = w * (m * m / (m * m + nw_))
+    elif name == "kaiser_bessel_derived":
+        if not params:
+            raise ValueError("kaiser_bessel_derived needs beta")
+        if fftbins:
+            raise ValueError(
+                "Kaiser-Bessel Derived windows are only defined for "
+                "symmetric shapes"
+            )
+        w = _kbd(m, float(params[0]))
     else:
         raise ValueError(f"unknown window {name!r}")
     if fftbins:
@@ -931,3 +973,163 @@ class ZoomFFT(CZT):
         a = np.exp(2j * np.pi * f1 / fs)
         super().__init__(n, m, w, a)
         self.f1, self.f2, self.fs = f1, f2, fs
+
+
+def _chebwin(m: int, at: float) -> np.ndarray:
+    """Dolph-Chebyshev window (scipy.signal.windows.chebwin): inverse DFT
+    of the equiripple Chebyshev spectrum."""
+    if m == 1:
+        return np.ones(1)
+    order = m - 1.0
+    beta = np.cosh(1.0 / order * np.arccosh(10 ** (abs(at) / 20.0)))
+    k = np.arange(m)
+    x = beta * np.cos(np.pi * k / m)
+    # Chebyshev polynomial T_order evaluated off [-1, 1] without overflow;
+    # T_n(-x) = (-1)^n T_n(x) supplies the sign for x < -1
+    p = np.zeros(m)
+    big = np.abs(x) > 1
+    p[big] = np.cosh(order * np.arccosh(np.abs(x[big])))
+    p[big & (x < 0)] *= (-1.0) ** (int(order) % 2)
+    p[~big] = np.cos(order * np.arccos(x[~big]))
+    if m % 2:
+        wr = np.real(np.fft.fft(p))
+        half = (m + 1) // 2
+        wr = wr[:half]
+        w = np.concatenate([wr[:0:-1], wr])
+    else:
+        p_ = p * np.exp(1j * np.pi / m * np.arange(m))
+        wr = np.real(np.fft.fft(p_))
+        half = m // 2 + 1
+        wr = wr[1:half]
+        w = np.concatenate([wr[::-1], wr])
+    return w / np.max(w)
+
+
+def _taylor(
+    m: int, nbar: int, sll: float, norm: bool
+) -> np.ndarray:
+    """Taylor window (scipy.signal.windows.taylor semantics)."""
+    if m == 1:
+        return np.ones(1)
+    b = 10.0 ** (sll / 20.0)
+    a = np.arccosh(b) / np.pi
+    s2 = nbar**2 / (a**2 + (nbar - 0.5) ** 2)
+    ma = np.arange(1, nbar)
+    fm = np.empty(nbar - 1)
+    signs = np.empty_like(ma, float)
+    signs[::2] = 1.0
+    signs[1::2] = -1.0
+    m2 = ma**2
+    for mi, _ in enumerate(ma):
+        numer = signs[mi] * np.prod(
+            1 - m2[mi] / s2 / (a**2 + (ma - 0.5) ** 2)
+        )
+        denom = 2 * np.prod(1 - m2[mi] / m2[:mi]) * np.prod(
+            1 - m2[mi] / m2[mi + 1 :]
+        )
+        fm[mi] = numer / denom
+    def get(n_):
+        return 1 + 2 * np.dot(
+            fm, np.cos(2 * np.pi * ma[:, None] * (n_ - m / 2.0 + 0.5) / m)
+        )
+    w = get(np.arange(m))
+    if norm:
+        w = w / get((m - 1) / 2.0)
+    return w
+
+
+def _kbd(m: int, beta: float) -> np.ndarray:
+    """Kaiser-Bessel derived window (symmetric only)."""
+    if m % 2:
+        raise ValueError("kaiser_bessel_derived requires an even length")
+    kw = np.kaiser(m // 2 + 1, beta)
+    csum = np.cumsum(kw)
+    half = np.sqrt(csum[:-1] / csum[-1])
+    return np.concatenate([half, half[::-1]])
+
+
+def dpss_windows(
+    m: int, nw: float, k_max: int, *, return_ratios: bool = False
+):
+    """Discrete prolate spheroidal (Slepian) sequences — the first
+    ``k_max`` maximally band-concentrated windows (scipy.signal.windows.dpss
+    semantics: tridiagonal eigenvector formulation, even windows
+    positive-mean, odd windows positive-initial-slope).
+
+    Returns ``(windows, ratios)`` with ``windows`` of shape
+    ``(k_max, m)``; ``ratios`` are the in-band energy concentrations
+    (computed only when ``return_ratios``).
+    """
+    import scipy.linalg as sla
+
+    if not 0 < nw < m / 2:
+        raise ValueError(f"need 0 < NW < M/2, got NW={nw}, M={m}")
+    w_bin = nw / m
+    n = np.arange(m)
+    diag = ((m - 1 - 2 * n) / 2.0) ** 2 * np.cos(2 * np.pi * w_bin)
+    off = n[1:] * (m - n[1:]) / 2.0
+    vals, vecs = sla.eigh_tridiagonal(
+        diag, off, select="i", select_range=(m - k_max, m - 1)
+    )
+    windows = vecs.T[::-1]
+    # sign conventions (scipy): even orders sum positive, odd orders start
+    # with a positive slope
+    fix_even = windows[::2].sum(axis=1) < 0
+    for i, f in enumerate(fix_even):
+        if f:
+            windows[2 * i] *= -1
+    thresh = max(1e-7, 1.0 / m)
+    for i, wlp in enumerate(windows[1::2]):
+        if wlp[wlp * wlp > thresh][0] < 0:
+            windows[2 * i + 1] *= -1
+    if not return_ratios:
+        return windows, None
+    # concentration via the sinc kernel quadratic form
+    dn = n[:, None] - n[None, :]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        kern = np.sin(2 * np.pi * w_bin * dn) / (np.pi * dn)
+    kern[np.arange(m), np.arange(m)] = 2 * w_bin
+    ratios = np.einsum("km,mn,kn->k", windows, kern, windows)
+    return windows, ratios
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nw", "k_tapers", "nfft", "fs", "scaling")
+)
+def multitaper_psd(
+    x: jax.Array,
+    *,
+    nw: float = 4.0,
+    k_tapers: int | None = None,
+    nfft: int | None = None,
+    fs: float = 1.0,
+    scaling: str = "density",
+) -> jax.Array:
+    """Thomson multitaper PSD: mean of ``k`` DPSS-tapered periodograms
+    (the low-variance, low-leakage estimator Welch averaging cannot
+    reach for short records). Beyond-scipy.signal surface (scipy keeps
+    dpss but no multitaper driver); the taper bank is one batched MXU
+    DFT over ``k`` tapered copies."""
+    xp = x if x.ndim == 2 else x[None, :]
+    t = xp.shape[-1]
+    n = nfft or t
+    k = k_tapers or max(1, int(2 * nw) - 1)
+    tapers, _ = dpss_windows(t, nw, k)
+    xf = xp.astype(jnp.float32) - jnp.mean(
+        xp.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    seg = xf[:, None, :] * jnp.asarray(tapers, jnp.float32)  # (C, K, T)
+    if n > t:
+        seg = jnp.pad(seg, ((0, 0), (0, 0), (0, n - t)))
+    s = jnp.fft.rfft(seg, axis=-1)
+    p = jnp.mean(jnp.abs(s) ** 2, axis=-2)
+    if scaling == "density":
+        p = p / fs
+    elif scaling != "spectrum":
+        raise ValueError(f"unknown scaling {scaling!r}")
+    scale = np.full(n // 2 + 1, 2.0, np.float32)
+    scale[0] = 1.0
+    if n % 2 == 0:
+        scale[-1] = 1.0
+    out = p * jnp.asarray(scale)
+    return out if x.ndim == 2 else out[0]

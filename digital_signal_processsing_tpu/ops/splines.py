@@ -94,7 +94,8 @@ def _symiir1_apply(xb: np.ndarray, c0: float, z1: float, y0: np.ndarray):
     """Forward 1/(1-z1 z^-1) from y0, then backward c0/(1-z1 z)."""
     k = xb.shape[-1]
     if k == 1:
-        return (c0 * (-z1 / (z1 - 1.0)) * y0)[:, None]
+        # the backward pass's boundary value is the whole output
+        return (-c0 / (z1 - 1.0) * y0)[:, None]
     y_rest = _sos_pass(
         np.array([1.0, 0, 0, 1.0, -z1, 0]), z1 * y0, 0.0 * y0, xb[:, 1:]
     )

@@ -269,3 +269,59 @@ def test_find_peaks_cwt_matches_scipy():
     ref = sps.find_peaks_cwt(x, np.arange(2, 20), min_snr=2.0, noise_perc=15)
     got = peaks.find_peaks_cwt(x, np.arange(2, 20), min_snr=2.0, noise_perc=15)
     assert np.array_equal(np.asarray(ref), got)
+
+
+ADVANCED_WINDOWS = [
+    ("chebwin", 50),
+    ("chebwin", 80),
+    ("taylor",),
+    ("taylor", 6, 40),
+    ("general_gaussian", 1.5, 7),
+    ("general_hamming", 0.6),
+    ("dpss", 3),
+]
+
+
+@pytest.mark.parametrize("spec", ADVANCED_WINDOWS, ids=str)
+def test_advanced_windows_match_scipy(spec):
+    for n in (16, 17, 33, 64):
+        for fftbins in (True, False):
+            ref = sps.get_window(spec, n, fftbins=fftbins)
+            got = fft.get_window(spec, n, fftbins=fftbins)
+            assert np.max(np.abs(got - ref)) < 1e-8, (spec, n, fftbins)
+
+
+def test_general_cosine_and_kbd_match_scipy():
+    ref = sps.get_window(("general_cosine", [0.5, 0.3, 0.2]), 17)
+    got = fft.get_window(("general_cosine", (0.5, 0.3, 0.2)), 17)
+    assert np.max(np.abs(got - ref)) < 1e-12
+    ref = sps.get_window(("kaiser_bessel_derived", 8.6), 16, fftbins=False)
+    got = fft.get_window(("kaiser_bessel_derived", 8.6), 16, fftbins=False)
+    assert np.max(np.abs(got - ref)) < 1e-12
+    with pytest.raises(ValueError):
+        fft.get_window(("kaiser_bessel_derived", 8.6), 16, fftbins=True)
+
+
+def test_dpss_windows_match_scipy():
+    from scipy.signal import windows as spw
+
+    wr, rr = spw.dpss(128, 3.0, Kmax=5, return_ratios=True)
+    wg, rg = fft.dpss_windows(128, 3.0, 5, return_ratios=True)
+    assert np.max(np.abs(wg - wr)) < 1e-10
+    assert np.max(np.abs(rg - rr)) < 1e-10
+    with pytest.raises(ValueError):
+        fft.dpss_windows(64, 40.0, 1)
+
+
+def test_multitaper_psd_resolves_and_beats_periodogram_variance():
+    rng = np.random.default_rng(0)
+    n = 2048
+    x = np.sin(2 * np.pi * 0.2 * np.arange(n)) + rng.standard_normal(n)
+    p = np.asarray(fft.multitaper_psd(x.astype(np.float32), nw=4.0))
+    f = np.linspace(0, 0.5, p.size)
+    assert abs(f[np.argmax(p)] - 0.2) < 0.01
+    per = np.abs(np.fft.rfft(x)) ** 2 / n
+    band = (f > 0.3) & (f < 0.45)
+    cv_mt = np.std(p[band]) / np.mean(p[band])
+    cv_per = np.std(per[band]) / np.mean(per[band])
+    assert cv_mt < 0.5 * cv_per  # the variance reduction is the point
