@@ -53,10 +53,8 @@ from .ops.iir import (  # noqa: F401
     filtfilt,
     freqz,
     group_delay,
-    lfilter,
     lfilter_zi,
     lfiltic,
-    sosfilt,
     sosfilt_zi,
     sosfiltfilt,
     sosfreqz,
@@ -389,6 +387,51 @@ def decimate(x, q, *, n=None, ftype="iir", zero_phase=True):
     if ftype == "iir":
         return _iir.decimate_iir(x, q, order=n or 8)
     return _res.decimate(x, q)
+
+
+def _axis_last(fn, x, axis):
+    import jax.numpy as jnp
+
+    if axis in (-1, np.ndim(x) - 1):
+        return fn(jnp.asarray(x))
+    xm = jnp.moveaxis(jnp.asarray(x), axis, -1)
+    return jnp.moveaxis(fn(xm), -1, axis)
+
+
+def sosfilt(sos, x, axis=-1, zi=None):
+    """SOS filtering with scipy.signal.sosfilt's signature: supports
+    ``axis`` and the streaming ``zi`` state (returns ``(y, zf)`` when
+    given), riding the seeded device chunk kernels."""
+    from .ops import iir as _iir
+
+    if zi is None:
+        return _axis_last(lambda v: _iir.sosfilt(np.asarray(sos), v), x, axis)
+    if axis not in (-1, np.ndim(x) - 1):
+        import jax.numpy as jnp
+
+        xm = jnp.moveaxis(jnp.asarray(x), axis, -1)
+        # scipy's zi carries the section state along the same moved axes
+        zim = np.moveaxis(np.asarray(zi), axis + 1 if axis >= 0 else axis, -1)
+        zf, y = _iir.sosfilt_chunk(zim, np.asarray(sos), xm)
+        return jnp.moveaxis(y, -1, axis), np.moveaxis(
+            np.asarray(zf), -1, axis + 1 if axis >= 0 else axis
+        )
+    zf, y = _iir.sosfilt_chunk(np.asarray(zi), np.asarray(sos), x)
+    return y, zf
+
+
+def lfilter(b, a, x, axis=-1, zi=None):
+    """(b, a) filtering with scipy.signal.lfilter's signature (``axis``
+    supported; streaming state via the SOS spelling: convert with
+    ``tf2sos`` and use :func:`sosfilt` with ``zi``)."""
+    from .ops import iir as _iir
+
+    if zi is not None:
+        raise ValueError(
+            "zi on the (b, a) form is not supported; convert with tf2sos "
+            "and carry state through sosfilt(..., zi=...)"
+        )
+    return _axis_last(lambda v: _iir.lfilter(b, a, v), x, axis)
 
 
 # --- spectral estimation with scipy's (f[, t], result) conventions -------------

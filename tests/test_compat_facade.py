@@ -189,3 +189,38 @@ def test_legacy_stft_istft_match_scipy():
     tg2, xg = dsig.istft(np.asarray(Zg), fs=100.0, nperseg=128)
     assert np.shape(xg) == np.shape(xr)
     assert np.max(np.abs(np.asarray(xg) - xr)) / np.max(np.abs(xr)) < 1e-3
+
+
+def test_sosfilt_zi_axis_match_scipy():
+    rng = np.random.default_rng(0)
+    sos = sps.butter(4, 0.2, output="sos")
+    x = rng.standard_normal(2000).astype(np.float32)
+    zi = sps.sosfilt_zi(sos) * x[0]
+    yr, zfr = sps.sosfilt(sos, x, zi=zi)
+    yg, zfg = dsig.sosfilt(sos, x, zi=zi)
+    assert np.max(np.abs(np.asarray(yg) - yr)) < 1e-3
+    assert np.max(np.abs(np.asarray(zfg) - zfr)) < 1e-3
+    # chunked streaming equals one shot
+    zz = sps.sosfilt_zi(sos) * 0.0
+    parts = []
+    for lo in range(0, 2000, 300):
+        yp, zz = dsig.sosfilt(sos, x[lo : lo + 300], zi=zz)
+        parts.append(np.asarray(yp))
+    one = np.asarray(dsig.sosfilt(sos, x))
+    assert np.max(np.abs(np.concatenate(parts) - one)) < 1e-4
+    # axis=0 with and without zi
+    x2 = rng.standard_normal((500, 3)).astype(np.float32)
+    assert np.max(
+        np.abs(np.asarray(dsig.sosfilt(sos, x2, axis=0)) - sps.sosfilt(sos, x2, axis=0))
+    ) < 1e-3
+    zi2 = np.moveaxis(sps.sosfilt_zi(sos)[:, None, :].repeat(3, 1), -1, 1)
+    yr, zfr = sps.sosfilt(sos, x2, axis=0, zi=zi2)
+    yg, zfg = dsig.sosfilt(sos, x2, axis=0, zi=zi2)
+    assert np.max(np.abs(np.asarray(yg) - yr)) < 1e-3
+    assert np.max(np.abs(np.asarray(zfg) - zfr)) < 1e-3
+    # lfilter: axis works, zi points the caller at the SOS path
+    yr = sps.lfilter(*sps.butter(3, 0.3), x2, axis=0)
+    yg = np.asarray(dsig.lfilter(*dsig.butter(3, 0.3), x2, axis=0))
+    assert np.max(np.abs(yg - yr)) < 1e-3
+    with pytest.raises(ValueError):
+        dsig.lfilter([1.0], [1.0, -0.5], x, zi=np.zeros(1))
