@@ -23,6 +23,9 @@ Subpackage map (reference analog in parentheses — file:line cites are into
 - ``models``   the averager variant zoo and the flagship DSP chain.
 - ``utils``    numerics (truncating division, int32 modular-scan argument),
                layout/halo helpers (gpu_utils.h:67-160 analog).
+- ``compat``   scipy.signal drop-in namespace: every public scipy.signal
+               callable under its scipy name and signature, delegating to
+               the TPU engines (see tests/test_compat_facade.py).
 """
 
 __version__ = "0.1.0"
@@ -35,4 +38,5 @@ __all__ = [
     "harness",
     "models",
     "utils",
+    "compat",
 ]

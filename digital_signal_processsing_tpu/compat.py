@@ -468,6 +468,11 @@ def welch(
     """Welch PSD with scipy.signal.welch's signature; returns (f, Pxx)."""
     from .ops import fft as _fft
 
+    n = np.shape(x)[-1]
+    if nperseg is None or int(nperseg) > n:
+        # scipy caps nperseg at the signal length (with a warning)
+        nperseg = min(256 if nperseg is None else int(nperseg), n)
+        noverlap = None if noverlap is None else min(int(noverlap), nperseg - 1)
     win, nseg, hop, dt = _resolve_spectral(
         window, nperseg, noverlap, nfft, detrend
     )
