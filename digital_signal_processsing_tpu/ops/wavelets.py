@@ -38,25 +38,36 @@ def morlet2(points: int, s: float, w: float = 5.0) -> np.ndarray:
     ).astype(np.complex128)
 
 
-def _correlate_same(xb: jax.Array, k: np.ndarray) -> jax.Array:
-    """Batched 1-D 'same' correlation on the MXU (scipy convolve-'same'
-    of data with the REVERSED conjugated kernel, i.e. scipy.cwt's inner
-    step, spelled directly as correlation with the kernel)."""
-    n = k.size
-    # convolve(data, g, 'same') with g = conj(k[::-1]) equals
-    # correlate(data, conj(k), 'same'); centered pad for the even case
-    # follows the convolution split (extra BEFORE) because scipy slices
-    # the convolution's full output
-    before, after = n // 2, (n - 1) // 2
+def _correlate_same_bank(xb: jax.Array, kernels: list) -> jax.Array:
+    """Batched 'same' correlation with a BANK of kernels in ONE conv.
+
+    scipy.cwt runs convolve(data, conj(wavelet)[::-1], 'same') per width
+    — i.e. centered correlation with conj(wavelet). Per-width 1-D convs
+    lower at ~1/128 MXU utilization (BENCH_NOTES r2); stacking the bank
+    as output FEATURES of a single conv gives the MXU a real contraction.
+    Each kernel of length L is placed in a max-length row at offset
+    ``Lmax//2 - L//2``, which reproduces every kernel's own centered
+    'same' alignment (convolution-split centering: extra sample BEFORE
+    for even L).
+
+    Returns ``(C, W, n)``.
+    """
+    lmax = max(k.size for k in kernels)
+    bank = np.zeros((len(kernels), lmax), np.float64)
+    for i, k in enumerate(kernels):
+        off = lmax // 2 - k.size // 2
+        bank[i, off : off + k.size] = k
+    before, after = lmax // 2, (lmax - 1) // 2
     ext = jnp.pad(xb, ((0, 0), (before, after)))
-    return jax.lax.conv_general_dilated(
+    out = jax.lax.conv_general_dilated(
         ext[:, None, None, :],
-        jnp.asarray(k, jnp.float32)[None, None, None, :],
+        jnp.asarray(bank, jnp.float32)[:, None, None, :],
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         precision=jax.lax.Precision.HIGHEST,
-    )[:, 0, 0, :]
+    )
+    return out[:, :, 0, :]
 
 
 def cwt(
@@ -82,7 +93,7 @@ def cwt(
     n = xf.shape[-1]
     batch = xf.shape[:-1]
     xb = xf.reshape(-1, n)
-    rows_re, rows_im = [], []
+    kernels = []
     complex_out = False
     for width in np.atleast_1d(widths):
         length = int(min(10 * float(width), n))
@@ -92,21 +103,14 @@ def cwt(
             else wavelet(length, float(width), w)
         )
         wv = np.conj(np.asarray(wv))
-        if np.iscomplexobj(wv):
-            complex_out = True
-            rows_re.append(_correlate_same(xb, wv.real))
-            rows_im.append(_correlate_same(xb, wv.imag))
-        else:
-            rows_re.append(_correlate_same(xb, wv.astype(np.float64)))
-            rows_im.append(None)
-    out_re = jnp.stack(rows_re, axis=-2)
+        complex_out = complex_out or np.iscomplexobj(wv)
+        kernels.append(wv)
+    out_re = _correlate_same_bank(
+        xb, [np.real(k).astype(np.float64) for k in kernels]
+    )
     if complex_out:
-        out_im = jnp.stack(
-            [
-                r if r is not None else jnp.zeros_like(rows_re[0])
-                for r in rows_im
-            ],
-            axis=-2,
+        out_im = _correlate_same_bank(
+            xb, [np.imag(k).astype(np.float64) for k in kernels]
         )
         out = jax.lax.complex(out_re, out_im)
     else:
