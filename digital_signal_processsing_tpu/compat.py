@@ -44,7 +44,6 @@ from .ops.fft import (  # noqa: F401
     czt,
     czt_points,
     get_window,
-    hilbert,
     hilbert2,
     envelope,
 )
@@ -129,8 +128,6 @@ from .ops.lti import (  # noqa: F401
 )
 from .ops.correlate import (  # noqa: F401
     choose_conv_method,
-    convolve,
-    correlate,
     correlation_lags,
     fftconvolve,
     oaconvolve,
@@ -159,7 +156,6 @@ from .ops.peaks import (  # noqa: F401
     argrelextrema,
     argrelmax,
     argrelmin,
-    find_peaks,
     find_peaks_cwt,
     peak_prominences,
     peak_widths,
@@ -174,7 +170,6 @@ from .ops.signal import (  # noqa: F401
     sweep_poly,
     unit_impulse,
 )
-from .ops.gain import detrend  # noqa: F401
 from .ops.resample import resample_poly, upfirdn  # noqa: F401
 from .ops.stft_class import (  # noqa: F401
     ShortTimeFFT,
@@ -432,6 +427,147 @@ def lfilter(b, a, x, axis=-1, zi=None):
             "and carry state through sosfilt(..., zi=...)"
         )
     return _axis_last(lambda v: _iir.lfilter(b, a, v), x, axis)
+
+
+
+_CONV_METHODS = {"auto": "auto", "direct": "auto", "fft": "auto"}
+
+
+def correlate(in1, in2, mode="full", method="auto"):
+    """Correlation with scipy.signal.correlate's signature. scipy's
+    'direct'/'fft' method hints both map to the framework's engine
+    dispatch (the results agree to float tolerance by construction)."""
+    from .ops import correlate as _corr
+
+    if method not in _CONV_METHODS:
+        raise ValueError(f"unknown method {method!r}")
+    return _corr.correlate(in1, in2, mode=mode)
+
+
+def convolve(in1, in2, mode="full", method="auto"):
+    """Convolution with scipy.signal.convolve's signature."""
+    from .ops import correlate as _corr
+
+    if method == "fft":
+        return _corr.fftconvolve(in1, in2, mode)
+    if method not in _CONV_METHODS:
+        raise ValueError(f"unknown method {method!r}")
+    return _corr.convolve(in1, in2, mode)
+
+
+def hilbert(x, N=None, axis=-1):
+    """Analytic signal with scipy.signal.hilbert's signature (``N``
+    pads/truncates to the transform length)."""
+    import jax.numpy as jnp
+
+    from .ops import fft as _fft
+
+    xj = jnp.asarray(x)
+    if axis not in (-1, xj.ndim - 1):
+        xj = jnp.moveaxis(xj, axis, -1)
+    n = xj.shape[-1]
+    if N is not None:
+        N = int(N)
+        if N < 1:
+            raise ValueError("N must be positive")
+        if N < n:
+            xj = xj[..., :N]
+        elif N > n:
+            xj = jnp.pad(xj, [(0, 0)] * (xj.ndim - 1) + [(0, N - n)])
+    out = _fft.hilbert(xj)
+    if axis not in (-1, jnp.ndim(x) - 1):
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
+def detrend(data, axis=-1, type="linear", bp=0):
+    """Trend removal with scipy.signal.detrend's signature (breakpoints
+    unsupported — pass bp=0)."""
+    from .ops import gain as _gain
+
+    if np.ndim(bp) != 0 or bp != 0:
+        raise ValueError("breakpoints (bp) are not supported")
+    return _axis_last(lambda v: _gain.detrend(v, type=type), data, axis)
+
+
+def find_peaks(
+    x,
+    height=None,
+    threshold=None,
+    distance=None,
+    prominence=None,
+    width=None,
+    wlen=None,
+    rel_height=0.5,
+    plateau_size=None,
+):
+    """Peak finding with scipy.signal.find_peaks's full condition set.
+
+    height/threshold/distance/prominence run in the native implementation
+    (scipy-ordered); width and plateau_size are applied here through the
+    native ``peak_widths``/plateau machinery in scipy's order, with the
+    matching properties added to the dict.
+    """
+    from .ops import peaks as _peaks
+
+    if wlen is not None:
+        raise ValueError("wlen is not supported")
+
+    xa = np.asarray(x, np.float64)
+    peaks_idx, props = _peaks.find_peaks(
+        xa, height=height, threshold=threshold, distance=distance,
+        prominence=prominence,
+    )
+    if plateau_size is not None:
+        # plateau sizes: scipy measures the flat-top extent of each peak
+        sizes = np.empty(peaks_idx.size, int)
+        ledges = np.empty(peaks_idx.size, int)
+        redges = np.empty(peaks_idx.size, int)
+        for i, pk in enumerate(peaks_idx):
+            lo = pk
+            while lo > 0 and xa[lo - 1] == xa[pk]:
+                lo -= 1
+            hi = pk
+            while hi < xa.size - 1 and xa[hi + 1] == xa[pk]:
+                hi += 1
+            ledges[i], redges[i] = lo, hi
+            sizes[i] = hi - lo + 1
+        pmin, pmax = _as_interval(plateau_size)
+        keep = (sizes >= pmin) & (sizes <= pmax)
+        peaks_idx = peaks_idx[keep]
+        props = {k: v[keep] for k, v in props.items()}
+        props["plateau_sizes"] = sizes[keep]
+        props["left_edges"] = ledges[keep]
+        props["right_edges"] = redges[keep]
+    if width is not None:
+        if "prominences" not in props:
+            pr, lb, rb = _peaks.peak_prominences(xa, peaks_idx)
+            props["prominences"] = pr
+            props["left_bases"] = lb
+            props["right_bases"] = rb
+        widths, wh, lips, rips = _peaks.peak_widths(
+            xa, peaks_idx, rel_height=rel_height,
+            prominence_data=(
+                props["prominences"], props["left_bases"],
+                props["right_bases"],
+            ),
+        )
+        wmin, wmax = _as_interval(width)
+        keep = (widths >= wmin) & (widths <= wmax)
+        peaks_idx = peaks_idx[keep]
+        props = {k: np.asarray(v)[keep] for k, v in props.items()}
+        props["widths"] = np.asarray(widths)[keep]
+        props["width_heights"] = np.asarray(wh)[keep]
+        props["left_ips"] = np.asarray(lips)[keep]
+        props["right_ips"] = np.asarray(rips)[keep]
+    return peaks_idx, props
+
+
+def _as_interval(v):
+    arr = np.atleast_1d(np.asarray(v, np.float64))
+    if arr.size == 1:
+        return float(arr[0]), np.inf
+    return float(arr[0]), float(arr[1])
 
 
 # --- spectral estimation with scipy's (f[, t], result) conventions -------------

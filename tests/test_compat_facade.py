@@ -224,3 +224,54 @@ def test_sosfilt_zi_axis_match_scipy():
     assert np.max(np.abs(yg - yr)) < 1e-3
     with pytest.raises(ValueError):
         dsig.lfilter([1.0], [1.0, -0.5], x, zi=np.zeros(1))
+
+
+def test_find_peaks_full_conditions_match_scipy():
+    rng = np.random.default_rng(0)
+    x = np.repeat(rng.standard_normal(120), rng.integers(1, 4, 120))
+    for kw in [
+        dict(height=0.3),
+        dict(prominence=0.5),
+        dict(distance=5),
+        dict(width=2),
+        dict(width=(2, 6)),
+        dict(width=2, rel_height=0.7),
+        dict(plateau_size=2),
+        dict(height=0.1, width=1.5, prominence=0.2),
+    ]:
+        pr, propr = sps.find_peaks(x, **kw)
+        pg, propg = dsig.find_peaks(x, **kw)
+        assert np.array_equal(pr, pg), kw
+        for key in propr:
+            if key in propg:
+                assert np.allclose(
+                    np.asarray(propg[key]), propr[key], atol=1e-9
+                ), (kw, key)
+
+
+def test_correlate_hilbert_detrend_signatures():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal(300).astype(np.float32)
+    v = rng.standard_normal(31).astype(np.float32)
+    for meth in ("auto", "direct", "fft"):
+        rc = sps.correlate(a, v, mode="same", method=meth)
+        gc = np.asarray(dsig.correlate(a, v, mode="same", method=meth))
+        assert np.max(np.abs(gc - rc)) < 1e-3, meth
+        rv = sps.convolve(a, v, mode="full", method=meth)
+        gv = np.asarray(dsig.convolve(a, v, mode="full", method=meth))
+        assert np.max(np.abs(gv - rv)) < 1e-3, meth
+    with pytest.raises(ValueError):
+        dsig.correlate(a, v, method="quantum")
+    x = rng.standard_normal(100).astype(np.float32)
+    for n in (None, 64, 128):
+        hr = sps.hilbert(x, N=n)
+        hg = np.asarray(dsig.hilbert(x, N=n))
+        assert hg.shape == hr.shape
+        assert np.max(np.abs(hg - hr)) < 1e-4, n
+    x2 = rng.standard_normal((5, 50)).astype(np.float32) + 3.0
+    for ax, ty in [(-1, "linear"), (0, "constant"), (0, "linear")]:
+        dr = sps.detrend(x2, axis=ax, type=ty)
+        dg = np.asarray(dsig.detrend(x2, axis=ax, type=ty))
+        assert np.max(np.abs(dg - dr)) < 1e-4, (ax, ty)
+    with pytest.raises(ValueError):
+        dsig.detrend(x, bp=[10])
