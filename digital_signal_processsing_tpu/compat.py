@@ -170,7 +170,7 @@ from .ops.signal import (  # noqa: F401
     sweep_poly,
     unit_impulse,
 )
-from .ops.resample import resample_poly, upfirdn  # noqa: F401
+from .ops.resample import upfirdn  # noqa: F401
 from .ops.stft_class import (  # noqa: F401
     ShortTimeFFT,
     closest_STFT_dual_window,
@@ -568,6 +568,55 @@ def _as_interval(v):
     if arr.size == 1:
         return float(arr[0]), np.inf
     return float(arr[0]), float(arr[1])
+
+
+
+def _upfirdn_len(len_h, len_x, up, down):
+    return ((len_x - 1) * up + len_h - 1) // down + 1
+
+
+def resample_poly(x, up, down, axis=-1, window=("kaiser", 5.0)):
+    """Polyphase resampling with scipy.signal.resample_poly's signature
+    and EXACT output (scipy's kaiser filter, delay-compensating pad, and
+    trim recipe on the native MXU upfirdn)."""
+    from .ops.fir import firwin as _firwin
+    from .ops.resample import upfirdn as _upfirdn
+
+    import jax.numpy as jnp
+
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be positive integers")
+    g = np.gcd(up, down)
+    up, down = up // g, down // g
+    xj = jnp.asarray(x, jnp.float32)
+    if axis not in (-1, xj.ndim - 1):
+        xj = jnp.moveaxis(xj, axis, -1)
+    if up == down == 1:
+        out = xj
+    else:
+        n = xj.shape[-1]
+        n_out = n * up
+        n_out = n_out // down + bool(n_out % down)
+        mx = max(up, down)
+        half_len = 10 * mx
+        h = _firwin(2 * half_len + 1, 1.0 / mx, window=window) * up
+        n_pre_pad = down - half_len % down
+        n_post_pad = 0
+        n_pre_remove = (half_len + n_pre_pad) // down
+        while (
+            _upfirdn_len(len(h) + n_pre_pad + n_post_pad, n, up, down)
+            < n_out + n_pre_remove
+        ):
+            n_post_pad += 1
+        h2 = np.concatenate(
+            [np.zeros(n_pre_pad), h, np.zeros(n_post_pad)]
+        ).astype(np.float32)
+        y = _upfirdn(h2, xj, up, down)
+        out = y[..., n_pre_remove : n_pre_remove + n_out]
+    if axis not in (-1, np.ndim(x) - 1):
+        out = jnp.moveaxis(out, -1, axis)
+    return out
 
 
 # --- spectral estimation with scipy's (f[, t], result) conventions -------------

@@ -275,3 +275,14 @@ def test_correlate_hilbert_detrend_signatures():
         assert np.max(np.abs(dg - dr)) < 1e-4, (ax, ty)
     with pytest.raises(ValueError):
         dsig.detrend(x, bp=[10])
+
+
+@pytest.mark.parametrize(
+    "up,down", [(3, 2), (2, 3), (5, 4), (1, 4), (4, 1), (147, 160)]
+)
+def test_resample_poly_exact_scipy_parity(up, down):
+    x = np.random.default_rng(0).standard_normal(1000).astype(np.float32)
+    ref = sps.resample_poly(x, up, down)
+    got = np.asarray(dsig.resample_poly(x, up, down))
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 2e-4
