@@ -49,13 +49,11 @@ from .ops.fft import (  # noqa: F401
 )
 from .ops.fft import zoomfft as zoom_fft  # noqa: F401
 from .ops.iir import (  # noqa: F401
-    filtfilt,
     freqz,
     group_delay,
     lfilter_zi,
     lfiltic,
     sosfilt_zi,
-    sosfiltfilt,
     sosfreqz,
 )
 from .ops.iir_design import (  # noqa: F401
@@ -617,6 +615,33 @@ def resample_poly(x, up, down, axis=-1, window=("kaiser", 5.0)):
     if axis not in (-1, np.ndim(x) - 1):
         out = jnp.moveaxis(out, -1, axis)
     return out
+
+
+
+def filtfilt(b, a, x, axis=-1, padtype="odd", padlen=None, method="pad",
+             irlen=None):
+    """Zero-phase filtering with scipy.signal.filtfilt's signature (the
+    default 'odd'/'pad' recipe; other padtypes unsupported)."""
+    from .ops import iir as _iir
+
+    if padtype != "odd" or padlen is not None or method != "pad":
+        raise ValueError(
+            "only the default padtype='odd', padlen=None, method='pad' "
+            "recipe is supported"
+        )
+    return _axis_last(lambda v: _iir.filtfilt(b, a, v), x, axis)
+
+
+def sosfiltfilt(sos, x, axis=-1, padtype="odd", padlen=None):
+    """Zero-phase SOS filtering with scipy.signal.sosfiltfilt's
+    signature (default 'odd' recipe)."""
+    from .ops import iir as _iir
+
+    if padtype != "odd" or padlen is not None:
+        raise ValueError(
+            "only the default padtype='odd', padlen=None recipe is supported"
+        )
+    return _axis_last(lambda v: _iir.sosfiltfilt(np.asarray(sos), v), x, axis)
 
 
 # --- spectral estimation with scipy's (f[, t], result) conventions -------------

@@ -286,3 +286,22 @@ def test_resample_poly_exact_scipy_parity(up, down):
     got = np.asarray(dsig.resample_poly(x, up, down))
     assert got.shape == ref.shape
     assert np.max(np.abs(got - ref)) < 2e-4
+
+
+def test_filtfilt_axis_wrappers():
+    rng = np.random.default_rng(2)
+    x2 = rng.standard_normal((4, 900)).astype(np.float32)
+    b, a = sps.butter(4, 0.2)
+    for ax in (-1, 0):
+        xx = x2 if ax == -1 else np.ascontiguousarray(x2.T)
+        yr = sps.filtfilt(b, a, xx, axis=ax)
+        yg = np.asarray(dsig.filtfilt(b, a, xx, axis=ax))
+        assert np.max(np.abs(yg - yr)) < 1e-2, ax
+    sos = sps.butter(4, 0.2, output="sos")
+    yr = sps.sosfiltfilt(sos, x2)
+    yg = np.asarray(dsig.sosfiltfilt(sos, x2))
+    assert np.max(np.abs(yg - yr)) < 1e-2
+    with pytest.raises(ValueError):
+        dsig.filtfilt(b, a, x2, padtype="even")
+    with pytest.raises(ValueError):
+        dsig.sosfiltfilt(sos, x2, padlen=10)
