@@ -774,10 +774,10 @@ def spectrogram(
         onesided[-1] = 1.0
     if mode == "psd":
         out = (jnp.abs(s) ** 2) / norm * jnp.asarray(onesided)
-    elif mode == "magnitude":
-        out = jnp.abs(s) / float(wv.sum())
-    elif mode == "complex":
-        out = s / float(wv.sum())
+    elif mode in ("magnitude", "complex"):
+        # amplitude modes use the SQUARE ROOT of the psd normalization
+        amp = 1.0 / np.sqrt(norm)
+        out = (jnp.abs(s) if mode == "magnitude" else s) * amp
     else:
         raise ValueError(f"unsupported mode {mode!r}")
     nframes = np.shape(out)[-2]

@@ -305,3 +305,17 @@ def test_filtfilt_axis_wrappers():
         dsig.filtfilt(b, a, x2, padtype="even")
     with pytest.raises(ValueError):
         dsig.sosfiltfilt(sos, x2, padlen=10)
+
+
+@pytest.mark.parametrize("mode", ["psd", "magnitude", "complex"])
+@pytest.mark.parametrize("scaling", ["density", "spectrum"])
+def test_spectrogram_modes_scalings(mode, scaling):
+    x = np.random.default_rng(0).standard_normal(2048).astype(np.float32)
+    _, _, sr_ = sps.spectrogram(
+        x, fs=100.0, nperseg=256, mode=mode, scaling=scaling
+    )
+    _, _, sg = dsig.spectrogram(
+        x, fs=100.0, nperseg=256, mode=mode, scaling=scaling
+    )
+    rel = np.max(np.abs(np.asarray(sg) - sr_)) / np.max(np.abs(sr_))
+    assert rel < 1e-3, (mode, scaling)
