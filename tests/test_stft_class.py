@@ -105,3 +105,15 @@ def test_validation():
     sparse[0] = 1.0
     s2 = sc.ShortTimeFFT(sparse, 4, 1.0)
     assert not s2.invertible
+
+
+def test_istft_default_k1_matches_scipy():
+    w = sps.get_window("hann", 16, fftbins=True)
+    for n in (60, 64):
+        ref = sps.ShortTimeFFT(w, hop=4, fs=1.0)
+        mine = sc.ShortTimeFFT(w, 4, 1.0)
+        x = np.random.default_rng(0).standard_normal(n)
+        xr = ref.istft(ref.stft(x))
+        xg = np.asarray(mine.istft(mine.stft(x)))
+        assert xg.shape == xr.shape
+        assert np.max(np.abs(xg - xr)) < 1e-5
