@@ -121,4 +121,66 @@ def stream_moving_average(
     return written
 
 
-__all__ = ["run_chunks", "stream_moving_average"]
+
+
+def stream_sosfilt(
+    paths,
+    out_path: str | Path,
+    sos,
+    *,
+    chunk_samples: int = 1 << 20,
+) -> int:
+    """Run an SOS cascade over a list of WAVs as ONE stream, chunked.
+
+    The IIR serving analog of :func:`stream_moving_average`: int16
+    interleaved chunks are deinterleaved to planar float, pushed through
+    the seeded device chunk kernel (``ops.iir.sosfilt_chunk`` — the
+    Pallas block scan at production chunk sizes) with the per-section
+    state carried across chunk AND file boundaries, then re-interleaved
+    and clipped back to int16. Memory stays bounded by the chunk size;
+    the result matches the one-shot ``sosfilt`` of the concatenated
+    stream to float32 tolerance.
+    """
+    import jax.numpy as jnp
+
+    from .ops import iir as _iir
+
+    paths = list(paths)
+    infos = [read_wav_info(p) for p in paths]
+    channels = infos[0].num_channels
+    rate = infos[0].sample_rate
+    for p_, i in zip(paths, infos):
+        if i.num_channels != channels:
+            raise ValueError(
+                f"{p_}: {i.num_channels} channels != first file's {channels}"
+            )
+        if i.sample_rate != rate:
+            raise ValueError(
+                f"{p_}: sample rate {i.sample_rate} != first file's {rate}"
+            )
+    total = sum(
+        min(i.num_samples, max(Path(p_).stat().st_size - 44, 0) // 2)
+        for i, p_ in zip(infos, paths)
+    )
+    chunk_samples -= chunk_samples % max(channels, 1)
+    sos_rows = np.asarray(sos, np.float32).reshape(-1, 6)
+    state = jnp.zeros((sos_rows.shape[0], channels, 2), jnp.float32)
+    loader = WavChunkLoader(paths, chunk_samples)
+    written = 0
+    with WavWriter(out_path, rate, channels) as sink:
+        for chunk in loader:
+            planar = (
+                np.asarray(chunk).reshape(-1, channels).T.astype(np.float32)
+            )
+            state, y = _iir.sosfilt_chunk(state, sos_rows, planar)
+            out = np.asarray(y).T.reshape(-1)
+            out = np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+            keep = min(out.size, total - written)
+            if keep <= 0:
+                break
+            sink.append(out[:keep])
+            written += keep
+    return written
+
+
+__all__ = ["run_chunks", "stream_moving_average", "stream_sosfilt"]

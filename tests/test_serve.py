@@ -1,7 +1,9 @@
 """Serving loop: multi-WAV stream -> chunked TPU compute -> streaming sink."""
 
 import numpy as np
+import pytest
 
+from digital_signal_processsing_tpu import serve
 from digital_signal_processsing_tpu.golden import moving_average_golden
 from digital_signal_processsing_tpu.io.wav import WavWriter, read_wav, write_wav
 from digital_signal_processsing_tpu.serve import run_chunks, stream_moving_average
@@ -61,3 +63,44 @@ def test_run_chunks_generic(rng):
         )
     )
     np.testing.assert_allclose(np.concatenate(outs), want, rtol=1e-4, atol=1e-5)
+
+
+def test_stream_sosfilt_matches_one_shot(tmp_path):
+    import jax.numpy as jnp  # noqa: F401
+
+    from digital_signal_processsing_tpu.ops import iir
+
+    rng = np.random.default_rng(8)
+    sr, ch = 16000, 2
+    paths, parts = [], []
+    for i, frames in enumerate([3000, 1700, 2501]):
+        x = (rng.standard_normal(frames * ch) * 8000).astype(np.int16)
+        p = tmp_path / f"s{i}.wav"
+        write_wav(p, x, sr, ch)
+        paths.append(p)
+        parts.append(x)
+    full = np.concatenate(parts)
+    sos = iir.design_butterworth(6, 0.15)
+    out = tmp_path / "out.wav"
+    written = serve.stream_sosfilt(paths, out, sos, chunk_samples=1 << 11)
+    _, got = read_wav(out)
+    assert written == full.size == got.size
+    planar = full.reshape(-1, ch).T.astype(np.float32)
+    ref = np.asarray(iir.sosfilt(sos, planar))
+    ref_i = np.clip(np.rint(ref.T.reshape(-1)), -32768, 32767).astype(np.int16)
+    diff = np.abs(got.astype(int) - ref_i.astype(int))
+    # chunked float32 state hand-off: at most LSB-level rounding skew
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
+
+
+def test_stream_sosfilt_rejects_mixed_rate(tmp_path):
+    from digital_signal_processsing_tpu.ops import iir
+
+    a, b = tmp_path / "a.wav", tmp_path / "b.wav"
+    write_wav(a, np.zeros(100, np.int16), 8000, 1)
+    write_wav(b, np.zeros(100, np.int16), 16000, 1)
+    with pytest.raises(ValueError):
+        serve.stream_sosfilt(
+            [a, b], tmp_path / "o.wav", iir.design_butterworth(2, 0.3)
+        )
