@@ -69,17 +69,22 @@ def main() -> None:
     )
     sos_t = jnp.asarray(np.stack([row] * 4, 0), jnp.float32)
 
-    def make_tv(k):
-        @jax.jit
-        def chained(v):
-            def body(i, y):
-                return iir.sosfilt_tv(sos_t, y)
+    def make_tv(method):
+        def mk(k):
+            @jax.jit
+            def chained(v):
+                def body(i, y):
+                    return iir.sosfilt_tv(sos_t, y, method=method)
 
-            return jax.lax.fori_loop(0, k, body, v)
+                return jax.lax.fori_loop(0, k, body, v)
 
-        return chained
+            return chained
 
-    k_diff("sosfilt_tv 4sec (16,4M)", make_tv, x, c * t)
+        return mk
+
+    # interleaved A/B: fused cascade (default) vs per-section scan anchor
+    k_diff("sosfilt_tv 4sec fused (16,4M)", make_tv("fused"), x, c * t)
+    k_diff("sosfilt_tv 4sec scan  (16,4M)", make_tv("scan"), x, c * t)
 
     # --- lpc_synthesis ---------------------------------------------------
     order, frame, nf, streams = 12, 256, 512, 128  # 16.8M samples total

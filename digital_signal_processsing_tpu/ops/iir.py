@@ -1948,7 +1948,11 @@ def _tv_coef_planes(sos_t: jax.Array, batch, n: int, tile_rows: int):
 
 
 def sosfilt_tv(
-    sos_t: jax.Array, x: jax.Array, *, tile_rows: int = 256
+    sos_t: jax.Array,
+    x: jax.Array,
+    *,
+    tile_rows: int = 256,
+    method: str = "auto",
 ) -> jax.Array:
     """Time-varying SOS cascade over the last axis (zero initial state).
 
@@ -1960,10 +1964,21 @@ def sosfilt_tv(
     traffic is 5 tiles per section per signal tile, so the op is
     HBM-bound: for step-wise (per-frame) automation prefer
     :func:`sosfilt_tv_frames`, which expands frames in-graph.
+
+    ``method``: ``"auto"`` fuses the whole cascade per tile for
+    multi-section schedules (:func:`sosfilt_tv_fused` — signal read/
+    written once instead of once PER section); ``"scan"`` keeps the
+    one-section-kernel lax.scan spelling as the A/B anchor.
     """
     import functools as _ft
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if method not in ("auto", "fused", "scan"):
+        raise ValueError(f"unknown method {method!r}")
+    nsec_probe = 1 if jnp.ndim(sos_t) == 2 else np.shape(sos_t)[0]
+    if method == "fused" or (method == "auto" and nsec_probe > 1):
+        return sosfilt_tv_fused(sos_t, x, tile_rows=tile_rows)
 
     y3d, batch, n = _to_planar_tiles(x, tile_rows)
     nch, rtot = y3d.shape[0], y3d.shape[1]
@@ -2150,3 +2165,134 @@ def _sosfilt_tv_chunk_xla(state, sos_t, x):
         sample, (st,), (xf.T, jnp.moveaxis(sos_n, 2, 0))
     )
     return st.reshape(jnp.asarray(state).shape), y.T.reshape(batch + (n,))
+
+
+def _biquad_tv_fused_kernel(*refs, rows: int, n_sections: int, seeded: bool):
+    """ALL time-varying sections over one stream tile — x read once, y
+    written once, coefficients streamed as a (1, S, 5, rows, 128) block.
+
+    The per-section machinery is :func:`_biquad_tv_kernel`'s full-tile
+    affine scan (A_t is data-dependent, so the fixed-coefficient cascade's
+    scalar-A trick does not apply); fusing the section walk removes the
+    per-section HBM round trip of the lax.scan spelling (2 tiles in/out
+    per section -> 1 signal tile + the 5S coefficient planes total).
+    """
+    from jax.experimental import pallas as pl
+
+    if seeded:
+        c_ref, s_ref, x_ref, o_ref, so_ref, carry_ref = refs
+    else:
+        c_ref, x_ref, o_ref, carry_ref = refs
+        s_ref = so_ref = None
+
+    ch = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        for s in range(n_sections):
+            if seeded:
+                carry_ref[2 * s : 2 * s + 1, :] = (
+                    jnp.zeros((1, 128), jnp.float32) + s_ref[s, ch, 0]
+                )
+                carry_ref[2 * s + 1 : 2 * s + 2, :] = (
+                    jnp.zeros((1, 128), jnp.float32) + s_ref[s, ch, 1]
+                )
+            else:
+                carry_ref[2 * s : 2 * s + 2, :] = jnp.zeros(
+                    (2, 128), jnp.float32
+                )
+
+    y = x_ref[0].astype(jnp.float32)
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+    def scan_axis(m, axis, size):
+        s = 1
+        while s < size:
+            left = tuple(
+                _roll_fill(v, s, axis, f) for v, f in zip(m, ident)
+            )
+            m = _compose_affine(left, m)
+            s *= 2
+        return m
+
+    for s in range(n_sections):
+        cf = c_ref[0, s]
+        b0, b1, b2, a1, a2 = cf[0], cf[1], cf[2], cf[3], cf[4]
+        m = (
+            -a1,
+            jnp.ones_like(y),
+            -a2,
+            jnp.zeros_like(y),
+            y * (b1 - a1 * b0),
+            y * (b2 - a2 * b0),
+        )
+        m = scan_axis(m, 1, 128)
+        rowm = tuple(_fill_all_from_tail1(v) for v in m)
+        rowm = scan_axis(rowm, 0, rows)
+        exm = tuple(_roll_fill(v, 1, 0, f) for v, f in zip(rowm, ident))
+        c1 = carry_ref[2 * s : 2 * s + 1, :]
+        c2 = carry_ref[2 * s + 1 : 2 * s + 2, :]
+        s1_row = exm[0] * c1 + exm[1] * c2 + exm[4]
+        s2_row = exm[2] * c1 + exm[3] * c2 + exm[5]
+        exl = tuple(_roll_fill(v, 1, 1, f) for v, f in zip(m, ident))
+        s1 = exl[0] * s1_row + exl[1] * s2_row + exl[4]
+        out = b0 * y + s1
+        lr = tuple(v[rows - 1 :, :] for v in rowm)
+        carry_ref[2 * s : 2 * s + 1, :] = lr[0] * c1 + lr[1] * c2 + lr[4]
+        carry_ref[2 * s + 1 : 2 * s + 2, :] = lr[2] * c1 + lr[3] * c2 + lr[5]
+        y = out
+
+    o_ref[0] = y
+    if seeded:
+        so_ref[0] = carry_ref[:]
+
+
+def sosfilt_tv_fused(
+    sos_t: jax.Array, x: jax.Array, *, tile_rows: int = 256
+) -> jax.Array:
+    """Fused-cascade spelling of :func:`sosfilt_tv` (same semantics): one
+    kernel runs every section per tile. Default for multi-section
+    schedules via ``sosfilt_tv(..., method="auto")``."""
+    import functools as _ft
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    y3d, batch, n = _to_planar_tiles(x, tile_rows)
+    nch, rtot = y3d.shape[0], y3d.shape[1]
+    coef = _tv_coef_planes(sos_t, batch, n, tile_rows)  # (S, C, 5, R, 128)
+    nsec = coef.shape[0]
+    # block layout: (1, S, 5, tile_rows, 128) per (channel, tile) step
+    coef = jnp.moveaxis(coef, 1, 0)  # (C, S, 5, R, 128)
+
+    out = pl.pallas_call(
+        _ft.partial(
+            _biquad_tv_fused_kernel,
+            rows=tile_rows,
+            n_sections=nsec,
+            seeded=False,
+        ),
+        out_shape=jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
+        grid=(nch, rtot // tile_rows),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nsec, 5, tile_rows, 128),
+                lambda c, t: (c, 0, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_rows, 128),
+                lambda c, t: (c, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, 128), lambda c, t: (c, t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((2 * nsec, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(coef, y3d)
+    return _from_planar_tiles(out, batch, n)

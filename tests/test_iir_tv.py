@@ -130,3 +130,14 @@ def test_shape_mismatch_raises(swept):
     x, sos_t = swept
     with pytest.raises(ValueError):
         iir.sosfilt_tv(sos_t[:, :-1, :], x)
+
+
+def test_fused_cascade_matches_scan_spelling(swept):
+    x, sos_t = swept
+    scan = np.asarray(iir.sosfilt_tv(sos_t, x, tile_rows=2, method="scan"))
+    fused = np.asarray(iir.sosfilt_tv_fused(sos_t, x, tile_rows=2))
+    auto = np.asarray(iir.sosfilt_tv(sos_t, x, tile_rows=2))  # auto -> fused
+    assert np.array_equal(fused, auto)
+    assert np.max(np.abs(fused - scan)) < 1e-6
+    with pytest.raises(ValueError):
+        iir.sosfilt_tv(sos_t, x, method="warp")
