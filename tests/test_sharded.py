@@ -342,3 +342,54 @@ def test_collective_id_collision_detected_in_one_trace():
         return x
 
     jax.make_jaxpr(other_trace)(np.float32(0))  # no raise
+
+
+def test_sharded_sosfilt_tv_bit_equal(rng, mesh_2x4):
+    from digital_signal_processsing_tpu.ops import iir
+    from digital_signal_processsing_tpu.parallel.sharded_tv import (
+        sharded_sosfilt_tv,
+    )
+
+    c, n = 4, 2048
+    x = rng.normal(size=(c, n)).astype(np.float32)
+    r = 0.5 + 0.3 * np.sin(np.linspace(0, 4, n))
+    row = np.stack(
+        [np.full(n, 0.3), np.zeros(n), np.full(n, 0.05), np.ones(n),
+         -2 * r * 0.8, r * r], -1
+    ).astype(np.float32)
+    # shared schedule (replicated) and per-channel schedule (sharded)
+    sos_shared = np.stack([row, row * np.float32(0.9)], 0)
+    want = np.asarray(iir.sosfilt_tv(sos_shared, x))
+    got = np.asarray(sharded_sosfilt_tv(sos_shared, x, mesh=mesh_2x4))
+    np.testing.assert_array_equal(got, want)
+    sos_per = np.stack(
+        [np.stack([row * np.float32(0.8 + 0.05 * i) for i in range(c)], 0)],
+        0,
+    )
+    want = np.asarray(iir.sosfilt_tv(sos_per, x))
+    got = np.asarray(sharded_sosfilt_tv(sos_per, x, mesh=mesh_2x4))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_lpc_synthesis_bit_equal(rng, mesh_2x4):
+    from digital_signal_processsing_tpu.ops import lpc
+    from digital_signal_processsing_tpu.parallel.sharded_tv import (
+        sharded_lpc_synthesis,
+    )
+
+    streams, nf, fl, order = 4, 6, 64, 6
+    rows = []
+    for s in range(streams):
+        fr = []
+        for _ in range(nf):
+            poles = 0.8 * np.exp(
+                1j * rng.uniform(0.3, np.pi - 0.3, order // 2)
+            )
+            fr.append(np.poly(np.concatenate([poles, poles.conj()])).real)
+        rows.append(fr)
+    a = np.asarray(rows, np.float32)
+    gain = rng.uniform(0.5, 1.5, (streams, nf)).astype(np.float32)
+    e = rng.normal(size=(streams, nf * fl)).astype(np.float32)
+    want = np.asarray(lpc.lpc_synthesis(a, gain, e, fl))
+    got = np.asarray(sharded_lpc_synthesis(a, gain, e, fl, mesh=mesh_2x4))
+    np.testing.assert_array_equal(got, want)
