@@ -209,3 +209,104 @@ def tracking_notch(
         )
     y = _iir.sosfilt_tv_frames(rows[None], x, frame_len)
     return y, w0
+
+
+# --- sample-recursive adaptive filters (round 3) -------------------------------
+#
+# The block-LMS trainer above is the TPU-idiomatic spelling (gradients
+# over long blocks, batched streams). The classic SAMPLE-recursive
+# algorithms below exist for the workloads that need per-sample tracking
+# (echo cancellation, channel equalization with fast fading): the
+# recursion is irreducibly sequential, so the TPU answer is lax.scan with
+# the BATCH of independent streams vectorized — lanes stay full even
+# though time is serial. State is tiny (taps + (for RLS) a p x p inverse
+# correlation), so everything lives in registers/VMEM across the scan.
+
+
+@functools.partial(jax.jit, static_argnames=("num_taps",))
+def nlms(
+    x: jax.Array,
+    d: jax.Array,
+    num_taps: int,
+    *,
+    step: float = 0.5,
+    eps: float = 1e-6,
+):
+    """Normalized LMS: ``w += step * e * u / (eps + |u|^2)`` per sample.
+
+    ``x``/``d``: (..., n) input and desired streams (leading axes are
+    independent filters, vectorized through the scan). Returns
+    ``(y, e, w)``: filter output, error stream, final taps (..., p).
+    """
+    xb = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+    db = jnp.atleast_2d(jnp.asarray(d, jnp.float32))
+    b, n = xb.shape
+    w0 = jnp.zeros((b, num_taps), jnp.float32)
+    u0 = jnp.zeros((b, num_taps), jnp.float32)
+
+    def sample(carry, inp):
+        w, u = carry
+        xt, dt = inp
+        u = jnp.concatenate([xt[:, None], u[:, :-1]], axis=1)
+        y = jnp.sum(w * u, axis=1)
+        e = dt - y
+        norm = eps + jnp.sum(u * u, axis=1)
+        w = w + step * (e / norm)[:, None] * u
+        return (w, u), (y, e)
+
+    (w, _), (ys, es) = jax.lax.scan(
+        sample, (w0, u0), (xb.T, db.T)
+    )
+    y = ys.T.reshape(jnp.shape(x))
+    e = es.T.reshape(jnp.shape(x))
+    w = w if jnp.ndim(x) > 1 else w[0]
+    return y, e, w
+
+
+@functools.partial(jax.jit, static_argnames=("num_taps",))
+def rls(
+    x: jax.Array,
+    d: jax.Array,
+    num_taps: int,
+    *,
+    forget: float = 0.99,
+    delta: float = 1e2,
+):
+    """Recursive least squares with exponential forgetting.
+
+    Textbook P-matrix recursion (``P0 = delta * I``), batched over the
+    leading axes; the per-sample P update is a rank-1 correction — a
+    (p, p) outer product per stream per step, which the VPU vectorizes
+    across the batch. Converges in ~2p samples where LMS needs hundreds.
+    Returns ``(y, e, w)``.
+    """
+    xb = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+    db = jnp.atleast_2d(jnp.asarray(d, jnp.float32))
+    b, n = xb.shape
+    w0 = jnp.zeros((b, num_taps), jnp.float32)
+    u0 = jnp.zeros((b, num_taps), jnp.float32)
+    p0 = jnp.broadcast_to(
+        delta * jnp.eye(num_taps, dtype=jnp.float32), (b, num_taps, num_taps)
+    )
+
+    def sample(carry, inp):
+        w, u, P = carry
+        xt, dt = inp
+        u = jnp.concatenate([xt[:, None], u[:, :-1]], axis=1)
+        pu = jnp.einsum("bij,bj->bi", P, u)
+        denom = forget + jnp.einsum("bi,bi->b", u, pu)
+        k = pu / denom[:, None]
+        y = jnp.sum(w * u, axis=1)
+        e = dt - y
+        w = w + k * e[:, None]
+        P = (P - jnp.einsum("bi,bj->bij", k, pu)) / forget
+        # float32 RLS diverges on long runs as P drifts asymmetric;
+        # re-symmetrizing each step is the standard stabilization
+        P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
+        return (w, u, P), (y, e)
+
+    (w, _, _), (ys, es) = jax.lax.scan(sample, (w0, u0, p0), (xb.T, db.T))
+    y = ys.T.reshape(jnp.shape(x))
+    e = es.T.reshape(jnp.shape(x))
+    w = w if jnp.ndim(x) > 1 else w[0]
+    return y, e, w

@@ -204,3 +204,69 @@ def test_chain_locks_to_non_integer_audio_rate(rng):
     want = np.asarray(resample_farrow(base.forward_planar(i, q), rate))
     # one jit vs two: XLA fusion across the boundary shifts the last ulp
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestSampleRecursiveAdaptive:
+    """NLMS / RLS: golden-loop parity and system identification."""
+
+    def _sysid(self, rng):
+        p = 8
+        h = rng.standard_normal(p) * np.exp(-0.3 * np.arange(p))
+        n = 4000
+        x = rng.standard_normal(n).astype(np.float32)
+        d = (
+            np.convolve(x, h)[:n] + 0.01 * rng.standard_normal(n)
+        ).astype(np.float32)
+        return h, x, d, p
+
+    def test_nlms_matches_golden_and_identifies(self, rng):
+        from digital_signal_processsing_tpu.models.adaptive import nlms
+
+        h, x, d, p = self._sysid(rng)
+
+        w_ref = np.zeros(p)
+        u = np.zeros(p)
+        for t in range(x.size):
+            u = np.concatenate([[x[t]], u[:-1]])
+            e = d[t] - w_ref @ u
+            w_ref = w_ref + 0.5 * e / (1e-6 + u @ u) * u
+        _, _, w = nlms(x, d, p)
+        assert np.max(np.abs(np.asarray(w) - w_ref)) < 1e-3
+        assert np.max(np.abs(np.asarray(w) - h)) < 0.05
+
+    def test_rls_converges_fast(self, rng):
+        from digital_signal_processsing_tpu.models.adaptive import rls
+
+        h, x, d, p = self._sysid(rng)
+        _, e, w = rls(x, d, p, forget=0.999)
+        assert np.max(np.abs(np.asarray(w) - h)) < 5e-3
+        # locked within ~2p samples: tiny residual power early on
+        assert float(np.mean(np.asarray(e)[100:300] ** 2)) < 1e-3
+
+    def test_batched_streams(self, rng):
+        from digital_signal_processsing_tpu.models.adaptive import nlms, rls
+
+        h, x, d, p = self._sysid(rng)
+        xb = rng.standard_normal((3, x.size)).astype(np.float32)
+        db = np.stack([np.convolve(r, h)[: x.size] for r in xb]).astype(
+            np.float32
+        )
+        for algo in (nlms, rls):
+            _, _, w = algo(xb, db, p)
+            assert np.asarray(w).shape == (3, p)
+            assert np.max(np.abs(np.asarray(w) - h)) < 0.05
+
+    def test_rls_stable_on_long_runs(self, rng):
+        # float32 RLS without symmetrization diverges past ~10k samples;
+        # the per-step re-symmetrization must keep it locked
+        from digital_signal_processsing_tpu.models.adaptive import rls
+
+        h, _, _, p = self._sysid(rng)
+        n = 32000
+        x = rng.standard_normal(n).astype(np.float32)
+        d = (
+            np.convolve(x, h)[:n] + 0.003 * rng.standard_normal(n)
+        ).astype(np.float32)
+        _, e, w = rls(x, d, p, forget=0.999)
+        assert float(np.mean(np.asarray(e)[-4000:] ** 2)) < 1e-4
+        assert np.max(np.abs(np.asarray(w) - h)) < 5e-3
