@@ -270,3 +270,60 @@ class TestSampleRecursiveAdaptive:
         _, e, w = rls(x, d, p, forget=0.999)
         assert float(np.mean(np.asarray(e)[-4000:] ** 2)) < 1e-4
         assert np.max(np.abs(np.asarray(w) - h)) < 5e-3
+
+
+class TestKalman:
+    def _cv_setup(self, rng):
+        dt = 0.1
+        F = np.array([[1, dt], [0, 1]])
+        H = np.array([[1.0, 0.0]])
+        Q = np.array([[dt**3 / 3, dt**2 / 2], [dt**2 / 2, dt]]) * 0.1
+        R = np.array([[4.0]])
+        T = 300
+        true_x = np.zeros((T, 2))
+        v, pos = 1.0, 0.0
+        for t in range(T):
+            pos += v * dt + rng.normal(0, 0.05)
+            v += rng.normal(0, 0.1)
+            true_x[t] = [pos, v]
+        z = true_x[:, :1] + rng.normal(0, 2.0, (T, 1))
+        return F, H, Q, R, z, true_x
+
+    def test_filter_matches_float64_golden(self, rng):
+        from digital_signal_processsing_tpu.models import kalman
+
+        F, H, Q, R, z, _ = self._cv_setup(rng)
+        x0, P0 = np.zeros(2), np.eye(2) * 1e3
+        x, P = x0.copy(), P0.copy()
+        xs, Ps = [], []
+        for t in range(len(z)):
+            x = F @ x
+            P = F @ P @ F.T + Q
+            K = P @ H.T @ np.linalg.inv(H @ P @ H.T + R)
+            x = x + K @ (z[t] - H @ x)
+            P = (np.eye(2) - K @ H) @ P
+            xs.append(x.copy())
+            Ps.append(P.copy())
+        xg, Pg = kalman.kalman_filter(F, H, Q, R, z, x0=x0, P0=P0)
+        assert np.max(np.abs(np.asarray(xg) - np.array(xs))) < 1e-2
+        assert np.max(np.abs(np.asarray(Pg) - np.array(Ps))) < 5e-3
+
+    def test_smoother_beats_filter(self, rng):
+        from digital_signal_processsing_tpu.models import kalman
+
+        F, H, Q, R, z, true_x = self._cv_setup(rng)
+        xg, Pg = kalman.kalman_filter(F, H, Q, R, z)
+        xs, _ = kalman.rts_smoother(F, Q, xg, Pg)
+        ef = np.mean((np.asarray(xg)[50:, 0] - true_x[50:, 0]) ** 2)
+        es = np.mean((np.asarray(xs)[50:, 0] - true_x[50:, 0]) ** 2)
+        assert es < 0.5 * ef
+
+    def test_batched_streams(self, rng):
+        from digital_signal_processsing_tpu.models import kalman
+
+        F, H, Q, R, z, _ = self._cv_setup(rng)
+        zb = np.stack([z, z + 1.0], 0)
+        xg, _ = kalman.kalman_filter(F, H, Q, R, z)
+        xgb, _ = kalman.kalman_filter(F, H, Q, R, zb)
+        assert np.asarray(xgb).shape == (2,) + np.asarray(xg).shape
+        assert np.max(np.abs(np.asarray(xgb)[0] - np.asarray(xg))) < 1e-4
