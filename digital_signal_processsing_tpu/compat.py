@@ -342,13 +342,21 @@ def savgol_coeffs(window_length, polyorder, *, deriv=0, delta=1.0):
     )
 
 
-def savgol_filter(x, window_length, polyorder, *, deriv=0, delta=1.0):
-    """Savitzky-Golay smoothing (scipy.signal.savgol_filter signature,
-    'interp' mode)."""
+def savgol_filter(
+    x, window_length, polyorder, deriv=0, delta=1.0, axis=-1,
+    mode="interp", cval=0.0,
+):
+    """Savitzky-Golay smoothing (scipy.signal.savgol_filter signature)."""
     from .ops import fir as _fir
 
-    return _fir.savgol_filter(
-        x, window_length, polyorder, deriv=deriv, delta=delta
+    if cval != 0.0:
+        raise ValueError("cval is not supported (constant mode pads 0)")
+    return _axis_last(
+        lambda v: _fir.savgol_filter(
+            v, window_length, polyorder, deriv=deriv, delta=delta, mode=mode
+        ),
+        x,
+        axis,
     )
 
 
@@ -367,7 +375,7 @@ def resample(x, num, *, axis=-1):
     return resample_fft(x, num)
 
 
-def decimate(x, q, *, n=None, ftype="iir", zero_phase=True):
+def decimate(x, q, n=None, ftype="iir", axis=-1, zero_phase=True):
     """Decimation with anti-aliasing (scipy.signal.decimate signature
     subset)."""
     from .ops import iir as _iir, resample as _res
@@ -378,8 +386,10 @@ def decimate(x, q, *, n=None, ftype="iir", zero_phase=True):
             "native decimate_iir is inherently forward-backward)"
         )
     if ftype == "iir":
-        return _iir.decimate_iir(x, q, order=n or 8)
-    return _res.decimate(x, q)
+        return _axis_last(
+            lambda v: _iir.decimate_iir(v, q, order=n or 8), x, axis
+        )
+    return _axis_last(lambda v: _res.decimate(v, q), x, axis)
 
 
 def _axis_last(fn, x, axis):
