@@ -319,3 +319,16 @@ def test_spectrogram_modes_scalings(mode, scaling):
     )
     rel = np.max(np.abs(np.asarray(sg) - sr_)) / np.max(np.abs(sr_))
     assert rel < 1e-3, (mode, scaling)
+
+
+def test_savgol_decimate_axis_signatures():
+    rng = np.random.default_rng(3)
+    x_t = rng.standard_normal((400, 3)).astype(np.float32)
+    yr = sps.savgol_filter(x_t, 11, 3, 1, 0.5, axis=0)
+    yg = np.asarray(dsig.savgol_filter(x_t, 11, 3, 1, 0.5, axis=0))
+    assert np.max(np.abs(yg - yr)) < 1e-3
+    x2 = rng.standard_normal((3, 400)).astype(np.float32)
+    assert np.asarray(dsig.decimate(x2, 4)).shape == sps.decimate(x2, 4).shape
+    assert np.asarray(
+        dsig.decimate(np.ascontiguousarray(x2.T), 4, axis=0)
+    ).shape == (100, 3)
