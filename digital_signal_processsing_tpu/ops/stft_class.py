@@ -78,9 +78,9 @@ def closest_STFT_dual_window(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hop", "mfft", "mode", "n_slices", "left")
+    jax.jit, static_argnames=("hop", "mfft", "mode", "n_slices")
 )
-def _framed_fft(xp, win, hop, mfft, mode, n_slices, left):
+def _framed_fft(xp, win, hop, mfft, mode, n_slices):
     """(C, padded_n) -> (C, f_pts, n_slices) complex batched DFT."""
     from ..utils.layout import overlapping_frames
 
@@ -294,7 +294,6 @@ class ShortTimeFFT:
             self.mfft,
             self.fft_mode,
             p1 - p0,
-            left,
         )
         fac = self._phase_factor()
         if fac is not None:
