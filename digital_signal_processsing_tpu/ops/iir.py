@@ -1974,11 +1974,15 @@ def sosfilt_tv(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from ..utils.dispatch import record_choice
+
     if method not in ("auto", "fused", "scan"):
         raise ValueError(f"unknown method {method!r}")
     nsec_probe = 1 if jnp.ndim(sos_t) == 2 else np.shape(sos_t)[0]
     if method == "fused" or (method == "auto" and nsec_probe > 1):
+        record_choice("sosfilt_tv", "fused")
         return sosfilt_tv_fused(sos_t, x, tile_rows=tile_rows)
+    record_choice("sosfilt_tv", "scan")
 
     y3d, batch, n = _to_planar_tiles(x, tile_rows)
     nch, rtot = y3d.shape[0], y3d.shape[1]
