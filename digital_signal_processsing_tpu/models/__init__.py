@@ -3,8 +3,12 @@ from .chain import ChainConfig, DspChain  # noqa: F401
 from .adaptive import AdaptiveFir, lms_train_step, make_sharded_train_step  # noqa: F401
 from .wideband import WidebandConfig, WidebandFmReceiver  # noqa: F401
 from .ofdm import OfdmConfig, OfdmReceiver  # noqa: F401
+from .modem import ModemConfig  # noqa: F401
+from . import modem  # noqa: F401
 
 __all__ = [
+    "ModemConfig",
+    "modem",
     "AVERAGER_ZOO",
     "run_variant",
     "ChainConfig",

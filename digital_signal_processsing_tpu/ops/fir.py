@@ -392,6 +392,40 @@ def box_taps(window: int) -> np.ndarray:
     return np.full(window, 1.0 / window, dtype=np.float32)
 
 
+def design_rrc(num_taps: int, beta: float, sps: int) -> np.ndarray:
+    """Root-raised-cosine pulse (unit energy), ``sps`` samples per symbol.
+
+    ``beta``: excess bandwidth (rolloff) in (0, 1]. The cascade of two of
+    these (transmit shaping + receive matched filter) is the raised-cosine
+    Nyquist pulse: zero ISI at symbol spacings, unit gain at the center —
+    pinned by tests/test_modem.py. Odd ``num_taps`` keeps the peak on a
+    sample. Closed form with the standard removable singularities at t = 0
+    and |t| = 1/(4 beta) evaluated by their limits.
+    """
+    _require_odd(num_taps, "rrc")
+    if not 0.0 < beta <= 1.0:
+        raise ValueError(f"beta must be in (0, 1], got {beta}")
+    if sps < 2:
+        raise ValueError(f"need sps >= 2, got {sps}")
+    t = (np.arange(num_taps, dtype=np.float64) - (num_taps - 1) / 2) / sps
+    h = np.empty_like(t)
+    zero = np.isclose(t, 0.0)
+    sing = np.isclose(np.abs(4.0 * beta * t), 1.0)
+    rest = ~(zero | sing)
+    h[zero] = 1.0 + beta * (4.0 / np.pi - 1.0)
+    if sing.any():
+        u = np.pi / (4.0 * beta)
+        h[sing] = (beta / np.sqrt(2.0)) * (
+            (1.0 + 2.0 / np.pi) * np.sin(u) + (1.0 - 2.0 / np.pi) * np.cos(u)
+        )
+    tr = t[rest]
+    h[rest] = (
+        np.sin(np.pi * tr * (1.0 - beta))
+        + 4.0 * beta * tr * np.cos(np.pi * tr * (1.0 + beta))
+    ) / (np.pi * tr * (1.0 - (4.0 * beta * tr) ** 2))
+    return (h / np.sqrt(np.sum(h * h))).astype(np.float32)
+
+
 def design_firls(
     num_taps: int,
     bands,
