@@ -5,10 +5,14 @@ from .wideband import WidebandConfig, WidebandFmReceiver  # noqa: F401
 from .ofdm import OfdmConfig, OfdmReceiver  # noqa: F401
 from .modem import ModemConfig  # noqa: F401
 from . import modem  # noqa: F401
+from .radar import RadarConfig  # noqa: F401
+from . import radar  # noqa: F401
 
 __all__ = [
     "ModemConfig",
     "modem",
+    "RadarConfig",
+    "radar",
     "AVERAGER_ZOO",
     "run_variant",
     "ChainConfig",

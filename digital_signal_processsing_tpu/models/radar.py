@@ -1,0 +1,198 @@
+"""Pulse-Doppler radar chain: LFM compression, Doppler FFT, CA-CFAR.
+
+Fourth model family beside the FM chain, OFDM and the QAM modem: the
+sensing counterpart — a coherent processing interval of LFM pulses turned
+into a range-Doppler detection map. Exercises the framework's MXU-DFT
+correlator (ops.correlate: fast-time matched filter), window catalog
+(slow-time taper), batched FFT and the moving-sum machinery in two
+dimensions (CA-CFAR noise estimation = box sums over the range-Doppler
+map — the headline averager family's 2-D shape). North-star scope like
+models/ofdm.py (the CUDA reference has no radar models; SURVEY.md §6).
+
+TPU-first choices:
+- fast-time matched filtering of ALL pulses in one batched planar
+  correlation (4 real correlations through the MXU-DFT engine) — never a
+  per-pulse loop;
+- slow-time Doppler as one batched FFT over the pulse axis;
+- CA-CFAR with exact edge handling: training-cell sums AND per-cell
+  training counts both come from 2-D box convolutions, so edge cells get
+  their true cell count and threshold multiplier instead of a padded bias
+  (no gathers, no masks in Python loops);
+- planar I/Q at the host boundary; complex forms on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "RadarConfig",
+    "lfm_pulse",
+    "synthesize",
+    "pulse_compress",
+    "doppler_map",
+    "ca_cfar",
+    "detect",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class RadarConfig:
+    """One coherent processing interval. ``bandwidth`` is the LFM sweep in
+    cycles/sample (time-bandwidth product = bandwidth * pulse_len);
+    ``guard``/``train`` are CFAR half-window cell counts per axis
+    (doppler, range)."""
+
+    n_pulses: int = 64
+    n_range: int = 1024  # fast-time samples per PRI
+    pulse_len: int = 128
+    bandwidth: float = 0.5
+    window: str = "hann"
+    guard: tuple[int, int] = (2, 2)
+    train: tuple[int, int] = (4, 8)
+    pfa: float = 1e-4
+
+    def __post_init__(self):
+        if self.pulse_len > self.n_range:
+            raise ValueError(
+                f"pulse_len {self.pulse_len} exceeds n_range {self.n_range}"
+            )
+        if not 0.0 < self.bandwidth <= 1.0:
+            raise ValueError(f"bandwidth must be in (0, 1], got {self.bandwidth}")
+
+    @property
+    def n_bins(self) -> int:
+        """Output range bins after 'valid' compression."""
+        return self.n_range - self.pulse_len + 1
+
+
+def lfm_pulse(cfg: RadarConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Unit-energy linear-FM chirp sweeping [-bw/2, +bw/2), planar (i, q)."""
+    t = np.arange(cfg.pulse_len, dtype=np.float64)
+    phase = np.pi * cfg.bandwidth * (t * t / cfg.pulse_len - t)
+    p = np.exp(1j * phase) / np.sqrt(cfg.pulse_len)
+    return p.real.astype(np.float32), p.imag.astype(np.float32)
+
+
+def synthesize(
+    cfg: RadarConfig,
+    targets,
+    *,
+    noise_power: float = 0.0,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side echo simulator (the tests' oracle).
+
+    ``targets``: iterable of (range_bin, doppler, amplitude) with
+    ``doppler`` in cycles/PRI in [-0.5, 0.5) — the stop-and-hop model: a
+    constant phase step per pulse. Returns planar (i, q), each
+    (n_pulses, n_range).
+    """
+    pr, pi = lfm_pulse(cfg)
+    pulse = pr.astype(np.float64) + 1j * pi.astype(np.float64)
+    x = np.zeros((cfg.n_pulses, cfg.n_range), np.complex128)
+    for rbin, fd, amp in targets:
+        rbin = int(rbin)
+        if not 0 <= rbin <= cfg.n_range - cfg.pulse_len:
+            raise ValueError(f"range bin {rbin} outside [0, {cfg.n_bins - 1}]")
+        steps = np.exp(2j * np.pi * fd * np.arange(cfg.n_pulses))
+        x[:, rbin : rbin + cfg.pulse_len] += amp * np.outer(steps, pulse)
+    if noise_power > 0.0:
+        rng = np.random.default_rng(seed)
+        sigma = np.sqrt(noise_power / 2.0)
+        x += sigma * (
+            rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape)
+        )
+    return x.real.astype(np.float32), x.imag.astype(np.float32)
+
+
+def pulse_compress(cfg: RadarConfig, i: jax.Array, q: jax.Array) -> jax.Array:
+    """Fast-time matched filter: valid correlation of every pulse with the
+    transmit chirp, all pulses in one batched planar pass (4 real
+    correlations through ops.correlate's MXU-DFT engine). A point echo of
+    amplitude a at range bin r peaks at output bin r with amplitude a
+    (unit-energy chirp), while noise is spread — the sqrt(pulse_len) SNR
+    compression gain."""
+    from ..ops.correlate import correlate
+
+    pr, pi = lfm_pulse(cfg)
+    pr = jnp.asarray(pr)
+    pi = jnp.asarray(pi)
+    ir = i.astype(jnp.float32)
+    qr = q.astype(jnp.float32)
+    # y = x (*) conj(p): re = ir*pr + qr*pi, im = qr*pr - ir*pi
+    c_re = correlate(ir, pr, mode="valid") + correlate(qr, pi, mode="valid")
+    c_im = correlate(qr, pr, mode="valid") - correlate(ir, pi, mode="valid")
+    return jax.lax.complex(c_re, c_im)
+
+
+def doppler_map(cfg: RadarConfig, rc: jax.Array) -> jax.Array:
+    """Slow-time DFT across pulses -> fftshifted power map
+    (n_pulses dopplers, n_bins ranges). Doppler f maps to row
+    n_pulses//2 + round(f * n_pulses)."""
+    from ..ops.fft import get_window
+
+    w = jnp.asarray(get_window(cfg.window, cfg.n_pulses), jnp.float32)
+    xw = rc * w[:, None]
+    rd = jnp.fft.fft(xw, axis=0)
+    rd = jnp.fft.fftshift(rd, axes=0)
+    return jnp.abs(rd) ** 2
+
+
+def ca_cfar(
+    power: jax.Array,
+    *,
+    guard: tuple[int, int],
+    train: tuple[int, int],
+    pfa: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Cell-averaging CFAR over a 2-D power map -> (detections, threshold).
+
+    Noise is estimated per cell from the ring of training cells (the
+    (guard+train) box minus the guard box); the threshold multiplier is
+    the exact exponential-noise CA-CFAR alpha = N * (pfa^(-1/N) - 1)
+    evaluated with each cell's TRUE training count N (edge cells have
+    fewer), both counts and sums coming from box convolutions.
+    """
+    from ..ops.twod import convolve2d
+
+    if not 0.0 < pfa < 1.0:
+        raise ValueError(f"pfa must be in (0, 1), got {pfa}")
+    gd, gr = guard
+    td, tr = train
+    if td < 1 or tr < 1:
+        raise ValueError(f"need >= 1 training cell per axis, got {train}")
+    p = power.astype(jnp.float32)
+    ones = jnp.ones_like(p)
+
+    def box_sum(a, hd, hr):
+        k = jnp.ones((2 * hd + 1, 2 * hr + 1), jnp.float32)
+        return convolve2d(a, k, mode="same", boundary="fill")
+
+    outer_sum = box_sum(p, gd + td, gr + tr)
+    inner_sum = box_sum(p, gd, gr)
+    outer_cnt = box_sum(ones, gd + td, gr + tr)
+    inner_cnt = box_sum(ones, gd, gr)
+    z = outer_sum - inner_sum  # training-cell power sum
+    n = outer_cnt - inner_cnt  # true per-cell training count
+    alpha = n * (pfa ** (-1.0 / n) - 1.0)
+    thresh = alpha * z / n
+    return p > thresh, thresh
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect(cfg: RadarConfig, i: jax.Array, q: jax.Array):
+    """Full chain: planar (n_pulses, n_range) echoes -> detection map.
+
+    Returns (detections, power, threshold): boolean (n_pulses, n_bins)
+    range-Doppler detections plus the underlying map and CFAR threshold.
+    """
+    rc = pulse_compress(cfg, i, q)
+    power = doppler_map(cfg, rc)
+    det, thresh = ca_cfar(power, guard=cfg.guard, train=cfg.train, pfa=cfg.pfa)
+    return det, power, thresh

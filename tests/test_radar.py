@@ -1,0 +1,133 @@
+"""Pulse-Doppler radar model family: compression gain, Doppler mapping,
+CA-CFAR parity vs an explicit-loop oracle, and end-to-end detection.
+
+North-star scope (the CUDA reference has no radar models; SURVEY.md §6) —
+validates the framework's MXU correlator, window catalog and 2-D box-sum
+machinery composed into a sensing chain.
+"""
+
+import numpy as np
+import pytest
+
+from digital_signal_processsing_tpu.models import radar
+
+
+def _cfg(**kw):
+    base = dict(
+        n_pulses=32,
+        n_range=512,
+        pulse_len=64,
+        guard=(1, 2),
+        train=(3, 6),
+        pfa=1e-4,
+    )
+    base.update(kw)
+    return radar.RadarConfig(**base)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        _cfg(pulse_len=1024, n_range=512)
+    with pytest.raises(ValueError):
+        _cfg(bandwidth=0.0)
+    with pytest.raises(ValueError):
+        radar.synthesize(_cfg(), [(512, 0.0, 1.0)])  # range bin out of window
+
+
+def test_lfm_pulse_unit_energy():
+    cfg = _cfg()
+    pr, pi = radar.lfm_pulse(cfg)
+    energy = float(np.sum(pr.astype(np.float64) ** 2 + pi.astype(np.float64) ** 2))
+    assert energy == pytest.approx(1.0, rel=1e-6)
+
+
+def test_pulse_compression_gain_and_position():
+    """A point echo of amplitude a at bin r compresses to a peak of
+    amplitude a at output bin r (unit-energy chirp); sidelobes stay well
+    below the mainlobe."""
+    cfg = _cfg()
+    i, q = radar.synthesize(cfg, [(200, 0.0, 0.8)])
+    rc = np.asarray(radar.pulse_compress(cfg, i, q))
+    mag = np.abs(rc[0])
+    assert int(np.argmax(mag)) == 200
+    assert mag[200] == pytest.approx(0.8, rel=1e-4)
+    side = np.delete(mag, np.arange(195, 206))
+    assert side.max() < 0.2 * mag[200]
+
+
+def test_doppler_row_mapping():
+    cfg = _cfg()
+    for fd in (0.0, 0.25, -0.125):
+        i, q = radar.synthesize(cfg, [(100, fd, 1.0)])
+        power = np.asarray(radar.doppler_map(cfg, radar.pulse_compress(cfg, i, q)))
+        row, col = np.unravel_index(np.argmax(power), power.shape)
+        assert col == 100
+        assert row == cfg.n_pulses // 2 + round(fd * cfg.n_pulses)
+
+
+def _cfar_oracle(power, guard, train, pfa):
+    """Explicit-loop CA-CFAR with true per-cell training counts."""
+    gd, gr = guard
+    td, tr = train
+    nd, nr = power.shape
+    thresh = np.zeros_like(power)
+    for d in range(nd):
+        for r in range(nr):
+            z = 0.0
+            n = 0
+            for dd in range(-(gd + td), gd + td + 1):
+                for rr in range(-(gr + tr), gr + tr + 1):
+                    if abs(dd) <= gd and abs(rr) <= gr:
+                        continue
+                    y, x = d + dd, r + rr
+                    if 0 <= y < nd and 0 <= x < nr:
+                        z += power[y, x]
+                        n += 1
+            alpha = n * (pfa ** (-1.0 / n) - 1.0)
+            thresh[d, r] = alpha * z / n
+    return power > thresh, thresh
+
+
+def test_ca_cfar_matches_loop_oracle():
+    rng = np.random.default_rng(7)
+    power = rng.exponential(size=(12, 18)).astype(np.float32)
+    power[5, 9] += 60.0
+    det, thresh = radar.ca_cfar(power, guard=(1, 1), train=(2, 3), pfa=1e-3)
+    ref_det, ref_thresh = _cfar_oracle(
+        np.asarray(power, np.float64), (1, 1), (2, 3), 1e-3
+    )
+    np.testing.assert_allclose(np.asarray(thresh), ref_thresh, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(det), ref_det)
+
+
+def test_ca_cfar_false_alarm_rate_on_noise():
+    """On pure exponential noise the empirical false-alarm rate should sit
+    near the design pfa (loose band: CA-CFAR on finite N runs slightly
+    above the asymptotic rate, and cells are correlated by the window)."""
+    rng = np.random.default_rng(3)
+    power = rng.exponential(size=(256, 512)).astype(np.float32)
+    det, _ = radar.ca_cfar(power, guard=(1, 1), train=(4, 8), pfa=1e-3)
+    rate = float(np.asarray(det).mean())
+    assert 1e-4 < rate < 1e-2
+
+
+def test_detect_end_to_end_in_noise():
+    cfg = _cfg(pfa=1e-5)
+    targets = [(100, 0.25, 1.0), (300, -0.125, 0.7)]
+    i, q = radar.synthesize(cfg, targets, noise_power=0.01, seed=1)
+    det, power, thresh = radar.detect(cfg, i, q)
+    det = np.asarray(det)
+    assert det.shape == (cfg.n_pulses, cfg.n_bins)
+    for rbin, fd, _ in targets:
+        row = cfg.n_pulses // 2 + round(fd * cfg.n_pulses)
+        assert det[row, rbin], (row, rbin)
+    # detections stay local to the two targets (mainlobe + straddle cells)
+    assert det.sum() < 40
+
+
+def test_detect_jit_cache_reuse():
+    cfg = _cfg()
+    i, q = radar.synthesize(cfg, [(50, 0.0, 1.0)], noise_power=0.01, seed=2)
+    d1, _, _ = radar.detect(cfg, i, q)
+    d2, _, _ = radar.detect(cfg, i, q)  # same static cfg: cached trace
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
