@@ -134,6 +134,39 @@ def main() -> None:
 
     k_diff(f"cwt ricker x{len(widths)} (1M)", make_cwt, xc, n * len(widths))
 
+    # --- radar detect chain ----------------------------------------------
+    # One CPI: 64 pulses x 1M range samples (row width kept ~1M — the conv
+    # planner pathology bound, BENCH_NOTES r2). Full chain = batched MXU
+    # matched filter + Doppler FFT + 2-D box-sum CFAR.
+    from digital_signal_processsing_tpu.models import radar
+
+    cfg = radar.RadarConfig(
+        n_pulses=64, n_range=1 << 20, pulse_len=128, guard=(2, 4), train=(4, 16)
+    )
+    ri = jnp.asarray(rng.standard_normal((cfg.n_pulses, cfg.n_range)), jnp.float32)
+    rq = jnp.asarray(rng.standard_normal((cfg.n_pulses, cfg.n_range)), jnp.float32)
+
+    def make_radar(k):
+        @jax.jit
+        def chained(v):
+            def body(i, y):
+                det, power, _ = radar.detect(cfg, y, rq)
+                # fold the result back so the loop carries the input shape
+                return y + 0.0 * jnp.pad(
+                    power, ((0, 0), (0, cfg.n_range - cfg.n_bins))
+                )
+
+            return jax.lax.fori_loop(0, k, body, v)
+
+        return chained
+
+    k_diff(
+        f"radar detect ({cfg.n_pulses}x{cfg.n_range})",
+        make_radar,
+        ri,
+        cfg.n_pulses * cfg.n_range,
+    )
+
 
 if __name__ == "__main__":
     main()
