@@ -38,6 +38,7 @@ __all__ = [
     "doppler_map",
     "ca_cfar",
     "detect",
+    "detect_batch",
 ]
 
 
@@ -183,6 +184,27 @@ def ca_cfar(
     alpha = n * (pfa ** (-1.0 / n) - 1.0)
     thresh = alpha * z / n
     return p > thresh, thresh
+
+
+def detect_batch(cfg: RadarConfig, i: jax.Array, q: jax.Array, *, mesh=None):
+    """Batch of CPIs through the full chain — the radar family's dp story.
+
+    ``i``/``q``: (batch, n_pulses, n_range) planar echoes. The chain is
+    vmapped over the leading axis; with ``mesh`` the batch is placed on the
+    channel mesh axis and GSPMD runs each device's CPIs independently (no
+    collectives — one CPI never spans devices, so this scales linearly).
+    Returns (detections, power, threshold), each (batch, n_pulses, n_bins).
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import CHANNEL_AXIS
+
+        sharding = NamedSharding(mesh, PartitionSpec(CHANNEL_AXIS))
+        i = jax.device_put(i, sharding)
+        q = jax.device_put(q, sharding)
+    fn = jax.vmap(lambda a, b: detect(cfg, a, b))
+    return fn(i, q)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

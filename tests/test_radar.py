@@ -125,6 +125,32 @@ def test_detect_end_to_end_in_noise():
     assert det.sum() < 40
 
 
+def test_detect_batch_sharded_matches_single():
+    """dp over CPIs: the mesh-sharded batch path is bit-identical to the
+    per-CPI chain (no collectives — pure data parallelism)."""
+    import jax
+
+    from digital_signal_processsing_tpu.parallel import make_mesh
+
+    cfg = _cfg()
+    batch = 8
+    rng = np.random.default_rng(11)
+    i = np.empty((batch, cfg.n_pulses, cfg.n_range), np.float32)
+    q = np.empty_like(i)
+    for b in range(batch):
+        i[b], q[b] = radar.synthesize(
+            cfg, [(50 + 40 * b, 0.1 * (b - 4), 1.0)], noise_power=0.01, seed=b
+        )
+    mesh = make_mesh(n_time=1, n_channel=8, devices=np.asarray(jax.devices()[:8]))
+    det_b, pow_b, _ = radar.detect_batch(cfg, i, q, mesh=mesh)
+    for b in range(batch):
+        det_s, pow_s, _ = radar.detect(cfg, i[b], q[b])
+        np.testing.assert_array_equal(np.asarray(det_b)[b], np.asarray(det_s))
+        np.testing.assert_allclose(
+            np.asarray(pow_b)[b], np.asarray(pow_s), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_detect_jit_cache_reuse():
     cfg = _cfg()
     i, q = radar.synthesize(cfg, [(50, 0.0, 1.0)], noise_power=0.01, seed=2)
