@@ -20,6 +20,9 @@ as the baseline denominator (BASELINE.md target: >=10x at k=1024).
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -32,7 +35,24 @@ K_SMALL, K_BIG = 8, 40  # wide K spread: jitter amortizes over 32 iterations
 REPEATS = 5  # min-of-5: the axon tunnel adds multi-ms session jitter
 
 
+WATCHDOG_S = 1800  # a wedged axon tunnel blocks forever; fail loud instead
+
+
+def _watchdog():
+    sys.stderr.write(
+        f"bench.py: no result after {WATCHDOG_S}s — device tunnel is likely "
+        "wedged (see BENCH_NOTES.md Methodology); aborting without a JSON "
+        "line rather than hanging the driver\n"
+    )
+    sys.stderr.flush()
+    os._exit(3)
+
+
 def main() -> None:
+    timer = threading.Timer(WATCHDOG_S, _watchdog)
+    timer.daemon = True
+    timer.start()
+
     import jax
 
     from digital_signal_processsing_tpu.ops.pallas_scan import (
@@ -68,6 +88,7 @@ def main() -> None:
     if per_iter <= 0:  # degenerate timing (e.g. interpret mode); fall back
         per_iter = t_big / K_BIG
     sps = N / per_iter
+    timer.cancel()
     print(
         json.dumps(
             {
