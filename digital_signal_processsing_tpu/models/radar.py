@@ -132,15 +132,45 @@ def pulse_compress(cfg: RadarConfig, i: jax.Array, q: jax.Array) -> jax.Array:
     return jax.lax.complex(c_re, c_im)
 
 
+@functools.lru_cache(maxsize=16)
+def _doppler_dft(n_pulses: int, window: str) -> tuple[np.ndarray, np.ndarray]:
+    """Windowed, fftshifted slow-time DFT as one dense matrix: row r is
+    doppler (r - n//2)/n cycles/PRI with the taper folded in (host-side,
+    cached per (n, window) — the shift is free row ordering)."""
+    from ..ops.fft import get_window
+
+    n = n_pulses
+    f = (np.arange(n) - n // 2)[:, None] / n
+    c = np.exp(-2j * np.pi * f * np.arange(n)[None, :])
+    c *= np.asarray(get_window(window, n), np.float64)[None, :]
+    return c.real.astype(np.float32), c.imag.astype(np.float32)
+
+
 def doppler_map(cfg: RadarConfig, rc: jax.Array) -> jax.Array:
     """Slow-time DFT across pulses -> fftshifted power map
     (n_pulses dopplers, n_bins ranges). Doppler f maps to row
-    n_pulses//2 + round(f * n_pulses)."""
+    n_pulses//2 + round(f * n_pulses).
+
+    The pulse count is small (tens to hundreds), so the TPU-first spelling
+    is NOT an FFT (XLA's TPU FFT is HBM-bound and slow — BENCH_NOTES) but
+    one dense (P, P) x (P, n_bins) DFT matmul pair on the MXU with the
+    taper and fftshift folded into the matrix; for large P it falls back
+    to the batched FFT. Both spellings are numerically identical up to
+    matmul precision (pinned by tests)."""
+    xr = jnp.real(rc)
+    xi = jnp.imag(rc)
+    if cfg.n_pulses <= 512:
+        cr, ci = _doppler_dft(cfg.n_pulses, cfg.window)
+        cr = jnp.asarray(cr)
+        ci = jnp.asarray(ci)
+        hp = jax.lax.Precision.HIGHEST
+        rr = jnp.dot(cr, xr, precision=hp) - jnp.dot(ci, xi, precision=hp)
+        ri = jnp.dot(cr, xi, precision=hp) + jnp.dot(ci, xr, precision=hp)
+        return rr * rr + ri * ri
     from ..ops.fft import get_window
 
     w = jnp.asarray(get_window(cfg.window, cfg.n_pulses), jnp.float32)
-    xw = rc * w[:, None]
-    rd = jnp.fft.fft(xw, axis=0)
+    rd = jnp.fft.fft(rc * w[:, None], axis=0)
     rd = jnp.fft.fftshift(rd, axes=0)
     return jnp.abs(rd) ** 2
 

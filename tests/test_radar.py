@@ -65,6 +65,27 @@ def test_doppler_row_mapping():
         assert row == cfg.n_pulses // 2 + round(fd * cfg.n_pulses)
 
 
+def test_doppler_mxu_dft_matches_fft_oracle():
+    """The dense MXU DFT spelling (window + fftshift folded into the
+    matrix) equals fftshift(fft(w*x)) |.|^2 computed in float64."""
+    from digital_signal_processsing_tpu.ops.fft import get_window
+
+    cfg = _cfg()
+    rng = np.random.default_rng(5)
+    rc = (
+        rng.standard_normal((cfg.n_pulses, cfg.n_bins))
+        + 1j * rng.standard_normal((cfg.n_pulses, cfg.n_bins))
+    ).astype(np.complex64)
+    import jax
+
+    got = np.asarray(radar.doppler_map(cfg, jax.numpy.asarray(rc)))
+    w = np.asarray(get_window(cfg.window, cfg.n_pulses), np.float64)
+    ref = np.abs(
+        np.fft.fftshift(np.fft.fft(rc.astype(np.complex128) * w[:, None], axis=0), 0)
+    ) ** 2
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def _cfar_oracle(power, guard, train, pfa):
     """Explicit-loop CA-CFAR with true per-cell training counts."""
     gd, gr = guard
