@@ -114,21 +114,21 @@ def synthesize(
 
 def pulse_compress(cfg: RadarConfig, i: jax.Array, q: jax.Array) -> jax.Array:
     """Fast-time matched filter: valid correlation of every pulse with the
-    transmit chirp, all pulses in one batched planar pass (4 real
-    correlations through ops.correlate's MXU-DFT engine). A point echo of
-    amplitude a at range bin r peaks at output bin r with amplitude a
-    (unit-energy chirp), while noise is spread — the sqrt(pulse_len) SNR
-    compression gain."""
-    from ..ops.correlate import correlate
+    transmit chirp, all pulses in one batched planar complex correlation
+    (ONE complex MXU-DFT round trip — ops.correlate.correlate_complex).
+    A point echo of amplitude a at range bin r peaks at output bin r with
+    amplitude a (unit-energy chirp), while noise is spread — the
+    sqrt(pulse_len) SNR compression gain."""
+    from ..ops.correlate import correlate_complex
 
     pr, pi = lfm_pulse(cfg)
-    pr = jnp.asarray(pr)
-    pi = jnp.asarray(pi)
-    ir = i.astype(jnp.float32)
-    qr = q.astype(jnp.float32)
-    # y = x (*) conj(p): re = ir*pr + qr*pi, im = qr*pr - ir*pi
-    c_re = correlate(ir, pr, mode="valid") + correlate(qr, pi, mode="valid")
-    c_im = correlate(qr, pr, mode="valid") - correlate(ir, pi, mode="valid")
+    c_re, c_im = correlate_complex(
+        i.astype(jnp.float32),
+        q.astype(jnp.float32),
+        jnp.asarray(pr),
+        jnp.asarray(pi),
+        mode="valid",
+    )
     return jax.lax.complex(c_re, c_im)
 
 

@@ -65,6 +65,29 @@ def test_doppler_row_mapping():
         assert row == cfg.n_pulses // 2 + round(fd * cfg.n_pulses)
 
 
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_correlate_complex_matches_numpy(mode):
+    """Planar complex correlation == np.correlate (a, conj-template) in
+    float64, batched rows, every output mode."""
+    from digital_signal_processsing_tpu.ops.correlate import correlate_complex
+
+    rng = np.random.default_rng(9)
+    a = (rng.standard_normal((3, 200)) + 1j * rng.standard_normal((3, 200)))
+    v = rng.standard_normal(31) + 1j * rng.standard_normal(31)
+    fr, fi = correlate_complex(
+        a.real.astype(np.float32),
+        a.imag.astype(np.float32),
+        v.real.astype(np.float32),
+        v.imag.astype(np.float32),
+        mode=mode,
+    )
+    got = np.asarray(fr) + 1j * np.asarray(fi)
+    import scipy.signal as sps
+
+    ref = np.stack([sps.correlate(row, v, mode=mode, method="fft") for row in a])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_doppler_mxu_dft_matches_fft_oracle():
     """The dense MXU DFT spelling (window + fftshift folded into the
     matrix) equals fftshift(fft(w*x)) |.|^2 computed in float64."""
