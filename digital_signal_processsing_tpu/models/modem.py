@@ -241,15 +241,17 @@ def _oerder_meyr(y: jax.Array, sps: int) -> tuple[jax.Array, jax.Array]:
 
 
 def _preamble_sync(r: jax.Array, pre: np.ndarray) -> jax.Array:
-    """argmax |<r[k:k+P], pre>| over k — planar valid correlation (4 real
-    correlations through ops.correlate's MXU-DFT engine)."""
-    from ..ops.correlate import correlate
+    """argmax |<r[k:k+P], pre>| over k — one planar complex valid
+    correlation through ops.correlate's MXU-DFT engine."""
+    from ..ops.correlate import correlate_complex
 
-    rr, ri = jnp.real(r), jnp.imag(r)
-    pr = jnp.asarray(pre.real, jnp.float32)
-    pi = jnp.asarray(pre.imag, jnp.float32)
-    c_re = correlate(rr, pr, mode="valid") + correlate(ri, pi, mode="valid")
-    c_im = correlate(ri, pr, mode="valid") - correlate(rr, pi, mode="valid")
+    c_re, c_im = correlate_complex(
+        jnp.real(r),
+        jnp.imag(r),
+        jnp.asarray(pre.real, jnp.float32),
+        jnp.asarray(pre.imag, jnp.float32),
+        mode="valid",
+    )
     return jnp.argmax(c_re**2 + c_im**2)
 
 
