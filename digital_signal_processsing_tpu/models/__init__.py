@@ -7,8 +7,12 @@ from .modem import ModemConfig  # noqa: F401
 from . import modem  # noqa: F401
 from .radar import RadarConfig  # noqa: F401
 from . import radar  # noqa: F401
+from .beamform import ArrayConfig  # noqa: F401
+from . import beamform  # noqa: F401
 
 __all__ = [
+    "ArrayConfig",
+    "beamform",
     "ModemConfig",
     "modem",
     "RadarConfig",
