@@ -795,6 +795,160 @@ def _sosfilt_chunk_pallas_aligned(
 # section at (16, 4M); this targets both terms (VERDICT r2 item 1).
 
 
+def _row_pass_compact(tot1, tot2, car1, car2, p, rows):
+    """Row-level affine scan in compact (rows/128, 128) layout (round 3).
+
+    The broadcast row pass runs log2(rows) doubling levels on FULL
+    (rows, 128) tiles whose 128 lanes all carry the same value — at
+    rows=512 that is ~90 full-tile VPU ops per section for one scalar
+    pair per row of information. Here the (rows, 1) row totals are
+    relaid into a (rows/128, 128) tile (one value per lane) with g tiny
+    transpose matmuls (exact bf16x3), the scan runs on 1-vreg tiles, and
+    the row-start states scatter back with one HIGHEST selection matmul
+    + a lane reduction per component. Identical recurrence, two-level
+    (lane, sublane) association order instead of pure doubling — parity
+    with the broadcast pass is at f32 rounding level, and chunked
+    streaming stays bit-exact against the full call USING THE SAME pass.
+
+    tot1/tot2: (rows, 1) per-row totals T[r]; car1/car2: (1, 128)
+    all-lanes-equal incoming carries; p: scalar components of A^128.
+    Returns v1, v2 ((rows, 128) broadcast row-start states) and the next
+    carries nc1, nc2 ((1, 128)).
+    """
+    from jax.experimental.pallas import tpu as _pltpu
+
+    g = rows // 128
+    assert g * 128 == rows and 1 <= g <= 128, rows
+    p11, p12, p21, p22 = p
+    hp = jax.lax.Precision.HIGHEST
+    j128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    l128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    eye = jnp.where(j128 == l128, 1.0, 0.0).astype(jnp.float32)
+
+    def transpose_col(col):
+        # (128, 1) column -> (1, 128) row via a contracting-dim-0 matmul
+        # (MXU loads the transposed operand natively; no in-kernel relayout)
+        return jax.lax.dot_general(
+            col, eye, (((0,), (0,)), ((), ())), precision=hp,
+            preferred_element_type=jnp.float32,
+        )
+
+    u1 = jnp.concatenate(
+        [transpose_col(tot1[128 * i : 128 * (i + 1), :]) for i in range(g)], 0
+    )
+    u2 = jnp.concatenate(
+        [transpose_col(tot2[128 * i : 128 * (i + 1), :]) for i in range(g)], 0
+    )
+    rg = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 0)
+    lg = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
+    # fold A^128·carry into element 0 so the inclusive scan's exclusive
+    # shift directly yields row-start states (same trick as the broadcast
+    # pass, one level down)
+    f1 = p11 * car1 + p12 * car2
+    f2 = p21 * car1 + p22 * car2
+    first = (rg == 0) & (lg == 0)
+    u1 = jnp.where(first, u1 + jnp.broadcast_to(f1, (g, 128)), u1)
+    u2 = jnp.where(first, u2 + jnp.broadcast_to(f2, (g, 128)), u2)
+    # lane-inclusive scan with weight A^128; save the doubling powers for
+    # the per-lane application profile
+    q11, q12, q21, q22 = p11, p12, p21, p22
+    qpows = []
+    sh = 1
+    while sh < 128:
+        qpows.append((q11, q12, q21, q22))
+        r1 = _roll_fill(u1, sh, 1, 0.0)
+        r2 = _roll_fill(u2, sh, 1, 0.0)
+        u1 = q11 * r1 + q12 * r2 + u1
+        u2 = q21 * r1 + q22 * r2 + u2
+        q11, q12, q21, q22 = (
+            q11 * q11 + q12 * q21,
+            q11 * q12 + q12 * q22,
+            q21 * q11 + q22 * q21,
+            q21 * q12 + q22 * q22,
+        )
+        sh *= 2
+    if g > 1:
+        # cross-sublane levels with weight A^(128·128)
+        t1 = jnp.broadcast_to(u1[:, 127:128], (g, 128))
+        t2 = jnp.broadcast_to(u2[:, 127:128], (g, 128))
+        w11, w12, w21, w22 = q11, q12, q21, q22
+        sh = 1
+        while sh < g:
+            r1 = _roll_fill(t1, sh, 0, 0.0)
+            r2 = _roll_fill(t2, sh, 0, 0.0)
+            t1 = w11 * r1 + w12 * r2 + t1
+            t2 = w21 * r1 + w22 * r2 + t2
+            w11, w12, w21, w22 = (
+                w11 * w11 + w12 * w21,
+                w11 * w12 + w12 * w22,
+                w21 * w11 + w22 * w21,
+                w21 * w12 + w22 * w22,
+            )
+            sh *= 2
+        s1 = _roll_fill(t1, 1, 0, 0.0)
+        s2 = _roll_fill(t2, 1, 0, 0.0)
+        # per-lane profile Q[l] = A^(128·(l+1)) = A^128 · (A^128)^l
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        P11 = jnp.ones((1, 128), jnp.float32)
+        P12 = jnp.zeros((1, 128), jnp.float32)
+        P21 = jnp.zeros((1, 128), jnp.float32)
+        P22 = jnp.ones((1, 128), jnp.float32)
+        for k, (w11_, w12_, w21_, w22_) in enumerate(qpows):
+            shk = 1 << k
+            keep = lane1 < shk
+            r11 = _pltpu.roll(P11, shk, axis=1)
+            r12 = _pltpu.roll(P12, shk, axis=1)
+            r21 = _pltpu.roll(P21, shk, axis=1)
+            r22 = _pltpu.roll(P22, shk, axis=1)
+            P11 = jnp.where(keep, P11, w11_ * r11 + w12_ * r21)
+            P12 = jnp.where(keep, P12, w11_ * r12 + w12_ * r22)
+            P21 = jnp.where(keep, P21, w21_ * r11 + w22_ * r21)
+            P22 = jnp.where(keep, P22, w21_ * r12 + w22_ * r22)
+        Q11 = p11 * P11 + p12 * P21
+        Q12 = p11 * P12 + p12 * P22
+        Q21 = p21 * P11 + p22 * P21
+        Q22 = p21 * P12 + p22 * P22
+        u1 = u1 + jnp.broadcast_to(Q11, (g, 128)) * s1 + jnp.broadcast_to(
+            Q12, (g, 128)
+        ) * s2
+        u2 = u2 + jnp.broadcast_to(Q21, (g, 128)) * s1 + jnp.broadcast_to(
+            Q22, (g, 128)
+        ) * s2
+    # next carries: the last element's inclusive value, all-lane broadcast
+    nc1 = _fill_all_from_tail1(u1[g - 1 : g, :])
+    nc2 = _fill_all_from_tail1(u2[g - 1 : g, :])
+    # scatter back: W[r, :] = U[r//128, r%128]; exclusive shift; row 0 =
+    # the raw carry (identical to the broadcast pass's final step)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    e1t = jnp.where((row_idx // 128) == lane_idx, 1.0, 0.0).astype(jnp.float32)
+    pad = jnp.zeros((128 - g, 128), jnp.float32)
+    lanesel = lane_idx == (row_idx % 128)
+
+    def scatter(u):
+        x = jax.lax.dot_general(
+            e1t, jnp.concatenate([u, pad], 0),
+            (((1,), (0,)), ((), ())), precision=hp,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.broadcast_to(
+            jnp.sum(jnp.where(lanesel, x, 0.0), axis=1, keepdims=True),
+            (rows, 128),
+        )
+
+    v1 = jnp.where(
+        row_idx == 0,
+        jnp.broadcast_to(car1, (rows, 128)),
+        _roll_fill(scatter(u1), 1, 0, 0.0),
+    )
+    v2 = jnp.where(
+        row_idx == 0,
+        jnp.broadcast_to(car2, (rows, 128)),
+        _roll_fill(scatter(u2), 1, 0, 0.0),
+    )
+    return v1, v2, nc1, nc2
+
+
 def _biquad_fused_kernel(*refs, rows: int, n_sections: int, seeded: bool):
     """All SOS sections over one flat stream tile, scalar-A block scans.
 
@@ -930,13 +1084,17 @@ def _biquad_fused_kernel(*refs, rows: int, n_sections: int, seeded: bool):
         so_ref[0] = carry_ref[:]
 
 
-def _biquad_fused_loop_kernel(*refs, rows: int, n_sections: int, seeded: bool):
+def _biquad_fused_loop_kernel(
+    *refs, rows: int, n_sections: int, seeded: bool, row_pass: str = "bcast"
+):
     """Same algorithm as _biquad_fused_kernel with the section walk as a
     lax.fori_loop: the body is traced ONCE, so Mosaic compile time is
     independent of the section count (the unrolled spelling measured 323 s
     of remote compile at 4 sections vs ~80 s for this one's single body).
     Coefficients are read with a dynamic SMEM index; the per-section carry
     lives in a (S*2, 128) scratch addressed with dynamic sublane slices.
+    ``row_pass='compact'`` swaps the broadcast-tile row scan for
+    :func:`_row_pass_compact` (requires rows % 128 == 0).
     """
     from jax.experimental import pallas as pl
 
@@ -991,40 +1149,52 @@ def _biquad_fused_loop_kernel(*refs, rows: int, n_sections: int, seeded: bool):
                 p21 * p12 + p22 * p22,
             )
             sh *= 2
-        t1 = jnp.broadcast_to(c1[:, 127:128], (rows, 128))
-        t2 = jnp.broadcast_to(c2[:, 127:128], (rows, 128))
         car1 = carry_ref[pl.ds(2 * s, 1), :]
         car2 = carry_ref[pl.ds(2 * s + 1, 1), :]
-        f1 = jnp.broadcast_to(p11 * car1 + p12 * car2, (rows, 128))
-        f2 = jnp.broadcast_to(p21 * car1 + p22 * car2, (rows, 128))
-        t1 = jnp.where(row_idx == 0, t1 + f1, t1)
-        t2 = jnp.where(row_idx == 0, t2 + f2, t2)
-        q11, q12, q21, q22 = p11, p12, p21, p22
-        sh = 1
-        while sh < rows:
-            rt1 = _roll_fill(t1, sh, 0, 0.0)
-            rt2 = _roll_fill(t2, sh, 0, 0.0)
-            t1 = q11 * rt1 + q12 * rt2 + t1
-            t2 = q21 * rt1 + q22 * rt2 + t2
-            q11, q12, q21, q22 = (
-                q11 * q11 + q12 * q21,
-                q11 * q12 + q12 * q22,
-                q21 * q11 + q22 * q21,
-                q21 * q12 + q22 * q22,
+        if row_pass == "compact":
+            v1, v2, nc1, nc2 = _row_pass_compact(
+                c1[:, 127:128],
+                c2[:, 127:128],
+                car1,
+                car2,
+                (p11, p12, p21, p22),
+                rows,
             )
-            sh *= 2
-        v1 = jnp.where(
-            row_idx == 0,
-            jnp.broadcast_to(car1, (rows, 128)),
-            _roll_fill(t1, 1, 0, 0.0),
-        )
-        v2 = jnp.where(
-            row_idx == 0,
-            jnp.broadcast_to(car2, (rows, 128)),
-            _roll_fill(t2, 1, 0, 0.0),
-        )
-        carry_ref[pl.ds(2 * s, 1), :] = t1[rows - 1 :, :]
-        carry_ref[pl.ds(2 * s + 1, 1), :] = t2[rows - 1 :, :]
+            carry_ref[pl.ds(2 * s, 1), :] = nc1
+            carry_ref[pl.ds(2 * s + 1, 1), :] = nc2
+        else:
+            t1 = jnp.broadcast_to(c1[:, 127:128], (rows, 128))
+            t2 = jnp.broadcast_to(c2[:, 127:128], (rows, 128))
+            f1 = jnp.broadcast_to(p11 * car1 + p12 * car2, (rows, 128))
+            f2 = jnp.broadcast_to(p21 * car1 + p22 * car2, (rows, 128))
+            t1 = jnp.where(row_idx == 0, t1 + f1, t1)
+            t2 = jnp.where(row_idx == 0, t2 + f2, t2)
+            q11, q12, q21, q22 = p11, p12, p21, p22
+            sh = 1
+            while sh < rows:
+                rt1 = _roll_fill(t1, sh, 0, 0.0)
+                rt2 = _roll_fill(t2, sh, 0, 0.0)
+                t1 = q11 * rt1 + q12 * rt2 + t1
+                t2 = q21 * rt1 + q22 * rt2 + t2
+                q11, q12, q21, q22 = (
+                    q11 * q11 + q12 * q21,
+                    q11 * q12 + q12 * q22,
+                    q21 * q11 + q22 * q21,
+                    q21 * q12 + q22 * q22,
+                )
+                sh *= 2
+            v1 = jnp.where(
+                row_idx == 0,
+                jnp.broadcast_to(car1, (rows, 128)),
+                _roll_fill(t1, 1, 0, 0.0),
+            )
+            v2 = jnp.where(
+                row_idx == 0,
+                jnp.broadcast_to(car2, (rows, 128)),
+                _roll_fill(t2, 1, 0, 0.0),
+            )
+            carry_ref[pl.ds(2 * s, 1), :] = t1[rows - 1 :, :]
+            carry_ref[pl.ds(2 * s + 1, 1), :] = t2[rows - 1 :, :]
         P11 = jnp.ones((1, 128), jnp.float32)
         P12 = jnp.zeros((1, 128), jnp.float32)
         P21 = jnp.zeros((1, 128), jnp.float32)
@@ -1055,7 +1225,9 @@ def _biquad_fused_loop_kernel(*refs, rows: int, n_sections: int, seeded: bool):
         so_ref[0] = carry_ref[:]
 
 
-def _biquad_fused_mxu_kernel(*refs, rows: int, n_sections: int, seeded: bool):
+def _biquad_fused_mxu_kernel(
+    *refs, rows: int, n_sections: int, seeded: bool, row_pass: str = "bcast"
+):
     """The fused cascade with the LANE pass on the MXU (round 3).
 
     The 7-level lane doubling scan is the kernel's largest VPU term (~70
@@ -1163,10 +1335,10 @@ def _biquad_fused_mxu_kernel(*refs, rows: int, n_sections: int, seeded: bool):
         t22 = tmat_ref[pl.ds((4 * s + 3) * 128, 128), :]
         sx1 = mmT(c1, t11) + mmT(c2, t12)
         sx2 = mmT(c1, t21) + mmT(c2, t22)
-        # row totals: inclusive[127] = A*s_ex[127] + c[127], lane-broadcast
+        # row totals: inclusive[127] = A*s_ex[127] + c[127]
         s1x, s2x = sx1[:, 127:128], sx2[:, 127:128]
-        t1 = jnp.broadcast_to(-a1 * s1x + s2x + c1[:, 127:128], (rows, 128))
-        t2 = jnp.broadcast_to(-a2 * s1x + c2[:, 127:128], (rows, 128))
+        tot1 = -a1 * s1x + s2x + c1[:, 127:128]
+        tot2 = -a2 * s1x + c2[:, 127:128]
         # A^128 by scalar squaring (7 steps)
         p11, p12, p21, p22 = -a1, jnp.float32(1.0), -a2, jnp.float32(0.0)
         for _ in range(7):
@@ -1178,36 +1350,45 @@ def _biquad_fused_mxu_kernel(*refs, rows: int, n_sections: int, seeded: bool):
             )
         car1 = carry_ref[pl.ds(2 * s, 1), :]
         car2 = carry_ref[pl.ds(2 * s + 1, 1), :]
-        f1 = jnp.broadcast_to(p11 * car1 + p12 * car2, (rows, 128))
-        f2 = jnp.broadcast_to(p21 * car1 + p22 * car2, (rows, 128))
-        t1 = jnp.where(row_idx == 0, t1 + f1, t1)
-        t2 = jnp.where(row_idx == 0, t2 + f2, t2)
-        q11, q12, q21, q22 = p11, p12, p21, p22
-        sh = 1
-        while sh < rows:
-            rt1 = _roll_fill(t1, sh, 0, 0.0)
-            rt2 = _roll_fill(t2, sh, 0, 0.0)
-            t1 = q11 * rt1 + q12 * rt2 + t1
-            t2 = q21 * rt1 + q22 * rt2 + t2
-            q11, q12, q21, q22 = (
-                q11 * q11 + q12 * q21,
-                q11 * q12 + q12 * q22,
-                q21 * q11 + q22 * q21,
-                q21 * q12 + q22 * q22,
+        if row_pass == "compact":
+            v1, v2, nc1, nc2 = _row_pass_compact(
+                tot1, tot2, car1, car2, (p11, p12, p21, p22), rows
             )
-            sh *= 2
-        v1 = jnp.where(
-            row_idx == 0,
-            jnp.broadcast_to(car1, (rows, 128)),
-            _roll_fill(t1, 1, 0, 0.0),
-        )
-        v2 = jnp.where(
-            row_idx == 0,
-            jnp.broadcast_to(car2, (rows, 128)),
-            _roll_fill(t2, 1, 0, 0.0),
-        )
-        carry_ref[pl.ds(2 * s, 1), :] = t1[rows - 1 :, :]
-        carry_ref[pl.ds(2 * s + 1, 1), :] = t2[rows - 1 :, :]
+            carry_ref[pl.ds(2 * s, 1), :] = nc1
+            carry_ref[pl.ds(2 * s + 1, 1), :] = nc2
+        else:
+            t1 = jnp.broadcast_to(tot1, (rows, 128))
+            t2 = jnp.broadcast_to(tot2, (rows, 128))
+            f1 = jnp.broadcast_to(p11 * car1 + p12 * car2, (rows, 128))
+            f2 = jnp.broadcast_to(p21 * car1 + p22 * car2, (rows, 128))
+            t1 = jnp.where(row_idx == 0, t1 + f1, t1)
+            t2 = jnp.where(row_idx == 0, t2 + f2, t2)
+            q11, q12, q21, q22 = p11, p12, p21, p22
+            sh = 1
+            while sh < rows:
+                rt1 = _roll_fill(t1, sh, 0, 0.0)
+                rt2 = _roll_fill(t2, sh, 0, 0.0)
+                t1 = q11 * rt1 + q12 * rt2 + t1
+                t2 = q21 * rt1 + q22 * rt2 + t2
+                q11, q12, q21, q22 = (
+                    q11 * q11 + q12 * q21,
+                    q11 * q12 + q12 * q22,
+                    q21 * q11 + q22 * q21,
+                    q21 * q12 + q22 * q22,
+                )
+                sh *= 2
+            v1 = jnp.where(
+                row_idx == 0,
+                jnp.broadcast_to(car1, (rows, 128)),
+                _roll_fill(t1, 1, 0, 0.0),
+            )
+            v2 = jnp.where(
+                row_idx == 0,
+                jnp.broadcast_to(car2, (rows, 128)),
+                _roll_fill(t2, 1, 0, 0.0),
+            )
+            carry_ref[pl.ds(2 * s, 1), :] = t1[rows - 1 :, :]
+            carry_ref[pl.ds(2 * s + 1, 1), :] = t2[rows - 1 :, :]
         # per-element profile P[l] = A^l back out of T's first row:
         # (A A^(l-1))_11 = -a1 T11[0,l] + T21[0,l] (l >= 1); l=0 -> I
         lane0 = lane_idx1 == 0
@@ -1235,6 +1416,7 @@ def sosfilt_pallas_fused(
     tile_rows: int | None = None,
     unroll_sections: bool = False,
     lane_pass: str = "vpu",
+    row_pass: str = "bcast",
 ) -> jax.Array:
     """SOS cascade via the fused scalar-A Pallas kernel (see the kernel doc).
 
@@ -1247,7 +1429,10 @@ def sosfilt_pallas_fused(
     ``tile_rows=None`` auto-picks 512 for streams that fill at least one
     such tile (measured 4.15 vs 3.79 GS/s over rows=256 at (16, 4M)/4
     sections, BENCH_NOTES r3 tile sweep) and 256 otherwise (less padding
-    waste on short streams).
+    waste on short streams). ``row_pass='compact'`` runs the row-level
+    scan on a (tile_rows/128, 128) relayout instead of broadcast
+    (tile_rows, 128) tiles (see :func:`_row_pass_compact`; requires
+    tile_rows % 128 == 0).
     """
     import functools as _ft
 
@@ -1256,23 +1441,37 @@ def sosfilt_pallas_fused(
 
     if tile_rows is None:
         tile_rows = 512 if x.shape[-1] >= 512 * 128 else 256
+    if row_pass not in ("bcast", "compact"):
+        raise ValueError(
+            f"unknown row_pass {row_pass!r}; options ('bcast', 'compact')"
+        )
+    if row_pass == "compact" and tile_rows % 128 != 0:
+        raise ValueError(
+            f"row_pass='compact' needs tile_rows % 128 == 0, got {tile_rows}"
+        )
     sos_rows = jnp.asarray(sos, jnp.float32).reshape(-1, 6)
     n_sec = int(sos_rows.shape[0])
     y3d, batch, n = _to_planar_tiles(x, tile_rows)
     nch, rtot = y3d.shape[0], y3d.shape[1]
 
+    kwargs = {}
     if lane_pass == "mxu":
         kern = _biquad_fused_mxu_kernel
         scratch = [
             pltpu.VMEM((2 * n_sec, 128), jnp.float32),
             pltpu.VMEM((4 * n_sec * 128, 128), jnp.float32),
         ]
+        kwargs["row_pass"] = row_pass
     elif lane_pass == "vpu":
-        kern = (
-            _biquad_fused_kernel
-            if unroll_sections
-            else _biquad_fused_loop_kernel
-        )
+        if unroll_sections:
+            if row_pass != "bcast":
+                raise ValueError(
+                    "unroll_sections supports row_pass='bcast' only"
+                )
+            kern = _biquad_fused_kernel
+        else:
+            kern = _biquad_fused_loop_kernel
+            kwargs["row_pass"] = row_pass
         scratch = [pltpu.VMEM((2 * n_sec, 128), jnp.float32)]
     else:
         raise ValueError(
@@ -1284,6 +1483,7 @@ def sosfilt_pallas_fused(
             rows=tile_rows,
             n_sections=n_sec,
             seeded=False,
+            **kwargs,
         ),
         out_shape=jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
         grid=(nch, rtot // tile_rows),
@@ -1310,29 +1510,41 @@ def sosfilt_pallas_fused(
 
 
 def sosfilt_chunk_pallas_fused(
-    state: jax.Array, sos: jax.Array, x: jax.Array, *, tile_rows: int = 256
+    state: jax.Array,
+    sos: jax.Array,
+    x: jax.Array,
+    *,
+    tile_rows: int = 256,
+    row_pass: str = "bcast",
 ) -> tuple[jax.Array, jax.Array]:
     """Streaming chunk through the fused scalar-A kernel (seeded carries).
 
     Same contract as :func:`sosfilt_chunk`; tile-aligned head through the
     kernel, sub-tile tail through the XLA chunk op (exact state hand-off,
-    as in :func:`sosfilt_chunk_pallas`).
+    as in :func:`sosfilt_chunk_pallas`). Chunked output is bit-equal to
+    the full :func:`sosfilt_pallas_fused` call with the SAME row_pass.
     """
     tile = tile_rows * 128
     n = x.shape[-1]
     main = (n // tile) * tile
     if main == 0:
         return _sosfilt_chunk_xla(state, sos, x)
-    st1, y_main = _sosfilt_chunk_fused_aligned(state, sos, x[..., :main], tile_rows)
+    st1, y_main = _sosfilt_chunk_fused_aligned(
+        state, sos, x[..., :main], tile_rows, row_pass
+    )
     if main == n:
         return st1, y_main
     st2, y_tail = _sosfilt_chunk_xla(st1, sos, x[..., main:])
     return st2, jnp.concatenate([y_main, y_tail], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows",))
+@functools.partial(jax.jit, static_argnames=("tile_rows", "row_pass"))
 def _sosfilt_chunk_fused_aligned(
-    state: jax.Array, sos: jax.Array, x: jax.Array, tile_rows: int
+    state: jax.Array,
+    sos: jax.Array,
+    x: jax.Array,
+    tile_rows: int,
+    row_pass: str = "bcast",
 ) -> tuple[jax.Array, jax.Array]:
     import functools as _ft
 
@@ -1351,6 +1563,7 @@ def _sosfilt_chunk_fused_aligned(
             rows=tile_rows,
             n_sections=n_sec,
             seeded=True,
+            row_pass=row_pass,
         ),
         out_shape=[
             jax.ShapeDtypeStruct(y3d.shape, jnp.float32),

@@ -375,6 +375,69 @@ class TestSosfiltFused:
         sc = np.max(np.abs(want))
         assert np.max(np.abs(got - want)) / sc < 1e-4
 
+    @pytest.mark.parametrize("lane_pass", ["vpu", "mxu"])
+    @pytest.mark.parametrize("tile_rows", [128, 256])
+    def test_compact_row_pass_parity(self, rng, lane_pass, tile_rows):
+        # round-3 lever: row scan on a (rows/128, 128) relayout instead of
+        # broadcast (rows, 128) tiles
+        import scipy.signal as sps
+
+        from digital_signal_processsing_tpu.ops.iir import sosfilt_pallas_fused
+
+        sos = sps.butter(8, 0.2, output="sos").astype(np.float32)
+        x = rng.normal(size=(2, tile_rows * 128 * 2 + 333)).astype(np.float32)
+        want = sps.sosfilt(sos.astype(np.float64), x.astype(np.float64))
+        got = np.asarray(
+            sosfilt_pallas_fused(
+                sos, x, tile_rows=tile_rows, lane_pass=lane_pass,
+                row_pass="compact",
+            )
+        )
+        sc = np.max(np.abs(want))
+        assert np.max(np.abs(got - want)) / sc < 1e-4
+
+    def test_compact_row_pass_validation(self, rng):
+        from digital_signal_processsing_tpu.ops.iir import sosfilt_pallas_fused
+
+        sos = np.array([[0.2, 0.1, 0.05, 1.0, -0.4, 0.1]], np.float32)
+        x = rng.normal(size=2048).astype(np.float32)
+        with pytest.raises(ValueError):
+            sosfilt_pallas_fused(sos, x, tile_rows=8, row_pass="compact")
+        with pytest.raises(ValueError):
+            sosfilt_pallas_fused(sos, x, row_pass="nope")
+        with pytest.raises(ValueError):
+            sosfilt_pallas_fused(
+                sos, x, tile_rows=128, unroll_sections=True,
+                row_pass="compact",
+            )
+
+    def test_compact_seeded_chunks_bit_equal_full(self, rng):
+        # tile-aligned chunked streaming must be BIT-equal to the full call
+        # with the same row_pass (the sub-tile tail goes through the XLA op
+        # and is tolerance-only, as for the broadcast pass)
+        import scipy.signal as sps
+
+        from digital_signal_processsing_tpu.ops.iir import (
+            sosfilt_chunk_pallas_fused,
+            sosfilt_init,
+            sosfilt_pallas_fused,
+        )
+
+        sos = sps.butter(6, 0.31, output="sos").astype(np.float32)
+        tile = 128 * 128
+        x = rng.normal(size=(2, 3 * tile)).astype(np.float32)
+        full = np.asarray(
+            sosfilt_pallas_fused(sos, x, tile_rows=128, row_pass="compact")
+        )
+        state = sosfilt_init(sos, batch_shape=(2,))
+        outs = []
+        for a, b in [(0, tile), (tile, 3 * tile)]:
+            state, y = sosfilt_chunk_pallas_fused(
+                state, sos, x[:, a:b], tile_rows=128, row_pass="compact"
+            )
+            outs.append(np.asarray(y))
+        np.testing.assert_array_equal(np.concatenate(outs, axis=-1), full)
+
 
 def test_sosfiltfilt_edges_exact_all_families(rng):
     # the round-3 zi-seeded recipe: parity at the very first/last samples
