@@ -505,8 +505,156 @@ def _from_planar_tiles(out, batch, n: int):
     return out.reshape(out.shape[0], -1)[:, :n].reshape(batch + (n,))
 
 
+def _row_pass_compact1(tot, car, p, rows):
+    """Scalar (first-order) edition of :func:`_row_pass_compact`.
+
+    tot: (rows, 1) per-row totals; car: (1, 128) all-lanes-equal carry;
+    p: the scalar a^128. Returns v ((rows, 128) broadcast row-start
+    states) and the next carry nc ((1, 128)).
+    """
+    from jax.experimental.pallas import tpu as _pltpu
+
+    g = rows // 128
+    assert g * 128 == rows and 1 <= g <= 128, rows
+    hp = jax.lax.Precision.HIGHEST
+    j128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    l128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    eye = jnp.where(j128 == l128, 1.0, 0.0).astype(jnp.float32)
+    u = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                tot[128 * i : 128 * (i + 1), :], eye,
+                (((0,), (0,)), ((), ())), precision=hp,
+                preferred_element_type=jnp.float32,
+            )
+            for i in range(g)
+        ],
+        0,
+    )
+    rg = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 0)
+    lg = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
+    first = (rg == 0) & (lg == 0)
+    u = jnp.where(first, u + jnp.broadcast_to(p * car, (g, 128)), u)
+    q = p
+    qpows = []
+    sh = 1
+    while sh < 128:
+        qpows.append(q)
+        u = q * _roll_fill(u, sh, 1, 0.0) + u
+        q = q * q
+        sh *= 2
+    if g > 1:
+        t = jnp.broadcast_to(u[:, 127:128], (g, 128))
+        w = q
+        sh = 1
+        while sh < g:
+            t = w * _roll_fill(t, sh, 0, 0.0) + t
+            w = w * w
+            sh *= 2
+        s_ = _roll_fill(t, 1, 0, 0.0)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        prof = jnp.ones((1, 128), jnp.float32)
+        for k, wk in enumerate(qpows):
+            shk = 1 << k
+            prof = jnp.where(
+                lane1 < shk, prof, wk * _pltpu.roll(prof, shk, axis=1)
+            )
+        u = u + jnp.broadcast_to(p * prof, (g, 128)) * s_
+    nc = _fill_all_from_tail1(u[g - 1 : g, :])
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    e1t = jnp.where((row_idx // 128) == lane_idx, 1.0, 0.0).astype(jnp.float32)
+    pad = jnp.zeros((128 - g, 128), jnp.float32)
+    lanesel = lane_idx == (row_idx % 128)
+    xsc = jax.lax.dot_general(
+        e1t, jnp.concatenate([u, pad], 0), (((1,), (0,)), ((), ())),
+        precision=hp, preferred_element_type=jnp.float32,
+    )
+    w_full = jnp.broadcast_to(
+        jnp.sum(jnp.where(lanesel, xsc, 0.0), axis=1, keepdims=True),
+        (rows, 128),
+    )
+    v = jnp.where(
+        row_idx == 0,
+        jnp.broadcast_to(car, (rows, 128)),
+        _roll_fill(w_full, 1, 0, 0.0),
+    )
+    return v, nc
+
+
+def _iir1_scalar_kernel(
+    c_ref, x_ref, o_ref, carry_ref, *, rows, row_pass="bcast"
+):
+    """First-order block scan with scalar-A composition (round 3).
+
+    :func:`_iir1_kernel` tracks BOTH the alpha products (data-independent
+    for a scalar coefficient) and the beta sums as full (rows, 128)
+    tiles; here every alpha composition is a traced scalar — the lane
+    scan halves, the row pass loses the alpha tile entirely, and
+    ``row_pass='compact'`` moves the row scan onto (rows/128, 128)
+    1-vreg tiles (:func:`_row_pass_compact1`). The per-element alpha
+    application comes back as a (1, 128) lane-power profile. Same
+    semantics and SMEM coefficient contract as :func:`_iir1_kernel`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as _pltpu
+
+    a, b = c_ref[0], c_ref[1]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        carry_ref[:] = jnp.zeros((1, 128), jnp.float32)
+
+    beta = x_ref[0].astype(jnp.float32) * b
+    w = a
+    pows = []
+    sh = 1
+    while sh < 128:
+        pows.append(w)
+        beta = w * _roll_fill(beta, sh, 1, 0.0) + beta
+        w = w * w
+        sh *= 2
+    # w = a^128
+    car = carry_ref[:]
+    tot = beta[:, 127:128]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    if row_pass == "compact":
+        v, nc = _row_pass_compact1(tot, car, w, rows)
+        carry_ref[:] = nc
+    else:
+        tt = jnp.broadcast_to(tot, (rows, 128))
+        tt = jnp.where(
+            row_idx == 0, tt + jnp.broadcast_to(w * car, (rows, 128)), tt
+        )
+        q = w
+        sh = 1
+        while sh < rows:
+            tt = q * _roll_fill(tt, sh, 0, 0.0) + tt
+            q = q * q
+            sh *= 2
+        v = jnp.where(
+            row_idx == 0,
+            jnp.broadcast_to(car, (rows, 128)),
+            _roll_fill(tt, 1, 0, 0.0),
+        )
+        carry_ref[:] = tt[rows - 1 :, :]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    prof = jnp.ones((1, 128), jnp.float32)
+    for k, wk in enumerate(pows):
+        shk = 1 << k
+        prof = jnp.where(lane1 < shk, prof, wk * _pltpu.roll(prof, shk, axis=1))
+    o_ref[0] = jnp.broadcast_to(a * prof, (rows, 128)) * v + beta
+
+
 def iir_first_order_pallas(
-    x: jax.Array, a: float, b: float = 1.0, *, tile_rows: int = 512
+    x: jax.Array,
+    a: float,
+    b: float = 1.0,
+    *,
+    tile_rows: int = 512,
+    kernel: str = "tile",
+    row_pass: str = "bcast",
 ) -> jax.Array:
     """y[t] = a*y[t-1] + b*x[t] over the last axis — Pallas block scan.
 
@@ -517,18 +665,38 @@ def iir_first_order_pallas(
     coefficients never recompile). Planar batching: any leading axes are
     independent streams, walked by an outer grid axis with a per-stream
     carry reset — one compile for all channels.
+
+    ``kernel='scalar'`` uses the round-3 scalar-A composition kernel
+    (:func:`_iir1_scalar_kernel`); ``row_pass='compact'`` additionally
+    moves its row scan onto a (tile_rows/128, 128) relayout.
     """
     import functools
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if kernel == "scalar":
+        if row_pass == "compact" and tile_rows % 128 != 0:
+            raise ValueError(
+                f"row_pass='compact' needs tile_rows % 128 == 0, got {tile_rows}"
+            )
+        kern = functools.partial(
+            _iir1_scalar_kernel, rows=tile_rows, row_pass=row_pass
+        )
+    elif kernel == "tile":
+        if row_pass != "bcast":
+            raise ValueError("kernel='tile' supports row_pass='bcast' only")
+        kern = functools.partial(_iir1_kernel, rows=tile_rows)
+    else:
+        raise ValueError(
+            f"unknown kernel {kernel!r}; options ('tile', 'scalar')"
+        )
     x3d, batch, n = _to_planar_tiles(x, tile_rows)
     nch, rtot = x3d.shape[0], x3d.shape[1]
     coeffs = jnp.stack(
         [jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)]
     )
     out = pl.pallas_call(
-        functools.partial(_iir1_kernel, rows=tile_rows),
+        kern,
         out_shape=jax.ShapeDtypeStruct(x3d.shape, jnp.float32),
         grid=(nch, rtot // tile_rows),
         in_specs=[

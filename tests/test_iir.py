@@ -108,6 +108,42 @@ def test_iir_first_order_pallas_matches_xla(rng):
         assert np.max(np.abs(got - want)) / scale < 1e-4
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(kernel="scalar"),
+        dict(kernel="scalar", row_pass="compact"),
+        dict(kernel="scalar", row_pass="compact", tile_rows=128),
+    ],
+)
+def test_iir1_scalar_kernel_matches_xla(rng, kw):
+    # round-3: scalar-A composition (no alpha tiles) + compact row pass
+    from digital_signal_processsing_tpu.ops.iir import (
+        iir_first_order,
+        iir_first_order_pallas,
+    )
+
+    x = rng.normal(size=(2, 140_000)).astype(np.float32)
+    want = np.asarray(iir_first_order(x, 0.93, 0.4, method="xla_scan"))
+    got = np.asarray(iir_first_order_pallas(x, 0.93, 0.4, **kw))
+    scale = np.max(np.abs(want)) + 1e-9
+    assert np.max(np.abs(got - want)) / scale < 1e-4
+
+
+def test_iir1_kernel_validation(rng):
+    from digital_signal_processsing_tpu.ops.iir import iir_first_order_pallas
+
+    x = rng.normal(size=4096).astype(np.float32)
+    with pytest.raises(ValueError):
+        iir_first_order_pallas(x, 0.9, kernel="nope")
+    with pytest.raises(ValueError):
+        iir_first_order_pallas(x, 0.9, kernel="tile", row_pass="compact")
+    with pytest.raises(ValueError):
+        iir_first_order_pallas(
+            x, 0.9, kernel="scalar", row_pass="compact", tile_rows=8
+        )
+
+
 def test_iir_first_order_pallas_batched(rng):
     # planar (C, T): one compile walks every channel with a per-channel
     # carry reset — each row must match its own independent scan
