@@ -81,6 +81,36 @@ def main():
             flush=True,
         )
 
+    # --- time-varying cascade: same A/B at a smaller config (the 5S
+    # coefficient planes multiply HBM traffic; (4, 1M)/2 sections)
+    from digital_signal_processsing_tpu.ops.iir import sosfilt_tv_fused
+
+    Ct, Tt = 4, 1_000_000
+    rr = 0.5 + 0.3 * np.sin(np.linspace(0, 6, Tt))
+    rowc = np.stack(
+        [np.full(Tt, 0.3), np.full(Tt, 0.1), np.full(Tt, 0.05),
+         np.ones(Tt), -1.6 * rr, rr * rr], -1
+    ).astype(np.float32)
+    sos_t = np.stack([rowc, 0.9 * rowc], 0)
+    xt = jax.device_put(rng.normal(size=(Ct, Tt)).astype(np.float32))
+    tv_fns = {
+        "tv+compact": lambda v: sosfilt_tv_fused(
+            sos_t, v, row_pass="compact"
+        ),
+        "tv+bcast": lambda v: sosfilt_tv_fused(sos_t, v),
+    }
+    for name, fn in tv_fns.items():
+        t0 = time.perf_counter()
+        np.asarray(fn(xt)[:1, :8])
+        print(f"compile+first {name}: {time.perf_counter()-t0:.1f}s", flush=True)
+    for rep in range(3):
+        row = {n: Ct * Tt / kdiff(f, xt) / 1e9 for n, f in tv_fns.items()}
+        print(
+            f"tv rep {rep}: "
+            + "  ".join(f"{k}={v:.2f} GS/s" for k, v in row.items()),
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -505,6 +505,56 @@ def _from_planar_tiles(out, batch, n: int):
     return out.reshape(out.shape[0], -1)[:, :n].reshape(batch + (n,))
 
 
+def _col_to_compact(col, rows):
+    """(rows, 1) column -> (rows/128, 128) row-major relayout.
+
+    Element (i, l) = col[128*i + l]. Spelled as g tiny contracting-dim-0
+    matmuls against the identity (exact bf16x3 HIGHEST) — the MXU loads
+    the transposed operand natively, so no in-kernel reshape/transpose
+    ever reaches Mosaic (the compile-helper crashes on those).
+    """
+    g = rows // 128
+    assert g * 128 == rows and 1 <= g <= 128, rows
+    hp = jax.lax.Precision.HIGHEST
+    j128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    l128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    eye = jnp.where(j128 == l128, 1.0, 0.0).astype(jnp.float32)
+    return jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                col[128 * i : 128 * (i + 1), :], eye,
+                (((0,), (0,)), ((), ())), precision=hp,
+                preferred_element_type=jnp.float32,
+            )
+            for i in range(g)
+        ],
+        0,
+    )
+
+
+def _compact_to_rows_bcast(u, rows):
+    """Inverse relayout, broadcast: W[r, :] = u[r//128, r%128].
+
+    One HIGHEST selection matmul (exact value pass-through) plus a lane
+    reduction + broadcast per call.
+    """
+    g = rows // 128
+    hp = jax.lax.Precision.HIGHEST
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    e1t = jnp.where((row_idx // 128) == lane_idx, 1.0, 0.0).astype(jnp.float32)
+    pad = jnp.zeros((128 - g, 128), jnp.float32)
+    x = jax.lax.dot_general(
+        e1t, jnp.concatenate([u, pad], 0), (((1,), (0,)), ((), ())),
+        precision=hp, preferred_element_type=jnp.float32,
+    )
+    lanesel = lane_idx == (row_idx % 128)
+    return jnp.broadcast_to(
+        jnp.sum(jnp.where(lanesel, x, 0.0), axis=1, keepdims=True),
+        (rows, 128),
+    )
+
+
 def _row_pass_compact1(tot, car, p, rows):
     """Scalar (first-order) edition of :func:`_row_pass_compact`.
 
@@ -515,22 +565,7 @@ def _row_pass_compact1(tot, car, p, rows):
     from jax.experimental.pallas import tpu as _pltpu
 
     g = rows // 128
-    assert g * 128 == rows and 1 <= g <= 128, rows
-    hp = jax.lax.Precision.HIGHEST
-    j128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    l128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    eye = jnp.where(j128 == l128, 1.0, 0.0).astype(jnp.float32)
-    u = jnp.concatenate(
-        [
-            jax.lax.dot_general(
-                tot[128 * i : 128 * (i + 1), :], eye,
-                (((0,), (0,)), ((), ())), precision=hp,
-                preferred_element_type=jnp.float32,
-            )
-            for i in range(g)
-        ],
-        0,
-    )
+    u = _col_to_compact(tot, rows)
     rg = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 0)
     lg = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
     first = (rg == 0) & (lg == 0)
@@ -562,22 +597,10 @@ def _row_pass_compact1(tot, car, p, rows):
         u = u + jnp.broadcast_to(p * prof, (g, 128)) * s_
     nc = _fill_all_from_tail1(u[g - 1 : g, :])
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-    e1t = jnp.where((row_idx // 128) == lane_idx, 1.0, 0.0).astype(jnp.float32)
-    pad = jnp.zeros((128 - g, 128), jnp.float32)
-    lanesel = lane_idx == (row_idx % 128)
-    xsc = jax.lax.dot_general(
-        e1t, jnp.concatenate([u, pad], 0), (((1,), (0,)), ((), ())),
-        precision=hp, preferred_element_type=jnp.float32,
-    )
-    w_full = jnp.broadcast_to(
-        jnp.sum(jnp.where(lanesel, xsc, 0.0), axis=1, keepdims=True),
-        (rows, 128),
-    )
     v = jnp.where(
         row_idx == 0,
         jnp.broadcast_to(car, (rows, 128)),
-        _roll_fill(w_full, 1, 0, 0.0),
+        _roll_fill(_compact_to_rows_bcast(u, rows), 1, 0, 0.0),
     )
     return v, nc
 
@@ -988,25 +1011,8 @@ def _row_pass_compact(tot1, tot2, car1, car2, p, rows):
     g = rows // 128
     assert g * 128 == rows and 1 <= g <= 128, rows
     p11, p12, p21, p22 = p
-    hp = jax.lax.Precision.HIGHEST
-    j128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    l128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    eye = jnp.where(j128 == l128, 1.0, 0.0).astype(jnp.float32)
-
-    def transpose_col(col):
-        # (128, 1) column -> (1, 128) row via a contracting-dim-0 matmul
-        # (MXU loads the transposed operand natively; no in-kernel relayout)
-        return jax.lax.dot_general(
-            col, eye, (((0,), (0,)), ((), ())), precision=hp,
-            preferred_element_type=jnp.float32,
-        )
-
-    u1 = jnp.concatenate(
-        [transpose_col(tot1[128 * i : 128 * (i + 1), :]) for i in range(g)], 0
-    )
-    u2 = jnp.concatenate(
-        [transpose_col(tot2[128 * i : 128 * (i + 1), :]) for i in range(g)], 0
-    )
+    u1 = _col_to_compact(tot1, rows)
+    u2 = _col_to_compact(tot2, rows)
     rg = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 0)
     lg = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
     # fold A^128·carry into element 0 so the inclusive scan's exclusive
@@ -1088,31 +1094,15 @@ def _row_pass_compact(tot1, tot2, car1, car2, p, rows):
     # scatter back: W[r, :] = U[r//128, r%128]; exclusive shift; row 0 =
     # the raw carry (identical to the broadcast pass's final step)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-    e1t = jnp.where((row_idx // 128) == lane_idx, 1.0, 0.0).astype(jnp.float32)
-    pad = jnp.zeros((128 - g, 128), jnp.float32)
-    lanesel = lane_idx == (row_idx % 128)
-
-    def scatter(u):
-        x = jax.lax.dot_general(
-            e1t, jnp.concatenate([u, pad], 0),
-            (((1,), (0,)), ((), ())), precision=hp,
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.broadcast_to(
-            jnp.sum(jnp.where(lanesel, x, 0.0), axis=1, keepdims=True),
-            (rows, 128),
-        )
-
     v1 = jnp.where(
         row_idx == 0,
         jnp.broadcast_to(car1, (rows, 128)),
-        _roll_fill(scatter(u1), 1, 0, 0.0),
+        _roll_fill(_compact_to_rows_bcast(u1, rows), 1, 0, 0.0),
     )
     v2 = jnp.where(
         row_idx == 0,
         jnp.broadcast_to(car2, (rows, 128)),
-        _roll_fill(scatter(u2), 1, 0, 0.0),
+        _roll_fill(_compact_to_rows_bcast(u2, rows), 1, 0, 0.0),
     )
     return v1, v2, nc1, nc2
 
@@ -2552,7 +2542,67 @@ def _sosfilt_tv_chunk_xla(state, sos_t, x):
     return st.reshape(jnp.asarray(state).shape), y.T.reshape(batch + (n,))
 
 
-def _biquad_tv_fused_kernel(*refs, rows: int, n_sections: int, seeded: bool):
+def _row_pass_compact_tv(m, car1, car2, rows):
+    """Time-varying edition of :func:`_row_pass_compact` (round 3).
+
+    The TV row pass composes SIX affine-map components on full
+    (rows, 128) broadcast tiles — ~30 full-tile ops per doubling level,
+    the fused TV kernel's largest term. Here the six per-row total-map
+    columns relay into (rows/128, 128) tiles, the composition scan runs
+    on 1-vreg tiles, the exclusive cross-row composite is applied to the
+    CARRY while still compact (so only the two resulting state
+    components scatter back, not six matrices).
+
+    m: 6-tuple of (rows, 128) lane-inclusive affine composites (the
+    kernel's lane-scan output); car1/car2: (1, 128) all-lanes-equal
+    carry state. Returns s1_row, s2_row ((rows, 128) broadcast row-start
+    states) and the next carries nc1, nc2 ((1, 128)).
+    """
+    g = rows // 128
+    assert g * 128 == rows and 1 <= g <= 128, rows
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    u = tuple(_col_to_compact(v[:, 127:128], rows) for v in m)
+    sh = 1
+    while sh < 128:
+        left = tuple(_roll_fill(v, sh, 1, f) for v, f in zip(u, ident))
+        u = _compose_affine(left, u)
+        sh *= 2
+    if g > 1:
+        t6 = tuple(jnp.broadcast_to(v[:, 127:128], (g, 128)) for v in u)
+        sh = 1
+        while sh < g:
+            left = tuple(_roll_fill(v, sh, 0, f) for v, f in zip(t6, ident))
+            t6 = _compose_affine(left, t6)
+            sh *= 2
+        rex = tuple(_roll_fill(v, 1, 0, f) for v, f in zip(t6, ident))
+        cb1 = jnp.broadcast_to(car1, (g, 128))
+        cb2 = jnp.broadcast_to(car2, (g, 128))
+        w1 = rex[0] * cb1 + rex[1] * cb2 + rex[4]
+        w2 = rex[2] * cb1 + rex[3] * cb2 + rex[5]
+    else:
+        w1 = jnp.broadcast_to(car1, (g, 128))
+        w2 = jnp.broadcast_to(car2, (g, 128))
+    s1_incl = u[0] * w1 + u[1] * w2 + u[4]
+    s2_incl = u[2] * w1 + u[3] * w2 + u[5]
+    nc1 = _fill_all_from_tail1(s1_incl[g - 1 : g, :])
+    nc2 = _fill_all_from_tail1(s2_incl[g - 1 : g, :])
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    s1_row = jnp.where(
+        row_idx == 0,
+        jnp.broadcast_to(car1, (rows, 128)),
+        _roll_fill(_compact_to_rows_bcast(s1_incl, rows), 1, 0, 0.0),
+    )
+    s2_row = jnp.where(
+        row_idx == 0,
+        jnp.broadcast_to(car2, (rows, 128)),
+        _roll_fill(_compact_to_rows_bcast(s2_incl, rows), 1, 0, 0.0),
+    )
+    return s1_row, s2_row, nc1, nc2
+
+
+def _biquad_tv_fused_kernel(
+    *refs, rows: int, n_sections: int, seeded: bool, row_pass: str = "bcast"
+):
     """ALL time-varying sections over one stream tile — x read once, y
     written once, coefficients streamed as a (1, S, 5, rows, 128) block.
 
@@ -2613,19 +2663,24 @@ def _biquad_tv_fused_kernel(*refs, rows: int, n_sections: int, seeded: bool):
             y * (b2 - a2 * b0),
         )
         m = scan_axis(m, 1, 128)
-        rowm = tuple(_fill_all_from_tail1(v) for v in m)
-        rowm = scan_axis(rowm, 0, rows)
-        exm = tuple(_roll_fill(v, 1, 0, f) for v, f in zip(rowm, ident))
         c1 = carry_ref[2 * s : 2 * s + 1, :]
         c2 = carry_ref[2 * s + 1 : 2 * s + 2, :]
-        s1_row = exm[0] * c1 + exm[1] * c2 + exm[4]
-        s2_row = exm[2] * c1 + exm[3] * c2 + exm[5]
+        if row_pass == "compact":
+            s1_row, s2_row, nc1, nc2 = _row_pass_compact_tv(m, c1, c2, rows)
+            carry_ref[2 * s : 2 * s + 1, :] = nc1
+            carry_ref[2 * s + 1 : 2 * s + 2, :] = nc2
+        else:
+            rowm = tuple(_fill_all_from_tail1(v) for v in m)
+            rowm = scan_axis(rowm, 0, rows)
+            exm = tuple(_roll_fill(v, 1, 0, f) for v, f in zip(rowm, ident))
+            s1_row = exm[0] * c1 + exm[1] * c2 + exm[4]
+            s2_row = exm[2] * c1 + exm[3] * c2 + exm[5]
+            lr = tuple(v[rows - 1 :, :] for v in rowm)
+            carry_ref[2 * s : 2 * s + 1, :] = lr[0] * c1 + lr[1] * c2 + lr[4]
+            carry_ref[2 * s + 1 : 2 * s + 2, :] = lr[2] * c1 + lr[3] * c2 + lr[5]
         exl = tuple(_roll_fill(v, 1, 1, f) for v, f in zip(m, ident))
         s1 = exl[0] * s1_row + exl[1] * s2_row + exl[4]
         out = b0 * y + s1
-        lr = tuple(v[rows - 1 :, :] for v in rowm)
-        carry_ref[2 * s : 2 * s + 1, :] = lr[0] * c1 + lr[1] * c2 + lr[4]
-        carry_ref[2 * s + 1 : 2 * s + 2, :] = lr[2] * c1 + lr[3] * c2 + lr[5]
         y = out
 
     o_ref[0] = y
@@ -2634,15 +2689,25 @@ def _biquad_tv_fused_kernel(*refs, rows: int, n_sections: int, seeded: bool):
 
 
 def sosfilt_tv_fused(
-    sos_t: jax.Array, x: jax.Array, *, tile_rows: int = 256
+    sos_t: jax.Array,
+    x: jax.Array,
+    *,
+    tile_rows: int = 256,
+    row_pass: str = "bcast",
 ) -> jax.Array:
     """Fused-cascade spelling of :func:`sosfilt_tv` (same semantics): one
     kernel runs every section per tile. Default for multi-section
-    schedules via ``sosfilt_tv(..., method="auto")``."""
+    schedules via ``sosfilt_tv(..., method="auto")``.
+    ``row_pass='compact'`` relays the row-level composition onto
+    (tile_rows/128, 128) tiles (:func:`_row_pass_compact_tv`)."""
     import functools as _ft
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if row_pass == "compact" and tile_rows % 128 != 0:
+        raise ValueError(
+            f"row_pass='compact' needs tile_rows % 128 == 0, got {tile_rows}"
+        )
     y3d, batch, n = _to_planar_tiles(x, tile_rows)
     nch, rtot = y3d.shape[0], y3d.shape[1]
     coef = _tv_coef_planes(sos_t, batch, n, tile_rows)  # (S, C, 5, R, 128)
@@ -2656,6 +2721,7 @@ def sosfilt_tv_fused(
             rows=tile_rows,
             n_sections=nsec,
             seeded=False,
+            row_pass=row_pass,
         ),
         out_shape=jax.ShapeDtypeStruct(y3d.shape, jnp.float32),
         grid=(nch, rtot // tile_rows),

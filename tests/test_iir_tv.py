@@ -141,3 +141,24 @@ def test_fused_cascade_matches_scan_spelling(swept):
     assert np.max(np.abs(fused - scan)) < 1e-6
     with pytest.raises(ValueError):
         iir.sosfilt_tv(sos_t, x, method="warp")
+
+
+@pytest.mark.parametrize("tile_rows", [128, 256])
+def test_fused_compact_row_pass(tile_rows):
+    # round-3: TV row-level composition on a (rows/128, 128) relayout
+    rng = np.random.default_rng(11)
+    n = tile_rows * 128 * 2 + 99
+    x = rng.standard_normal(n).astype(np.float32)
+    sos_t = np.stack(
+        [make_schedule(n, 0), make_schedule(n, 1)], 0
+    ).astype(np.float32)
+    want = np.asarray(iir.sosfilt_tv_fused(sos_t, x, tile_rows=tile_rows))
+    got = np.asarray(
+        iir.sosfilt_tv_fused(
+            sos_t, x, tile_rows=tile_rows, row_pass="compact"
+        )
+    )
+    scale = np.max(np.abs(want)) + 1e-9
+    assert np.max(np.abs(got - want)) / scale < 1e-6
+    with pytest.raises(ValueError):
+        iir.sosfilt_tv_fused(sos_t, x, tile_rows=8, row_pass="compact")
