@@ -501,13 +501,18 @@ def _farrow_streams(xp: jax.Array, rows_needed: int) -> jax.Array:
 
 
 def _farrow_segment_kernel(
-    row_ref, rho_ref, v_ref, o_ref, scratch, *, s_out, wb, nch, up, down
+    row_ref, rho_ref, rate_ref, v_ref, o_ref, scratch, *, s_out, wb, nch
 ):
     """One (segment, window-block) grid step; compute fires on the last one.
 
     ``wb`` counts 8-row (1024-sample) window blocks — the Pallas TPU block
     sublane granularity; the window start is 1024-sample aligned and the
     residual offset folds into the exact int32 phase ``rho``.
+
+    ``up``/``down`` arrive as prefetched SCALARS (rate_ref), not baked
+    constants — one compiled kernel serves every rate that lands on the
+    same (nseg, wb, rows, c, s_out) structure (round-3: the baked
+    spelling cost ~73 s of remote compile PER RATE).
     """
     from jax.experimental import pallas as pl
 
@@ -520,23 +525,25 @@ def _farrow_segment_kernel(
 
     @pl.when(w == wb - 1)
     def _compute():
+        up = rate_ref[0]
+        down = rate_ref[1]
+        inv_up = jnp.float32(1.0) / up.astype(jnp.float32)
         rho0 = rho_ref[s]
         i = jax.lax.broadcasted_iota(jnp.int32, (1, s_out), 1)
-        rho = rho0 + i * jnp.int32(down)
-        # division-free rho // up: f32-reciprocal candidate (within +-1 of
-        # true for rho < 2^27: int->f32 conversion error <= 4 plus 1e-7
-        # relative is far below one unit of up) plus exact int32 fix-up —
-        # integer division by a runtime-odd constant is the one elementwise
-        # op the VPU has no fast lowering for
-        jj = (rho.astype(jnp.float32) * jnp.float32(1.0 / up)).astype(
-            jnp.int32
-        )
-        r = rho - jj * jnp.int32(up)
-        jj = jj + (r >= jnp.int32(up)).astype(jnp.int32) - (
-            r < 0
-        ).astype(jnp.int32)
-        mu_num = rho - jj * jnp.int32(up)
-        mu = mu_num.astype(jnp.float32) * jnp.float32(1.0 / up)
+        rho = rho0 + i * down
+        # division-free rho // up: f32-reciprocal candidate plus exact int32
+        # fix-up — integer division by a runtime value is the one elementwise
+        # op the VPU has no fast lowering for. Error budget: rho < 2^27
+        # (MAX_DENOMINATOR envelope) and the segmented path only runs when
+        # up*down > 2^22 with down <= 2^16, so up >= 64 and the candidate is
+        # within +-1 of true even with the runtime-reciprocal ulp; one
+        # fix-up round restores exactness.
+        jj = (rho.astype(jnp.float32) * inv_up).astype(jnp.int32)
+        for _ in range(2):  # two rounds widen the correction to +-2
+            r = rho - jj * up
+            jj = jj + (r >= up).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        mu_num = rho - jj * up
+        mu = mu_num.astype(jnp.float32) * inv_up
         row = jax.lax.shift_right_logical(jj, 7)
         lane = jj - jax.lax.shift_left(row, 7)
         ol = (
@@ -574,6 +581,12 @@ def resample_farrow_segmented(
     power form instead of factored Lagrange products). Any rational rate;
     segments of ``segment`` outputs fetch their exact input window via
     scalar-prefetched block indices.
+
+    The rate reaches the kernel as prefetched scalars and the grid/input
+    shapes are bucketed (segment count to a multiple of 8, stream rows to
+    a multiple of 1024), so nearby rates over the same stream reuse ONE
+    compiled kernel — a rate sweep (Doppler search, clock-drift tracking)
+    no longer pays the ~73 s Mosaic compile per rate.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -599,28 +612,38 @@ def resample_farrow_segmented(
     # aligned start residual (< 1024 samples) plus the segment's span
     wb = ((s_out - 1) * down // up + 1026) // 1024 + 1
 
-    # host-exact segment schedule (int64; nseg entries)
+    # host-exact segment schedule (int64), padded to the nseg bucket with
+    # copies of the last real segment (their outputs are sliced away)
+    nseg_pad = -(-nseg // 8) * 8
     s_arr = np.arange(nseg, dtype=np.int64)
     start_num = 4 * up + s_arr * (s_out * down)
     n_start = start_num // up
     w_blocks = (n_start // 1024).astype(np.int32)
     rho0 = (start_num - w_blocks.astype(np.int64) * 1024 * up).astype(np.int32)
-    rows_needed = (int(w_blocks[-1]) + wb) * 8
+    if nseg_pad > nseg:
+        w_blocks = np.concatenate(
+            [w_blocks, np.full(nseg_pad - nseg, w_blocks[-1], np.int32)]
+        )
+        rho0 = np.concatenate(
+            [rho0, np.full(nseg_pad - nseg, rho0[-1], np.int32)]
+        )
+    rows_needed = (int(w_blocks[nseg - 1]) + wb) * 8
+    rows_needed = -(-rows_needed // 1024) * 1024  # bucket for compile reuse
 
     v = _farrow_streams(xp, rows_needed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nseg, wb),
+        num_scalar_prefetch=3,
+        grid=(nseg_pad, wb),
         in_specs=[
             pl.BlockSpec(
                 (4 * c, 8, 128),
-                lambda s, w, row_ref, rho_ref: (0, row_ref[s] + w, 0),
+                lambda s, w, row_ref, rho_ref, rate_ref: (0, row_ref[s] + w, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, c, s_out),
-            lambda s, w, row_ref, rho_ref: (s, 0, 0),
+            lambda s, w, row_ref, rho_ref, rate_ref: (s, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((4 * c * wb * 8, 128), jnp.float32)],
@@ -631,17 +654,20 @@ def resample_farrow_segmented(
             s_out=s_out,
             wb=wb,
             nch=c,
-            up=up,
-            down=down,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nseg, c, s_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nseg_pad, c, s_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")
         ),
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(w_blocks), jnp.asarray(rho0), v)
-    y = out.transpose(1, 0, 2).reshape(c, nseg * s_out)[:, :m_out]
+    )(
+        jnp.asarray(w_blocks),
+        jnp.asarray(rho0),
+        jnp.asarray([up, down], jnp.int32),
+        v,
+    )
+    y = out.transpose(1, 0, 2).reshape(c, nseg_pad * s_out)[:, :m_out]
     return y[0] if squeeze else y
 
 
