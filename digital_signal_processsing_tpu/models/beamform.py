@@ -48,6 +48,8 @@ __all__ = [
     "music_spectrum",
     "spatial_spectrum",
     "estimate_doa",
+    "esprit",
+    "root_music",
     "spectrum_batch",
 ]
 
@@ -326,6 +328,90 @@ def estimate_doa(
         forward_backward=forward_backward,
     )
     return _pick_peaks(scan_angles(cfg), np.asarray(spec), n_sources)
+
+
+def _subspace_complex(rr, ri, n_sources: int, which: str) -> np.ndarray:
+    """Orthonormal complex basis of the signal or noise subspace.
+
+    The heavy eigh runs on device over the real embedding; each complex
+    eigenvector v lands twice as ([vr; vi], [-vi; vr]), so complexifying
+    the selected real block spans exactly the complex subspace (it is
+    closed under multiplication by j) and a host SVD of the tiny (M, 2K)
+    block returns the orthonormal K-dim basis.
+    """
+    m = rr.shape[0]
+    if not 0 < n_sources < m:
+        raise ValueError(f"n_sources must be in [1, {m - 1}], got {n_sources}")
+    _, vecs = jnp.linalg.eigh(_embed(jnp.asarray(rr), jnp.asarray(ri)))
+    v = np.asarray(vecs)
+    if which == "signal":
+        block = v[:, 2 * (m - n_sources):]
+        k = n_sources
+    else:
+        block = v[:, : 2 * (m - n_sources)]
+        k = m - n_sources
+    comp = block[:m] + 1j * block[m:]
+    q = np.linalg.svd(comp, full_matrices=False)[0]
+    return q[:, :k]
+
+
+def esprit(
+    cfg: ArrayConfig,
+    xi,
+    xq,
+    *,
+    n_sources: int,
+    forward_backward: bool = False,
+) -> np.ndarray:
+    """Grid-free ESPRIT bearings (degrees, ascending).
+
+    Rotational invariance of the ULA: the signal subspace restricted to
+    sensors 0..M-2 maps onto sensors 1..M-1 by a K x K rotation whose
+    eigenvalues are exp(-2j*pi*spacing*sin(theta)). Covariance + eigh run
+    on device (real embedding); the K x K least-squares/eig is host numpy
+    like the other families' decision stages.
+    """
+    rr, ri = sample_covariance(
+        jnp.asarray(xi), jnp.asarray(xq), forward_backward=forward_backward
+    )
+    es = _subspace_complex(np.asarray(rr), np.asarray(ri), n_sources, "signal")
+    psi = np.linalg.lstsq(es[:-1], es[1:], rcond=None)[0]
+    phi = np.linalg.eigvals(psi)
+    s = np.clip(-np.angle(phi) / (2.0 * np.pi * cfg.spacing), -1.0, 1.0)
+    return np.sort(np.degrees(np.arcsin(s)))
+
+
+def root_music(
+    cfg: ArrayConfig,
+    xi,
+    xq,
+    *,
+    n_sources: int,
+    forward_backward: bool = False,
+) -> np.ndarray:
+    """Grid-free root-MUSIC bearings (degrees, ascending).
+
+    The MUSIC null spectrum a(z)^H En En^H a(z) is a degree-2(M-1)
+    Laurent polynomial in z = exp(-2j*pi*spacing*sin(theta)); its K roots
+    nearest the unit circle (from inside) are the sources. Device does
+    covariance + eigh; np.roots on the tiny polynomial is host-side.
+    """
+    rr, ri = sample_covariance(
+        jnp.asarray(xi), jnp.asarray(xq), forward_backward=forward_backward
+    )
+    en = _subspace_complex(np.asarray(rr), np.asarray(ri), n_sources, "noise")
+    m = en.shape[0]
+    pn = en @ en.conj().T
+    # coefficient of z^k (k = -(M-1) .. M-1) is the k-th diagonal sum
+    coefs = np.array(
+        [np.trace(pn, offset=k) for k in range(m - 1, -m, -1)]
+    )
+    roots = np.roots(coefs)
+    roots = roots[np.abs(roots) < 1.0]  # keep the inside-circle mirror
+    order = np.argsort(np.abs(np.abs(roots) - 1.0))
+    picked = roots[order[:n_sources]]
+    s = np.clip(-np.angle(picked) / (2.0 * np.pi * cfg.spacing), -1.0, 1.0)
+    return np.sort(np.degrees(np.arcsin(s)))
 
 
 def spectrum_batch(

@@ -175,6 +175,34 @@ def test_mvdr_weights_distortionless_and_nulling():
     assert abs(w.conj() @ a_int) < 0.03
 
 
+@pytest.mark.parametrize("method", [beamform.esprit, beamform.root_music])
+def test_gridfree_estimators(method):
+    cfg = _cfg()
+    truth = np.array([-37.5, 11.25, 42.8])  # deliberately off any grid
+    xi, xq = beamform.synthesize(cfg, truth, 1024, snr_db=15.0, seed=8)
+    got = method(cfg, xi, xq, n_sources=3)
+    np.testing.assert_allclose(got, truth, atol=0.4)
+
+
+def test_gridfree_validation():
+    cfg = _cfg()
+    xi, xq = beamform.synthesize(cfg, [0.0], 64, seed=9)
+    with pytest.raises(ValueError):
+        beamform.esprit(cfg, xi, xq, n_sources=cfg.n_sensors)
+
+
+def test_esprit_coherent_forward_backward():
+    cfg = _cfg()
+    truth = np.array([-28.0, 17.0])
+    xi, xq = beamform.synthesize(
+        cfg, truth, 1024, snr_db=20.0, seed=10, coherent=True
+    )
+    got = beamform.esprit(
+        cfg, xi, xq, n_sources=2, forward_backward=True
+    )
+    np.testing.assert_allclose(got, truth, atol=1.0)
+
+
 def test_spectrum_batch_matches_single():
     cfg = _cfg(n_grid=121)
     blocks_i, blocks_q = [], []

@@ -231,6 +231,23 @@ class TestFarrowSegmented:
         resample_farrow(x, (48000, 44100))
         assert last_choice("resample_farrow") == "matmul"
 
+    def test_rate_sweep_same_structure(self, rng):
+        # round-3: rates ride scalar prefetch and the grid is bucketed, so
+        # a sweep of nearby rates shares one kernel STRUCTURE — every rate
+        # must still match its own gather-oracle schedule exactly
+        from digital_signal_processsing_tpu.ops.farrow import (
+            resample_farrow,
+            resample_farrow_segmented,
+        )
+
+        x = rng.normal(size=(2, 24_000)).astype(np.float32)
+        for up, down in [(46337, 65521), (46349, 65521), (46351, 65537)]:
+            want = np.asarray(resample_farrow(x, (up, down), method="gather"))
+            got = np.asarray(resample_farrow_segmented(x, (up, down)))
+            assert got.shape == want.shape
+            err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+            assert err < 2e-5, ((up, down), err)
+
     def test_segment_validation(self, rng):
         import pytest as _pytest
 
