@@ -42,6 +42,7 @@ __all__ = [
     "steering",
     "synthesize",
     "sample_covariance",
+    "smoothed_covariance",
     "bartlett_spectrum",
     "mvdr_spectrum",
     "mvdr_weights",
@@ -151,6 +152,40 @@ def sample_covariance(
     ri = (xq @ xi.T - xi @ xq.T) / t
     if forward_backward:
         # J conj(R) J = flip both axes of (Rr, -Ri)
+        rr = 0.5 * (rr + rr[::-1, ::-1])
+        ri = 0.5 * (ri - ri[::-1, ::-1])
+    return rr, ri
+
+
+@functools.partial(jax.jit, static_argnames=("subarray", "forward_backward"))
+def smoothed_covariance(
+    xi: jax.Array,
+    xq: jax.Array,
+    *,
+    subarray: int,
+    forward_backward: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Spatially smoothed covariance: average over all length-``subarray``
+    sliding subarrays (plus forward-backward by default). Restores up to
+    M - subarray + 1 coherent sources where plain FB restores only rank 2;
+    the returned covariance is subarray x subarray — pair it with steering
+    vectors of a ``subarray``-element config. One stacked covariance
+    matmul over the J shifted snapshot blocks, no loops over devices."""
+    xi = jnp.asarray(xi, jnp.float32)
+    xq = jnp.asarray(xq, jnp.float32)
+    m = xi.shape[0]
+    if not 1 < subarray <= m:
+        raise ValueError(f"subarray must be in [2, {m}], got {subarray}")
+    j = m - subarray + 1
+    idx = jnp.arange(subarray)[None, :] + jnp.arange(j)[:, None]  # (J, L)
+    bi = xi[idx]  # (J, L, T)
+    bq = xq[idx]
+    t = xi.shape[-1]
+    rr = jnp.einsum("jlt,jkt->lk", bi, bi) + jnp.einsum("jlt,jkt->lk", bq, bq)
+    ri = jnp.einsum("jlt,jkt->lk", bq, bi) - jnp.einsum("jlt,jkt->lk", bi, bq)
+    rr = rr / (j * t)
+    ri = ri / (j * t)
+    if forward_backward:
         rr = 0.5 * (rr + rr[::-1, ::-1])
         ri = 0.5 * (ri - ri[::-1, ::-1])
     return rr, ri

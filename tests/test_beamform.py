@@ -203,6 +203,41 @@ def test_esprit_coherent_forward_backward():
     np.testing.assert_allclose(got, truth, atol=1.0)
 
 
+def test_smoothed_covariance_parity_and_coherent_trio():
+    cfg = _cfg(n_sensors=10)
+    # oracle parity for the smoothing itself
+    xi, xq = beamform.synthesize(cfg, [5.0], 128, seed=12)
+    L = 6
+    rr, ri = beamform.smoothed_covariance(
+        xi, xq, subarray=L, forward_backward=False
+    )
+    x = _complex(xi, xq)
+    j = cfg.n_sensors - L + 1
+    r = sum(
+        x[i : i + L] @ x[i : i + L].conj().T / x.shape[1] for i in range(j)
+    ) / j
+    np.testing.assert_allclose(np.asarray(rr), r.real, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ri), r.imag, atol=1e-4)
+    with pytest.raises(ValueError):
+        beamform.smoothed_covariance(xi, xq, subarray=1)
+    # THREE fully coherent sources: beyond FB alone (rank 2), resolved by
+    # smoothing + FB on the subarray grid
+    truth = np.array([-35.0, 5.0, 40.0])
+    ci, cq = beamform.synthesize(
+        cfg, truth, 2048, snr_db=20.0, seed=13, coherent=True
+    )
+    rr2, ri2 = beamform.smoothed_covariance(ci, cq, subarray=L)
+    sub_cfg = beamform.ArrayConfig(
+        n_sensors=L, spacing=cfg.spacing, n_grid=721
+    )
+    ai, aq = beamform.steering(sub_cfg, beamform.scan_angles(sub_cfg))
+    spec = np.asarray(
+        beamform.music_spectrum(rr2, ri2, ai, aq, n_sources=3)
+    )
+    got = beamform._pick_peaks(beamform.scan_angles(sub_cfg), spec, 3)
+    np.testing.assert_allclose(got, truth, atol=1.5)
+
+
 def test_spectrum_batch_matches_single():
     cfg = _cfg(n_grid=121)
     blocks_i, blocks_q = [], []
