@@ -101,6 +101,29 @@ def test_sharded_fir_channels_and_time(rng, mesh_2x4):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_sharded_fir_auto_ladder(rng, mesh_2x4):
+    # round-3: method='auto' routes each shard through the single-chip
+    # fir_filter ladder; concrete taps stay static via the cached closure
+    # so the FUSED overlap-save engine fires above the crossover
+    from digital_signal_processsing_tpu.ops.fir import FIR_FFT_CROSSOVER
+    from digital_signal_processsing_tpu.utils.dispatch import last_choice
+
+    x = rng.normal(size=(2, 8192 * 4)).astype(np.float32)
+    taps_small = design_lowpass(65, 0.3)
+    got = np.asarray(sharded_fir_filter(x, taps_small, mesh=mesh_2x4))
+    want = np.asarray(fir_direct(x, taps_small))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    assert last_choice("fir_filter") == "direct"
+
+    k_big = FIR_FFT_CROSSOVER + 145  # odd tap count above the crossover
+    taps_big = design_lowpass(k_big, 0.1)
+    got_b = np.asarray(sharded_fir_filter(x, taps_big, mesh=mesh_2x4))
+    want_b = np.asarray(fir_direct(x, taps_big))
+    scale = np.abs(want_b).max()
+    assert np.abs(got_b - want_b).max() / scale < 1e-4
+    assert last_choice("fir_filter") == "overlap_save_fused"
+
+
 def test_weak_scaling_shapes(rng, mesh8):
     # the sharded path must produce shard-local outputs with no re-gather:
     # output sharding matches input sharding
