@@ -51,6 +51,9 @@ __all__ = [
     "estimate_doa",
     "esprit",
     "root_music",
+    "synthesize_wideband",
+    "wideband_music_spectrum",
+    "estimate_doa_wideband",
     "spectrum_batch",
 ]
 
@@ -447,6 +450,117 @@ def root_music(
     picked = roots[order[:n_sources]]
     s = np.clip(-np.angle(picked) / (2.0 * np.pi * cfg.spacing), -1.0, 1.0)
     return np.sort(np.degrees(np.arcsin(s)))
+
+
+def synthesize_wideband(
+    cfg: ArrayConfig,
+    angles_deg,
+    n_samples: int,
+    *,
+    spacing_samples: float,
+    snr_db: float = 10.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Real broadband snapshots: white Gaussian sources delayed across the
+    ULA by ``m * spacing_samples * sin(theta)`` samples (exact fractional
+    delays via FFT phase ramps) plus white noise. Returns (M, T) float32."""
+    rng = np.random.default_rng(seed)
+    angles = np.atleast_1d(np.asarray(angles_deg, dtype=np.float64))
+    x = np.zeros((cfg.n_sensors, n_samples), dtype=np.float64)
+    f = np.fft.rfftfreq(n_samples)
+    for th in angles:
+        s = rng.standard_normal(n_samples)
+        sf = np.fft.rfft(s)
+        tau = spacing_samples * np.sin(np.deg2rad(th))
+        for m in range(cfg.n_sensors):
+            x[m] += np.fft.irfft(sf * np.exp(-2j * np.pi * f * m * tau), n_samples)
+    sigma = 10.0 ** (-snr_db / 20.0)
+    x += sigma * rng.standard_normal(x.shape)
+    return x.astype(np.float32)
+
+
+def wideband_music_spectrum(
+    cfg: ArrayConfig,
+    x,
+    *,
+    n_sources: int,
+    spacing_samples: float,
+    nfft: int = 256,
+    hop: int | None = None,
+    band: tuple[float, float] = (0.05, 0.45),
+    window: str = "hann",
+) -> jax.Array:
+    """Incoherent wideband MUSIC: STFT each sensor (the MXU-DFT engine on
+    TPU), per-bin sample covariance over frames (one einsum), per-bin
+    noise subspace via a BATCHED real-embedded eigh, per-bin
+    frequency-scaled steering, and the normalized pseudospectra averaged
+    over the band. (M, T) real snapshots -> (n_grid,) spectrum.
+
+    ``spacing_samples`` is the element pitch expressed as the inter-sensor
+    propagation delay in samples at broadside-normal incidence — the
+    wideband geometry knob (cfg.spacing only has meaning at a single
+    wavelength).
+    """
+    from ..ops.fft import stft
+
+    m = cfg.n_sensors
+    if not 0 < n_sources < m:
+        raise ValueError(f"n_sources must be in [1, {m - 1}], got {n_sources}")
+    if not 0.0 <= band[0] < band[1] <= 0.5:
+        raise ValueError(f"band must satisfy 0 <= lo < hi <= 0.5, got {band}")
+    hop = hop or nfft // 2
+    s = stft(jnp.asarray(x, jnp.float32), nfft=nfft, hop=hop, window=window)
+    sr = jnp.real(s)  # (M, frames, K)
+    si = jnp.imag(s)
+    nframes = s.shape[1]
+    # per-bin planar covariance: one einsum pair over frames
+    rr = (
+        jnp.einsum("mfk,nfk->kmn", sr, sr) + jnp.einsum("mfk,nfk->kmn", si, si)
+    ) / nframes
+    ri = (
+        jnp.einsum("mfk,nfk->kmn", si, sr) - jnp.einsum("mfk,nfk->kmn", sr, si)
+    ) / nframes
+    kbins = np.arange(nfft // 2 + 1)
+    keep = (kbins / nfft >= band[0]) & (kbins / nfft <= band[1])
+    sel = np.nonzero(keep)[0]
+    rr = rr[sel]
+    ri = ri[sel]
+    # per-bin steering, frequency-scaled: phase_m(k) = -2*pi*(k/nfft)*
+    # spacing_samples*m*sin(theta)  -> planar (Kb, 2M, A) embedded columns
+    angles = scan_angles(cfg)
+    marr = np.arange(m, dtype=np.float64)[:, None]
+    sin_t = np.sin(np.deg2rad(angles))[None, :]
+    av = np.empty((sel.size, 2 * m, angles.size), np.float32)
+    for i, k in enumerate(sel):
+        phase = -2.0 * np.pi * (k / nfft) * spacing_samples * marr * sin_t
+        av[i, :m] = np.cos(phase)
+        av[i, m:] = np.sin(phase)
+    avj = jnp.asarray(av)
+
+    def one_bin(rrk, rik, avk):
+        c = _embed(rrk, rik)
+        _, vecs = jnp.linalg.eigh(c)
+        en = vecs[:, : 2 * (m - n_sources)]
+        g = en.T @ avk
+        return m / jnp.sum(g * g, axis=0)
+
+    spec = jax.vmap(one_bin)(rr, ri, avj)  # (Kb, A)
+    return jnp.mean(spec, axis=0)
+
+
+def estimate_doa_wideband(
+    cfg: ArrayConfig,
+    x,
+    *,
+    n_sources: int,
+    spacing_samples: float,
+    **kw,
+) -> np.ndarray:
+    """Wideband chain: STFT-MUSIC spectrum -> host top-K peak pick."""
+    spec = wideband_music_spectrum(
+        cfg, x, n_sources=n_sources, spacing_samples=spacing_samples, **kw
+    )
+    return _pick_peaks(scan_angles(cfg), np.asarray(spec), n_sources)
 
 
 def spectrum_batch(

@@ -238,6 +238,34 @@ def test_smoothed_covariance_parity_and_coherent_trio():
     np.testing.assert_allclose(got, truth, atol=1.5)
 
 
+def test_wideband_music_two_sources():
+    # broadband white sources; per-bin grating lobes (delay 2 samples ->
+    # up to 0.9 wavelengths at the band edge) must be suppressed by the
+    # incoherent average across bins
+    cfg = _cfg()
+    truth = np.array([-30.0, 20.0])
+    x = beamform.synthesize_wideband(
+        cfg, truth, 1 << 15, spacing_samples=2.0, snr_db=10.0, seed=5
+    )
+    got = beamform.estimate_doa_wideband(
+        cfg, x, n_sources=2, spacing_samples=2.0
+    )
+    np.testing.assert_allclose(got, truth, atol=0.5)
+
+
+def test_wideband_music_validation():
+    cfg = _cfg()
+    x = beamform.synthesize_wideband(cfg, [0.0], 4096, spacing_samples=1.0)
+    with pytest.raises(ValueError):
+        beamform.wideband_music_spectrum(
+            cfg, x, n_sources=cfg.n_sensors, spacing_samples=1.0
+        )
+    with pytest.raises(ValueError):
+        beamform.wideband_music_spectrum(
+            cfg, x, n_sources=1, spacing_samples=1.0, band=(0.4, 0.2)
+        )
+
+
 def test_spectrum_batch_matches_single():
     cfg = _cfg(n_grid=121)
     blocks_i, blocks_q = [], []
