@@ -245,3 +245,40 @@ def lpc_vocoder(
     if excitation is None:
         excitation = jax.random.normal(jax.random.PRNGKey(0), x.shape[:-1] + (n,))
     return lpc_synthesis(a, gain, excitation[..., :n], frame_len)
+
+
+def ar_psd(
+    x: jax.Array,
+    order: int,
+    *,
+    nfft: int = 1024,
+    frame_len: int | None = None,
+    hop: int | None = None,
+    window: str = "rect",
+):
+    """AR (maximum-entropy) one-sided PSD via Levinson-Durbin.
+
+    Fits an order-``order`` all-pole model (autocorrelation method) and
+    evaluates ``gain^2 / |A(e^{j 2 pi f})|^2`` on the ``nfft//2 + 1``-point
+    one-sided grid ``f = k/nfft`` (cycles/sample). Sharper than Welch for
+    strongly peaked (speech/resonant) spectra at short data lengths — the
+    classic parametric counterpart to ``welch_psd``. With ``frame_len``
+    the estimate is frame-wise ``(..., F, nfft//2+1)``; otherwise one
+    model spans the whole signal. Evaluation is a single (F, p+1) x
+    (p+1, K) planar matmul against cos/sin tables — no FFT at all.
+    Returns ``(f, psd)`` like the Welch family.
+    """
+    n = x.shape[-1]
+    fl = n if frame_len is None else frame_len
+    a, gain = lpc(x, order, fl, hop=hop, window=window)
+    k = np.arange(nfft // 2 + 1)
+    f = k / nfft
+    m = np.arange(order + 1)[:, None]
+    cosb = jnp.asarray(np.cos(2 * np.pi * m * f[None, :]), jnp.float32)
+    sinb = jnp.asarray(np.sin(2 * np.pi * m * f[None, :]), jnp.float32)
+    ar_ = a @ cosb  # Re A(e^{j w}) with the e^{-j w m} convention
+    ai_ = -(a @ sinb)
+    psd = (gain[..., None] ** 2) / jnp.maximum(ar_ * ar_ + ai_ * ai_, 1e-30)
+    if frame_len is None:
+        psd = psd[..., 0, :]
+    return jnp.asarray(f), psd

@@ -136,3 +136,28 @@ def test_tracking_notch_suppresses_swept_tone():
 def test_tracking_notch_short_signal_raises():
     with pytest.raises(ValueError):
         adaptive.tracking_notch(jnp.zeros(100), 512)
+
+
+def test_ar_psd_matches_analytic_ar2():
+    # round-3: maximum-entropy PSD — whole-grid shape parity against the
+    # true AR(2) spectrum and exact peak localization
+    import scipy.signal as sps
+
+    from digital_signal_processsing_tpu.ops.lpc import ar_psd
+
+    rng = np.random.default_rng(0)
+    r, th = 0.95, 2 * np.pi * 0.12
+    a_true = np.array([1.0, -2 * r * np.cos(th), r * r])
+    x = sps.lfilter([1.0], a_true, rng.standard_normal(1 << 16)).astype(
+        np.float32
+    )
+    f, psd = ar_psd(x, 2, nfft=2048)
+    psd = np.asarray(psd)
+    assert abs(f[np.argmax(psd)] - 0.12) < 2e-3
+    w = 2 * np.pi * np.asarray(f)
+    a_w = a_true[0] + a_true[1] * np.exp(-1j * w) + a_true[2] * np.exp(-2j * w)
+    ratio = psd / (1.0 / np.abs(a_w) ** 2)
+    assert ratio.max() / ratio.min() < 1.2
+    # frame-wise shape
+    f2, psd2 = ar_psd(x, 2, nfft=256, frame_len=4096)
+    assert np.asarray(psd2).shape == ((1 << 16) // 4096, 129)
