@@ -134,3 +134,50 @@ def test_fuzz_cwt_bank_random_widths(seed):
     ref = ref_cwt(x.astype(np.float64), wavelets.ricker, widths)
     got = np.asarray(wavelets.cwt(x, wavelets.ricker, widths))
     assert np.max(np.abs(got - ref)) < 1e-4, (n, widths)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_beamform_music_vs_complex_oracle(seed):
+    from digital_signal_processsing_tpu.models import beamform
+
+    rng = np.random.default_rng(6000 + seed)
+    m = int(rng.integers(4, 13))
+    k = int(rng.integers(1, min(4, m)))
+    cfg = beamform.ArrayConfig(n_sensors=m, n_grid=181)
+    angles = np.sort(rng.uniform(-70, 70, k))
+    xi, xq = beamform.synthesize(
+        cfg, angles, int(rng.integers(64, 512)),
+        snr_db=float(rng.uniform(0, 20)), seed=seed,
+    )
+    rr, ri = beamform.sample_covariance(xi, xq)
+    ai, aq = beamform.steering(cfg, beamform.scan_angles(cfg))
+    got = np.asarray(beamform.music_spectrum(rr, ri, ai, aq, n_sources=k))
+    x = np.asarray(xi, np.float64) + 1j * np.asarray(xq, np.float64)
+    r = x @ x.conj().T / x.shape[1]
+    a = np.asarray(ai, np.float64) + 1j * np.asarray(aq, np.float64)
+    _, v = np.linalg.eigh(r)
+    en = v[:, : m - k]
+    g = en.conj().T @ a
+    want = m / np.real(np.sum(g.conj() * g, axis=0))
+    np.testing.assert_allclose(1 / got, 1 / want, rtol=2e-2, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_compact_row_pass_vs_scipy(seed):
+    # cheap randomized sweep; the deterministic {vpu,mxu}x{128,256} grid
+    # lives in test_iir.py::test_compact_row_pass_parity
+    rng = np.random.default_rng(7000 + seed)
+    nsec = int(rng.integers(1, 5))
+    sos = sps.butter(2 * nsec, float(rng.uniform(0.05, 0.9)), output="sos")
+    n = 128 * 128 + int(rng.integers(0, 2000))
+    x = rng.standard_normal(n).astype(np.float32)
+    lane = ["vpu", "mxu"][rng.integers(2)]
+    got = np.asarray(
+        iir.sosfilt_pallas_fused(
+            sos.astype(np.float32), x, tile_rows=128,
+            lane_pass=lane, row_pass="compact",
+        )
+    )
+    want = sps.sosfilt(sos, x.astype(np.float64))
+    sc = np.max(np.abs(want)) + 1e-9
+    assert np.max(np.abs(got - want)) / sc < 1e-4, (nsec, lane)
