@@ -1,0 +1,104 @@
+"""Phase vocoder: time stretching and pitch shifting on the STFT engine.
+
+North-star audio scope (the CUDA reference has no time-frequency
+modification; SURVEY.md §2) — the classic Flanagan/Dolson phase vocoder,
+built TPU-first:
+
+- analysis/synthesis ride :func:`ops.fft.stft`/:func:`istft` (the
+  MXU-factored DFT on TPU; XLA's native FFT is the measured bottleneck
+  of every spectral op — BENCH_NOTES r2);
+- phase propagation is fully BATCHED: the per-bin instantaneous
+  frequency comes from wrapped frame-to-frame phase differences
+  (elementwise), and the synthesis phase ramp is one ``jnp.cumsum`` over
+  the frame axis — no sequential Python loop, no scan;
+- the synthesis hop is fixed at ``nfft // 4`` (COLA-exact for the
+  sqrt-hann pair at 4x overlap) and the ANALYSIS hop is quantized to
+  ``round(hs * rate)``, so any rate maps onto one compiled program per
+  (nfft, hop) structure. Exact arbitrary output lengths compose with
+  the resamplers (``ops.resample`` / ``ops.farrow``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .fft import istft, stft
+
+__all__ = ["time_stretch", "pitch_shift"]
+
+
+def _princarg(p: jax.Array) -> jax.Array:
+    """Wrap phase to (-pi, pi]."""
+    two_pi = 2.0 * np.pi
+    return p - two_pi * jnp.round(p / two_pi)
+
+
+def time_stretch(
+    x: jax.Array,
+    rate: float,
+    *,
+    nfft: int = 2048,
+    window: str = "sqrt_hann",
+) -> jax.Array:
+    """Change duration without changing pitch: output lasts ~1/rate times
+    the input (rate > 1 compresses, rate < 1 stretches).
+
+    (..., T) real -> (..., T_out) float32; T_out = (frames-1)*nfft//4
+    + nfft with frames = (T - nfft)//round(nfft/4*rate) + 1. The
+    effective rate is quantized to hs/ha (hs = nfft//4, ha = the rounded
+    analysis hop); compose with the resamplers for exact ratios.
+    """
+    if rate <= 0:
+        raise ValueError(f"rate must be positive, got {rate}")
+    hs = nfft // 4
+    ha = max(1, int(round(hs * rate)))
+    xp = jnp.asarray(x, jnp.float32)
+    if xp.shape[-1] < nfft + ha:
+        raise ValueError(
+            f"input too short: need at least nfft+ha = {nfft + ha} samples,"
+            f" got {xp.shape[-1]}"
+        )
+    s = stft(xp, nfft=nfft, hop=ha, window=window)  # (..., F, K)
+    mag = jnp.abs(s)
+    ph = jnp.angle(s)
+    k = np.arange(nfft // 2 + 1)
+    wk = jnp.asarray(2.0 * np.pi * k / nfft, jnp.float32)  # rad/sample
+    # heterodyned phase increment -> per-bin instantaneous frequency
+    dph = ph[..., 1:, :] - ph[..., :-1, :] - wk * ha
+    inst = wk + _princarg(dph) / ha  # rad/sample, frames-1 entries
+    # synthesis phases: phi[0] = ph[0]; phi[t] = phi[t-1] + hs*inst[t]
+    phs = jnp.concatenate(
+        [ph[..., :1, :], ph[..., :1, :] + jnp.cumsum(hs * inst, axis=-2)],
+        axis=-2,
+    )
+    # lax.complex, not a 1j literal (unimplemented on the target platform)
+    y = istft(
+        jax.lax.complex(mag * jnp.cos(phs), mag * jnp.sin(phs)),
+        nfft=nfft,
+        hop=hs,
+        window=window,
+    )
+    # sqrt-hann analysis x synthesis overlap-adds to nfft/(2*hs) at this hop
+    return y * (2.0 * hs / nfft)
+
+
+def pitch_shift(
+    x: jax.Array,
+    factor: float,
+    *,
+    nfft: int = 2048,
+    window: str = "sqrt_hann",
+    resample_method: str = "auto",
+) -> jax.Array:
+    """Scale pitch by ``factor`` (2.0 = up one octave) at ~constant
+    duration: time-stretch by 1/factor, then resample by 1/factor
+    (``ops.resample.resample_farrow`` — the banded-matmul Farrow)."""
+    if factor <= 0:
+        raise ValueError(f"factor must be positive, got {factor}")
+    from .farrow import resample_farrow
+
+    stretched = time_stretch(x, 1.0 / factor, nfft=nfft, window=window)
+    return resample_farrow(stretched, 1.0 / factor, method=resample_method)

@@ -1,0 +1,64 @@
+"""Phase vocoder: identity, duration scaling, pitch preservation/shift.
+
+North-star audio scope (no reference analog; SURVEY.md §2) — validates
+the batched phase-propagation design on the STFT/ISTFT engines.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from digital_signal_processsing_tpu.ops.phase_vocoder import (
+    pitch_shift,
+    time_stretch,
+)
+
+
+def _tone(f, n=1 << 16):
+    return np.sin(2 * np.pi * f * np.arange(n)).astype(np.float32)
+
+
+def _peak_freq(y, nperseg=8192):
+    f, p = sps.welch(y[4096:-4096], nperseg=nperseg)
+    return f[np.argmax(p)]
+
+
+def test_rate_one_is_near_identity():
+    x = _tone(0.05)
+    y = np.asarray(time_stretch(x, 1.0))
+    n = min(len(x), len(y))
+    core = slice(4096, n - 4096)
+    assert np.abs(y[:n][core] - x[:n][core]).max() < 2e-2
+
+
+@pytest.mark.parametrize("rate,tol", [(0.5, 0.04), (2.0, 0.04)])
+def test_duration_scales_pitch_stays(rate, tol):
+    x = _tone(0.05)
+    y = np.asarray(time_stretch(x, rate))
+    assert abs(len(y) * rate / len(x) - 1.0) < tol
+    assert abs(_peak_freq(y) - 0.05) < 1e-3
+
+
+def test_pitch_shift_moves_tone_keeps_duration():
+    x = _tone(0.05)
+    y = np.asarray(pitch_shift(x, 1.5))
+    assert abs(len(y) / len(x) - 1.0) < 0.05
+    assert abs(_peak_freq(y) - 0.075) < 1e-3
+
+
+def test_batched_channels():
+    x = np.stack([_tone(0.03, 1 << 14), _tone(0.11, 1 << 14)])
+    y = np.asarray(time_stretch(x, 0.5, nfft=1024))
+    assert y.shape[0] == 2
+    assert abs(_peak_freq(y[0], 4096) - 0.03) < 2e-3
+    assert abs(_peak_freq(y[1], 4096) - 0.11) < 2e-3
+
+
+def test_validation():
+    x = _tone(0.05, 1 << 14)
+    with pytest.raises(ValueError):
+        time_stretch(x, 0.0)
+    with pytest.raises(ValueError):
+        time_stretch(x[:100], 1.0)
+    with pytest.raises(ValueError):
+        pitch_shift(x, -1.0)
