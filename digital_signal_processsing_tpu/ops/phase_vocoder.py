@@ -53,6 +53,10 @@ def time_stretch(
     """
     if rate <= 0:
         raise ValueError(f"rate must be positive, got {rate}")
+    if window != "sqrt_hann":
+        # the fixed 2*hs/nfft OLA normalization below is the sqrt-hann
+        # pair's COLA constant; other windows would silently mis-scale
+        raise ValueError("time_stretch supports window='sqrt_hann' only")
     hs = nfft // 4
     ha = max(1, int(round(hs * rate)))
     xp = jnp.asarray(x, jnp.float32)

@@ -62,3 +62,5 @@ def test_validation():
         time_stretch(x[:100], 1.0)
     with pytest.raises(ValueError):
         pitch_shift(x, -1.0)
+    with pytest.raises(ValueError):
+        time_stretch(x, 1.0, window="hann")
