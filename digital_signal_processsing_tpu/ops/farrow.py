@@ -613,8 +613,11 @@ def resample_farrow_segmented(
     wb = ((s_out - 1) * down // up + 1026) // 1024 + 1
 
     # host-exact segment schedule (int64), padded to the nseg bucket with
-    # copies of the last real segment (their outputs are sliced away)
-    nseg_pad = -(-nseg // 8) * 8
+    # copies of the last real segment (their outputs are sliced away).
+    # Bucketing only pays off when the stream is long enough that a rate
+    # sweep would otherwise recompile per rate; below 64 segments the
+    # padding waste (up to 7 extra segments) outweighs it, so stay exact.
+    nseg_pad = -(-nseg // 8) * 8 if nseg >= 64 else nseg
     s_arr = np.arange(nseg, dtype=np.int64)
     start_num = 4 * up + s_arr * (s_out * down)
     n_start = start_num // up
