@@ -510,7 +510,11 @@ def wideband_music_spectrum(
         raise ValueError(f"band must satisfy 0 <= lo < hi <= 0.5, got {band}")
     hop = hop or nfft // 2
     s = stft(jnp.asarray(x, jnp.float32), nfft=nfft, hop=hop, window=window)
-    sr = jnp.real(s)  # (M, frames, K)
+    kbins = np.arange(nfft // 2 + 1)
+    keep = (kbins / nfft >= band[0]) & (kbins / nfft <= band[1])
+    sel = np.nonzero(keep)[0]
+    s = s[..., sel]  # drop out-of-band bins BEFORE the covariance einsums
+    sr = jnp.real(s)  # (M, frames, Kb)
     si = jnp.imag(s)
     nframes = s.shape[1]
     # per-bin planar covariance: one einsum pair over frames
@@ -520,11 +524,6 @@ def wideband_music_spectrum(
     ri = (
         jnp.einsum("mfk,nfk->kmn", si, sr) - jnp.einsum("mfk,nfk->kmn", sr, si)
     ) / nframes
-    kbins = np.arange(nfft // 2 + 1)
-    keep = (kbins / nfft >= band[0]) & (kbins / nfft <= band[1])
-    sel = np.nonzero(keep)[0]
-    rr = rr[sel]
-    ri = ri[sel]
     # per-bin steering, frequency-scaled: phase_m(k) = -2*pi*(k/nfft)*
     # spacing_samples*m*sin(theta)  -> planar (Kb, 2M, A) embedded columns
     angles = scan_angles(cfg)
