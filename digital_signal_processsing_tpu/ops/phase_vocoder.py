@@ -27,7 +27,14 @@ import jax.numpy as jnp
 
 from .fft import istft, stft
 
-__all__ = ["time_stretch", "pitch_shift"]
+__all__ = [
+    "time_stretch",
+    "pitch_shift",
+    "TimeStretchState",
+    "time_stretch_init",
+    "time_stretch_chunk",
+    "time_stretch_flush",
+]
 
 
 def _princarg(p: jax.Array) -> jax.Array:
@@ -106,3 +113,110 @@ def pitch_shift(
 
     stretched = time_stretch(x, 1.0 / factor, nfft=nfft, window=window)
     return resample_farrow(stretched, 1.0 / factor, method=resample_method)
+
+
+# ---------------------------------------------------------------------------
+# Streaming form: carried STFT tail + phase chain + WOLA tail, so an
+# unbounded stream time-stretches chunk-by-chunk (ops/streaming.py doctrine:
+# explicit pytree state, jit-clean step). Chunked output matches the
+# one-shot time_stretch of the concatenated stream to f32 rounding (the
+# synthesis-phase cumsum re-associates at chunk boundaries).
+
+import dataclasses
+import functools
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TimeStretchState:
+    """Carry: analysis STFT tail, WOLA synthesis tail, the previous
+    frame's analysis/synthesis phases, and a started flag (the stream's
+    first frame passes its analysis phase through)."""
+
+    stft_tail: jax.Array  # (C, nfft - ha) float32
+    ola_tail: jax.Array  # (C, nfft - hs) float32
+    prev_ph: jax.Array  # (C, K) float32
+    prev_synth: jax.Array  # (C, K) float32
+    started: jax.Array  # () bool
+
+
+def _vocoder_hops(nfft: int, rate: float) -> tuple[int, int]:
+    hs = nfft // 4
+    return max(1, int(round(hs * rate))), hs
+
+
+def time_stretch_init(
+    rate: float, *, nfft: int = 2048, channels: int = 1
+) -> TimeStretchState:
+    if rate <= 0:
+        raise ValueError(f"rate must be positive, got {rate}")
+    ha, hs = _vocoder_hops(nfft, rate)
+    k = nfft // 2 + 1
+    return TimeStretchState(
+        stft_tail=jnp.zeros((channels, nfft - ha), jnp.float32),
+        ola_tail=jnp.zeros((channels, nfft - hs), jnp.float32),
+        prev_ph=jnp.zeros((channels, k), jnp.float32),
+        prev_synth=jnp.zeros((channels, k), jnp.float32),
+        started=jnp.asarray(False),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "nfft"))
+def time_stretch_chunk(
+    state: TimeStretchState,
+    x: jax.Array,
+    *,
+    rate: float,
+    nfft: int = 2048,
+) -> tuple[TimeStretchState, jax.Array]:
+    """One chunk: (C, L) -> (C, L//ha * hs) stretched samples, L a nonzero
+    multiple of the analysis hop ha = round(nfft//4 * rate). Stream tail:
+    :func:`ops.streaming.istft_flush` semantics via ``state.ola_tail``.
+    """
+    from .streaming import (
+        IstftState,
+        StftState,
+        istft_chunk,
+        stft_chunk,
+    )
+
+    ha, hs = _vocoder_hops(nfft, rate)
+    squeeze = x.ndim == 1
+    xp = (x[None, :] if squeeze else x).astype(jnp.float32)
+    st, s = stft_chunk(
+        StftState(tail=state.stft_tail), xp, nfft=nfft, hop=ha,
+        window="sqrt_hann",
+    )
+    mag = jnp.abs(s)  # (C, F, K)
+    ph = jnp.angle(s)
+    k = np.arange(nfft // 2 + 1)
+    wk = jnp.asarray(2.0 * np.pi * k / nfft, jnp.float32)
+    ph_chain = jnp.concatenate([state.prev_ph[:, None, :], ph], axis=1)
+    dph = ph_chain[:, 1:, :] - ph_chain[:, :-1, :] - wk * ha
+    inst = wk + _princarg(dph) / ha
+    cum = jnp.cumsum(hs * inst, axis=1)
+    started = state.prev_synth[:, None, :] + cum
+    fresh = ph[:, :1, :] + (cum - cum[:, :1, :])
+    synth = jnp.where(state.started, started, fresh)
+    ist, y = istft_chunk(
+        IstftState(tail=state.ola_tail),
+        jax.lax.complex(mag * jnp.cos(synth), mag * jnp.sin(synth)),
+        nfft=nfft,
+        hop=hs,
+        window="sqrt_hann",
+    )
+    y = y * (2.0 * hs / nfft)
+    new = TimeStretchState(
+        stft_tail=st.tail,
+        ola_tail=ist.tail,
+        prev_ph=ph[:, -1, :],
+        prev_synth=synth[:, -1, :],
+        started=jnp.asarray(True),
+    )
+    return new, (y[0] if squeeze else y)
+
+
+def time_stretch_flush(state: TimeStretchState) -> jax.Array:
+    """The final WOLA tail, scaled like the chunk outputs (2*hs/nfft = 1/2
+    at the fixed 4x-overlap synthesis hop)."""
+    return state.ola_tail * 0.5

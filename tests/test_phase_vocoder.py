@@ -64,3 +64,46 @@ def test_validation():
         pitch_shift(x, -1.0)
     with pytest.raises(ValueError):
         time_stretch(x, 1.0, window="hann")
+
+
+def test_streaming_matches_one_shot_on_padded_stream():
+    # streaming stft zero-pads the stream head, so the one-shot equivalent
+    # is time_stretch of the zero-prepended input; equivalence is at
+    # vocoder tolerance (princarg wrap flips at +-pi cost benign constant
+    # phase offsets; the synthesis cumsum re-associates across chunks)
+    from digital_signal_processsing_tpu.ops import phase_vocoder as pv
+
+    t = np.arange(1 << 15)
+    x = (
+        np.sin(2 * np.pi * 0.05 * t) + 0.3 * np.sin(2 * np.pi * 0.13 * t)
+    ).astype(np.float32)[None]
+    rate, nfft = 0.5, 1024
+    ha = max(1, round(nfft // 4 * rate))
+    xt = x[:, : x.shape[-1] // ha * ha]
+    xpad = np.concatenate(
+        [np.zeros((1, nfft - ha), np.float32), xt], axis=-1
+    )
+    want = np.asarray(pv.time_stretch(xpad, rate, nfft=nfft))
+    st = pv.time_stretch_init(rate, nfft=nfft, channels=1)
+    chunks = []
+    third = (xt.shape[-1] // (3 * ha)) * ha
+    pos = 0
+    for cl in (third, third, xt.shape[-1] - 2 * third):
+        st, y = pv.time_stretch_chunk(st, xt[:, pos : pos + cl], rate=rate, nfft=nfft)
+        chunks.append(np.asarray(y))
+        pos += cl
+    chunks.append(np.asarray(pv.time_stretch_flush(st)))
+    got = np.concatenate(chunks, axis=-1)
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 2e-2
+
+
+def test_streaming_validation():
+    from digital_signal_processsing_tpu.ops import phase_vocoder as pv
+
+    with pytest.raises(ValueError):
+        pv.time_stretch_init(0.0)
+    st = pv.time_stretch_init(1.0, nfft=1024)
+    with pytest.raises(ValueError):
+        # chunk not a multiple of the analysis hop
+        pv.time_stretch_chunk(st, np.zeros((1, 100), np.float32), rate=1.0, nfft=1024)
