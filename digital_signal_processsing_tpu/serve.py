@@ -183,4 +183,81 @@ def stream_sosfilt(
     return written
 
 
-__all__ = ["run_chunks", "stream_moving_average", "stream_sosfilt"]
+def stream_time_stretch(
+    paths,
+    out_path: str | Path,
+    rate: float,
+    *,
+    nfft: int = 2048,
+    chunk_samples: int = 1 << 20,
+) -> int:
+    """Phase-vocoder time stretch over a list of WAVs as ONE stream.
+
+    The audio-family serving loop: int16 interleaved chunks are
+    deinterleaved to planar float, buffered to analysis-hop multiples,
+    pushed through ``ops.phase_vocoder.time_stretch_chunk`` (carried STFT
+    tail + phase chain + WOLA tail across chunk AND file boundaries),
+    re-interleaved and written as int16. Output duration ~= input / rate;
+    memory stays bounded by the chunk size. Returns samples written per
+    channel (any sub-hop remainder at stream end is zero-padded into the
+    final hop, matching a zero-padded one-shot call).
+    """
+    from .ops import phase_vocoder as _pv
+
+    paths = list(paths)
+    infos = [read_wav_info(p) for p in paths]
+    channels = infos[0].num_channels
+    srate = infos[0].sample_rate
+    for p_, i in zip(paths, infos):
+        if i.num_channels != channels:
+            raise ValueError(
+                f"{p_}: {i.num_channels} channels != first file's {channels}"
+            )
+        if i.sample_rate != srate:
+            raise ValueError(
+                f"{p_}: sample rate {i.sample_rate} != first file's {srate}"
+            )
+    ha = max(1, int(round(nfft // 4 * rate)))
+    chunk_samples -= chunk_samples % max(channels, 1)
+    state = _pv.time_stretch_init(rate, nfft=nfft, channels=channels)
+    buf = np.zeros((channels, 0), np.float32)
+    written = 0
+
+    def emit(sink, y):
+        nonlocal written
+        out = np.asarray(y).T.reshape(-1)
+        out = np.clip(np.rint(out * 32768.0), -32768, 32767).astype(np.int16)
+        sink.append(out)
+        written += out.size // channels
+
+    loader = WavChunkLoader(paths, chunk_samples)
+    with WavWriter(out_path, srate, channels) as sink:
+        for chunk in loader:
+            planar = (
+                np.asarray(chunk).reshape(-1, channels).T.astype(np.float32)
+                / 32768.0
+            )
+            buf = np.concatenate([buf, planar], axis=-1)
+            use = buf.shape[-1] // ha * ha
+            if use:
+                state, y = _pv.time_stretch_chunk(
+                    state, buf[:, :use], rate=rate, nfft=nfft
+                )
+                buf = buf[:, use:]
+                emit(sink, y)
+        if buf.shape[-1]:
+            pad = np.zeros((channels, ha - buf.shape[-1]), np.float32)
+            state, y = _pv.time_stretch_chunk(
+                state, np.concatenate([buf, pad], axis=-1), rate=rate, nfft=nfft
+            )
+            emit(sink, y)
+        emit(sink, _pv.time_stretch_flush(state))
+    return written
+
+
+__all__ = [
+    "run_chunks",
+    "stream_moving_average",
+    "stream_sosfilt",
+    "stream_time_stretch",
+]

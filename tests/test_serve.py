@@ -104,3 +104,42 @@ def test_stream_sosfilt_rejects_mixed_rate(tmp_path):
         serve.stream_sosfilt(
             [a, b], tmp_path / "o.wav", iir.design_butterworth(2, 0.3)
         )
+
+
+def test_stream_time_stretch_scales_duration_keeps_pitch(tmp_path):
+    from digital_signal_processsing_tpu.io.wav import read_wav as _read
+    import scipy.signal as sps
+
+    sr, ch = 16000, 2
+    n = 40960
+    t = np.arange(n)
+    left = 0.5 * np.sin(2 * np.pi * 0.05 * t)
+    right = 0.5 * np.sin(2 * np.pi * 0.11 * t)
+    inter = np.stack([left, right], -1).reshape(-1)
+    paths = []
+    for i, sl in enumerate([slice(0, 2 * 24000), slice(2 * 24000, None)]):
+        p = tmp_path / f"v{i}.wav"
+        write_wav(p, (inter[sl] * 32767).astype(np.int16), sr, ch)
+        paths.append(p)
+    out = tmp_path / "stretched.wav"
+    written = serve.stream_time_stretch(
+        paths, out, 0.5, nfft=1024, chunk_samples=1 << 13
+    )
+    info, got = _read(out)
+    assert info.num_channels == ch and written * ch == got.size
+    planar = got.reshape(-1, ch).T.astype(np.float32) / 32768.0
+    assert abs(planar.shape[-1] * 0.5 / n - 1.0) < 0.06  # ~2x duration
+    for c, f0 in ((0, 0.05), (1, 0.11)):
+        f, p = sps.welch(planar[c, 2048:-2048], nperseg=4096)
+        assert abs(f[np.argmax(p)] - f0) < 2e-3
+
+
+def test_stream_time_stretch_rejects_mixed_rate(tmp_path):
+    a = tmp_path / "a.wav"
+    b = tmp_path / "b.wav"
+    write_wav(a, np.zeros(9000, np.int16), 16000, 1)
+    write_wav(b, np.zeros(9000, np.int16), 8000, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sample rate"):
+        serve.stream_time_stretch([a, b], tmp_path / "o.wav", 1.0)
