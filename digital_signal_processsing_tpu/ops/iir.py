@@ -1672,7 +1672,7 @@ def sosfilt_chunk_pallas_fused(
     sos: jax.Array,
     x: jax.Array,
     *,
-    tile_rows: int = 256,
+    tile_rows: int | None = None,
     row_pass: str = "bcast",
 ) -> tuple[jax.Array, jax.Array]:
     """Streaming chunk through the fused scalar-A kernel (seeded carries).
@@ -1680,8 +1680,12 @@ def sosfilt_chunk_pallas_fused(
     Same contract as :func:`sosfilt_chunk`; tile-aligned head through the
     kernel, sub-tile tail through the XLA chunk op (exact state hand-off,
     as in :func:`sosfilt_chunk_pallas`). Chunked output is bit-equal to
-    the full :func:`sosfilt_pallas_fused` call with the SAME row_pass.
+    the full :func:`sosfilt_pallas_fused` call with the SAME row_pass and
+    tile_rows. ``tile_rows=None`` auto-picks like the full call (512 for
+    chunks that fill such a tile — the r3 tile-sweep winner — else 256).
     """
+    if tile_rows is None:
+        tile_rows = 512 if x.shape[-1] >= 512 * 128 else 256
     tile = tile_rows * 128
     n = x.shape[-1]
     main = (n // tile) * tile
