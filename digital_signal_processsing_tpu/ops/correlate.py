@@ -281,6 +281,8 @@ __all__ = [
     "fftconvolve",
     "oaconvolve",
     "find_delay",
+    "gcc_phat",
+    "find_delay_phat",
     "MODES",
     "correlation_lags",
     "vectorstrength",
@@ -303,3 +305,69 @@ def choose_conv_method(in1, in2, mode: str = "full"):
     if mode not in MODES:
         raise ValueError(f"unknown mode {mode!r}")
     return "fft" if k >= _fir.FIR_FFT_CROSSOVER else "direct"
+
+
+@functools.partial(jax.jit, static_argnames=("max_lag", "method"))
+def gcc_phat(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    max_lag: int | None = None,
+    method: str = "auto",
+    eps: float = 1e-12,
+) -> jax.Array:
+    """Generalized cross-correlation with PHAT weighting.
+
+    The robust time-delay estimator for the array family: the cross
+    spectrum ``Fa * conj(Fb)`` is magnitude-normalized per bin (phase
+    transform), which whitens channel coloring/reverberation so the
+    correlation collapses to a band-limited impulse at the true delay.
+    Returns ``cc`` of shape (..., 2*max_lag + 1) over lags
+    [-max_lag, max_lag]; ``cc[..., max_lag + d]`` peaks when ``a`` is
+    ``b`` delayed by ``d`` samples. ``max_lag`` defaults to
+    min(len(a), len(b)) - 1. Same DFT-engine ladder as :func:`correlate`.
+    """
+    ta, tb = a.shape[-1], b.shape[-1]
+    if max_lag is None:
+        max_lag = min(ta, tb) - 1
+    n = ta + tb - 1
+    nfft = 1 << int(np.ceil(np.log2(max(n, 2))))
+    if not 0 < max_lag < nfft // 2:
+        raise ValueError(f"max_lag must be in [1, {nfft // 2 - 1}], got {max_lag}")
+    from .fft import _mxu_fft_planar, _resolve_fft_method
+
+    if _resolve_fft_method(method, nfft) == "mxu" and nfft >= 128:
+        pa = jnp.pad(a.astype(jnp.float32), [(0, 0)] * (a.ndim - 1) + [(0, nfft - ta)])
+        pb = jnp.pad(b.astype(jnp.float32), [(0, 0)] * (b.ndim - 1) + [(0, nfft - tb)])
+        ar, ai = _mxu_fft_planar(pa, None)
+        br, bi = _mxu_fft_planar(pb, None)
+        rr = ar * br + ai * bi  # Fa * conj(Fb), planar
+        ri = ai * br - ar * bi
+        mag = jnp.maximum(jnp.sqrt(rr * rr + ri * ri), eps)
+        cc, _ = _mxu_fft_planar(rr / mag, ri / mag, inverse=True)
+    else:
+        fa = jnp.fft.rfft(a.astype(jnp.float32), n=nfft)
+        fb = jnp.fft.rfft(b.astype(jnp.float32), n=nfft)
+        r = fa * jnp.conj(fb)
+        r = r / jnp.maximum(jnp.abs(r), eps)
+        cc = jnp.fft.irfft(r, n=nfft)
+    neg = cc[..., nfft - max_lag :]
+    pos = cc[..., : max_lag + 1]
+    return jnp.concatenate([neg, pos], axis=-1)
+
+
+def find_delay_phat(a: jax.Array, b: jax.Array, *, max_lag: int | None = None):
+    """Sub-sample delay of ``a`` relative to ``b`` via GCC-PHAT + 3-point
+    parabolic interpolation. Returns a float array (batch shape of the
+    broadcast inputs)."""
+    cc = gcc_phat(a, b, max_lag=max_lag)
+    m = (cc.shape[-1] - 1) // 2
+    k = jnp.argmax(cc, axis=-1)
+    kc = jnp.clip(k, 1, cc.shape[-1] - 2)
+    ym = jnp.take_along_axis(cc, (kc - 1)[..., None], axis=-1)[..., 0]
+    y0 = jnp.take_along_axis(cc, kc[..., None], axis=-1)[..., 0]
+    yp = jnp.take_along_axis(cc, (kc + 1)[..., None], axis=-1)[..., 0]
+    denom = ym - 2.0 * y0 + yp
+    delta = jnp.where(denom == 0.0, 0.0, 0.5 * (ym - yp) / denom)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    return (kc - m).astype(jnp.float32) + delta

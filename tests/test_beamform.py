@@ -310,3 +310,54 @@ def test_spectrum_batch_on_mesh():
     for k in range(8):
         peak = angles[int(np.argmax(np.asarray(spec)[k]))]
         assert abs(peak - (-35.0 + 10 * k)) <= 2.0
+
+
+class TestGccPhat:
+    """TDOA companion to the array family (ops.correlate.gcc_phat)."""
+
+    def test_integer_delay_exact(self):
+        from digital_signal_processsing_tpu.ops.correlate import (
+            find_delay_phat,
+            gcc_phat,
+        )
+
+        rng = np.random.default_rng(0)
+        s = rng.standard_normal(8192).astype(np.float32)
+        a = np.concatenate([np.zeros(37, np.float32), s[:-37]])
+        cc = np.asarray(gcc_phat(a, s, max_lag=100))
+        assert cc.shape == (201,)
+        assert np.argmax(cc) == 100 + 37
+        assert abs(float(find_delay_phat(a, s, max_lag=100)) - 37.0) < 0.01
+
+    def test_fractional_delay_and_coloring(self):
+        import scipy.signal as sps
+
+        from digital_signal_processsing_tpu.ops.correlate import find_delay_phat
+
+        rng = np.random.default_rng(1)
+        n = 8192
+        s = rng.standard_normal(n).astype(np.float32)
+        f = np.fft.rfftfreq(n)
+        a = np.fft.irfft(np.fft.rfft(s) * np.exp(-2j * np.pi * f * 12.3), n).astype(
+            np.float32
+        )
+        assert abs(float(find_delay_phat(a, s, max_lag=64)) - 12.3) < 0.2
+        # PHAT whitens channel coloring on the reference
+        b = sps.lfilter([1, 0.7, -0.3, 0.2], [1], s).astype(np.float32)
+        assert abs(float(find_delay_phat(a, b, max_lag=64)) - 12.3) < 0.5
+
+    def test_batched_and_validation(self):
+        import pytest as _pytest
+
+        from digital_signal_processsing_tpu.ops.correlate import (
+            find_delay_phat,
+            gcc_phat,
+        )
+
+        rng = np.random.default_rng(2)
+        s = rng.standard_normal((2, 4096)).astype(np.float32)
+        a = np.roll(s, 5, axis=-1)
+        d = np.asarray(find_delay_phat(a, s, max_lag=32))
+        np.testing.assert_allclose(d, [5.0, 5.0], atol=0.01)
+        with _pytest.raises(ValueError):
+            gcc_phat(s, s, max_lag=0)
