@@ -34,6 +34,7 @@ __all__ = [
     "time_stretch_init",
     "time_stretch_chunk",
     "time_stretch_flush",
+    "spectral_subtract",
 ]
 
 
@@ -220,3 +221,42 @@ def time_stretch_flush(state: TimeStretchState) -> jax.Array:
     """The final WOLA tail, scaled like the chunk outputs (2*hs/nfft = 1/2
     at the fixed 4x-overlap synthesis hop)."""
     return state.ola_tail * 0.5
+
+
+def spectral_subtract(
+    x: jax.Array,
+    *,
+    nfft: int = 1024,
+    noise_frames: int = 8,
+    noise_psd: jax.Array | None = None,
+    oversubtract: float = 2.0,
+    floor: float = 0.05,
+) -> jax.Array:
+    """Classic magnitude spectral subtraction (Boll/Berouti) on the STFT
+    engine: estimate the noise magnitude from the first ``noise_frames``
+    frames (or take ``noise_psd`` of shape (nfft//2+1,) directly),
+    subtract ``oversubtract`` times it from every frame's magnitude with a
+    ``floor``-scaled spectral floor, and resynthesize with the original
+    phases. Fully batched — the gain mask is elementwise over the whole
+    (..., frames, bins) STFT at once. Output keeps the input's length
+    contract of :func:`ops.fft.istft` at 50% overlap.
+    """
+    if not 0.0 <= floor < 1.0:
+        raise ValueError(f"floor must be in [0, 1), got {floor}")
+    hop = nfft // 2
+    xp = jnp.asarray(x, jnp.float32)
+    s = stft(xp, nfft=nfft, hop=hop, window="sqrt_hann")
+    mag = jnp.abs(s)
+    if noise_psd is None:
+        if s.shape[-2] <= noise_frames:
+            raise ValueError(
+                f"need more than noise_frames={noise_frames} frames,"
+                f" got {s.shape[-2]}"
+            )
+        noise = jnp.mean(mag[..., :noise_frames, :], axis=-2, keepdims=True)
+    else:
+        noise = jnp.asarray(noise_psd, jnp.float32)[None, :]
+    cleaned = jnp.maximum(mag - oversubtract * noise, floor * mag)
+    # keep the noisy phase: scale the complex frames by the magnitude gain
+    gain = cleaned / jnp.maximum(mag, 1e-30)
+    return istft(s * gain, nfft=nfft, hop=hop, window="sqrt_hann")

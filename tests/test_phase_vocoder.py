@@ -107,3 +107,33 @@ def test_streaming_validation():
     with pytest.raises(ValueError):
         # chunk not a multiple of the analysis hop
         pv.time_stretch_chunk(st, np.zeros((1, 100), np.float32), rate=1.0, nfft=1024)
+
+
+def test_spectral_subtract_improves_snr():
+    from digital_signal_processsing_tpu.ops.phase_vocoder import (
+        spectral_subtract,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 1 << 15
+    t = np.arange(n)
+    clean = 0.5 * np.sin(2 * np.pi * 0.07 * t).astype(np.float32)
+    noise = 0.2 * rng.standard_normal(n).astype(np.float32)
+    # noise-only head for the estimate, then tone + noise
+    x = np.concatenate([noise[: 8 * 512], (clean + noise)[8 * 512 :]]).astype(
+        np.float32
+    )
+    y = np.asarray(spectral_subtract(x, nfft=1024, noise_frames=8))
+    m = min(len(y), n)
+    seg = slice(12000, m - 2048)
+
+    def snr(v):
+        return 10 * np.log10(
+            np.mean(clean[seg] ** 2) / np.mean((v[seg] - clean[seg]) ** 2)
+        )
+
+    assert snr(y) > snr(x) + 6.0  # at least 6 dB of noise reduction
+    with pytest.raises(ValueError):
+        spectral_subtract(x, floor=1.5)
+    with pytest.raises(ValueError):
+        spectral_subtract(x[:2048], nfft=1024, noise_frames=8)
