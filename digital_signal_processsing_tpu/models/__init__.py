@@ -9,10 +9,14 @@ from .radar import RadarConfig  # noqa: F401
 from . import radar  # noqa: F401
 from .beamform import ArrayConfig  # noqa: F401
 from . import beamform  # noqa: F401
+from .tracking import TrackerConfig  # noqa: F401
+from . import tracking  # noqa: F401
 
 __all__ = [
     "ArrayConfig",
     "beamform",
+    "TrackerConfig",
+    "tracking",
     "ModemConfig",
     "modem",
     "RadarConfig",
