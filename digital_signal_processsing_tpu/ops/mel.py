@@ -40,6 +40,8 @@ __all__ = [
     "melspectrogram",
     "log_melspectrogram",
     "mfcc",
+    "mfcc_init",
+    "mfcc_chunk",
     "delta",
 ]
 
@@ -178,6 +180,16 @@ def log_melspectrogram(x: jax.Array, *, floor: float = 1e-10, **kw) -> jax.Array
     return jnp.log(jnp.maximum(melspectrogram(x, **kw), floor))
 
 
+def _cepstral_lift(c: jax.Array, n_mfcc: int, lifter: float) -> jax.Array:
+    if lifter > 0.0:
+        k = np.arange(n_mfcc, dtype=np.float64)
+        lift = 1.0 + (lifter / 2.0) * np.sin(np.pi * (k + 1.0) / lifter)
+        return c * jnp.asarray(lift.astype(np.float32))
+    if lifter < 0.0:
+        raise ValueError(f"lifter must be >= 0, got {lifter}")
+    return c
+
+
 def mfcc(
     x: jax.Array,
     *,
@@ -198,14 +210,60 @@ def mfcc(
     if not 1 <= n_mfcc <= n_mels:
         raise ValueError(f"n_mfcc must be in [1, {n_mels}], got {n_mfcc}")
     d = jnp.asarray(dct_matrix(n_mfcc, n_mels))
-    c = lm @ d.T
-    if lifter > 0.0:
-        k = np.arange(n_mfcc, dtype=np.float64)
-        lift = 1.0 + (lifter / 2.0) * np.sin(np.pi * (k + 1.0) / lifter)
-        c = c * jnp.asarray(lift.astype(np.float32))
-    elif lifter < 0.0:
-        raise ValueError(f"lifter must be >= 0, got {lifter}")
-    return c
+    return _cepstral_lift(lm @ d.T, n_mfcc, lifter)
+
+
+def mfcc_init(nfft: int, hop: int, channels: int = 1):
+    """Streaming-MFCC state: the underlying streaming-STFT tail carry
+    (``ops.streaming.stft_init`` — needs hop | nfft)."""
+    from .streaming import stft_init
+
+    return stft_init(nfft, hop, channels)
+
+
+def mfcc_chunk(
+    state,
+    x: jax.Array,
+    *,
+    sample_rate: float,
+    n_mfcc: int = 13,
+    nfft: int = 1024,
+    hop: int = 256,
+    window: str = "hann",
+    n_mels: int = 80,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    htk: bool = False,
+    norm: str | None = "slaney",
+    floor: float = 1e-10,
+    lifter: float = 0.0,
+    method: str = "auto",
+):
+    """One chunk of streaming MFCC extraction: (channels, L) -> (state,
+    (channels, L//hop, n_mfcc)), L a nonzero multiple of hop.
+
+    Rides ``ops.streaming.stft_chunk``'s tail carry, so concatenated chunk
+    outputs equal the one-shot :func:`mfcc` of the stream prefixed with
+    nfft - hop zeros (real-time priming; drop the first nfft//hop - 1
+    frames for unprimed parity). The serving front end for feature
+    extraction — see ``serve.stream_mfcc``.
+    """
+    from .streaming import stft_chunk
+
+    if not 1 <= n_mfcc <= n_mels:
+        raise ValueError(f"n_mfcc must be in [1, {n_mels}], got {n_mfcc}")
+    state, s = stft_chunk(
+        state, x, nfft=nfft, hop=hop, window=window, method=method
+    )
+    p = (jnp.abs(s) ** 2).astype(jnp.float32)
+    fb = jnp.asarray(
+        mel_filterbank(
+            n_mels, nfft, sample_rate, fmin=fmin, fmax=fmax, htk=htk, norm=norm
+        )
+    )
+    lm = jnp.log(jnp.maximum(p @ fb.T, floor))
+    d = jnp.asarray(dct_matrix(n_mfcc, n_mels))
+    return state, _cepstral_lift(lm @ d.T, n_mfcc, lifter)
 
 
 def delta(feat: jax.Array, *, width: int = 9) -> jax.Array:

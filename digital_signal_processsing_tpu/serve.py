@@ -255,9 +255,100 @@ def stream_time_stretch(
     return written
 
 
+def stream_mfcc(
+    paths,
+    out_path: str | Path | None = None,
+    *,
+    n_mfcc: int = 13,
+    nfft: int = 512,
+    hop: int = 256,
+    n_mels: int = 40,
+    window: str = "hann",
+    lifter: float = 0.0,
+    chunk_samples: int = 1 << 20,
+) -> np.ndarray:
+    """MFCC features over a list of WAVs as ONE stream, chunked.
+
+    The feature-extraction serving loop (ASR/audio-ML front end): int16
+    interleaved chunks are deinterleaved to planar float, buffered to hop
+    multiples and pushed through ``ops.mel.mfcc_chunk`` (streaming-STFT
+    tail carried across chunk AND file boundaries). Audio memory stays
+    bounded by the chunk size; the returned features — (channels, frames,
+    n_mfcc), ~n_mfcc/(2*hop) the size of the int16 audio — are accumulated
+    and, with ``out_path``, also saved as .npy. Output equals the one-shot
+    ``ops.mel.mfcc`` of the zero-primed concatenated stream (any sub-hop
+    stream tail is zero-padded into the final hop).
+    """
+    from .ops import mel as _mel
+
+    paths = list(paths)
+    infos = [read_wav_info(p) for p in paths]
+    channels = infos[0].num_channels
+    rate = infos[0].sample_rate
+    for p_, i in zip(paths, infos):
+        if i.num_channels != channels:
+            raise ValueError(
+                f"{p_}: {i.num_channels} channels != first file's {channels}"
+            )
+        if i.sample_rate != rate:
+            raise ValueError(
+                f"{p_}: sample rate {i.sample_rate} != first file's {rate}"
+            )
+    chunk_samples -= chunk_samples % max(channels, 1)
+    # The loader zero-pads its final chunk; trim to the true stream length
+    # so padding never masquerades as audio (cf. stream_moving_average).
+    remaining = sum(
+        min(i.num_samples, max(Path(p_).stat().st_size - 44, 0) // 2)
+        for i, p_ in zip(infos, paths)
+    ) // channels
+    state = _mel.mfcc_init(nfft, hop, channels)
+    buf = np.zeros((channels, 0), np.float32)
+    feats: list[np.ndarray] = []
+
+    def push(block: np.ndarray) -> None:
+        nonlocal state
+        state, c = _mel.mfcc_chunk(
+            state,
+            block,
+            sample_rate=float(rate),
+            n_mfcc=n_mfcc,
+            nfft=nfft,
+            hop=hop,
+            window=window,
+            n_mels=n_mels,
+            lifter=lifter,
+        )
+        feats.append(np.asarray(c))
+
+    for chunk in WavChunkLoader(paths, chunk_samples):
+        planar = (
+            np.asarray(chunk).reshape(-1, channels).T.astype(np.float32)
+            / 32768.0
+        )
+        planar = planar[:, : max(0, remaining)]
+        remaining -= planar.shape[-1]
+        buf = np.concatenate([buf, planar], axis=-1)
+        use = buf.shape[-1] // hop * hop
+        if use:
+            push(buf[:, :use])
+            buf = buf[:, use:]
+    if buf.shape[-1]:
+        pad = np.zeros((channels, hop - buf.shape[-1]), np.float32)
+        push(np.concatenate([buf, pad], axis=-1))
+    out = (
+        np.concatenate(feats, axis=1)
+        if feats
+        else np.zeros((channels, 0, n_mfcc), np.float32)
+    )
+    if out_path is not None:
+        np.save(out_path, out)
+    return out
+
+
 __all__ = [
     "run_chunks",
     "stream_moving_average",
     "stream_sosfilt",
     "stream_time_stretch",
+    "stream_mfcc",
 ]

@@ -126,6 +126,68 @@ def test_delta_linear_ramp_interior_slope():
         mel.delta(jnp.asarray(frames), width=4)
 
 
+def test_mfcc_chunk_matches_primed_one_shot():
+    sr, nfft, hop, n_mels, n_mfcc = 16000.0, 512, 128, 24, 10
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    state = mel.mfcc_init(nfft, hop, channels=2)
+    outs = []
+    kw = dict(
+        sample_rate=sr, n_mfcc=n_mfcc, nfft=nfft, hop=hop, n_mels=n_mels,
+        lifter=22.0,
+    )
+    for lo, hi in [(0, 1024), (1024, 1152), (1152, 4096)]:
+        state, c = mel.mfcc_chunk(state, jnp.asarray(x[:, lo:hi]), **kw)
+        outs.append(np.asarray(c))
+    streamed = np.concatenate(outs, axis=1)
+    primed = np.concatenate([np.zeros((2, nfft - hop), np.float32), x], axis=-1)
+    ref = np.asarray(mel.mfcc(jnp.asarray(primed), window="hann", **kw))
+    np.testing.assert_allclose(streamed, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_stream_mfcc_over_multiple_wavs(tmp_path):
+    from digital_signal_processsing_tpu.io.wav import write_wav
+    from digital_signal_processsing_tpu.serve import stream_mfcc
+
+    sr, nfft, hop = 8000, 256, 64
+    rng = np.random.default_rng(6)
+    parts = [
+        (rng.standard_normal(2 * n) * 9000).astype(np.int16)
+        for n in (1000, 700)  # neither a hop multiple: crosses boundaries
+    ]
+    paths = []
+    for j, p in enumerate(parts):
+        path = tmp_path / f"part{j}.wav"
+        write_wav(path, p, sr, 2)
+        paths.append(path)
+    out = stream_mfcc(
+        paths, tmp_path / "feats.npy", n_mfcc=8, nfft=nfft, hop=hop,
+        n_mels=20, chunk_samples=512,
+    )
+    full = np.concatenate(
+        [p.reshape(-1, 2).T.astype(np.float32) / 32768.0 for p in parts],
+        axis=-1,
+    )
+    pad = (-full.shape[-1]) % hop
+    primed = np.concatenate(
+        [
+            np.zeros((2, nfft - hop), np.float32),
+            full,
+            np.zeros((2, pad), np.float32),
+        ],
+        axis=-1,
+    )
+    ref = np.asarray(
+        mel.mfcc(
+            jnp.asarray(primed), sample_rate=float(sr), n_mfcc=8, nfft=nfft,
+            hop=hop, n_mels=20, window="hann",
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    saved = np.load(tmp_path / "feats.npy")
+    np.testing.assert_array_equal(saved, out)
+
+
 def test_validation_errors():
     with pytest.raises(ValueError):
         mel.mel_filterbank(0, 512, 16000.0)
