@@ -167,6 +167,52 @@ def main() -> None:
         cfg.n_pulses * cfg.n_range,
     )
 
+    # --- mfcc feature extraction ------------------------------------------
+    # 8 channels x 2M samples, nfft=512/hop=256/80 mels/13 ceps — the
+    # ASR front-end config class; spectrogram rides the MXU DFT, mel+DCT
+    # are two dense matmuls.
+    from digital_signal_processsing_tpu.ops import mel
+
+    cm, tm = 8, 2_000_000
+    xm = jnp.asarray(rng.standard_normal((cm, tm)), jnp.float32)
+
+    def make_mfcc(k):
+        @jax.jit
+        def chained(v):
+            def body(i, y):
+                c13 = mel.mfcc(
+                    y, sample_rate=16000.0, n_mfcc=13, nfft=512, hop=256,
+                    n_mels=80,
+                )
+                return y + 0.0 * c13.sum()
+
+            return jax.lax.fori_loop(0, k, body, v)
+
+        return chained
+
+    k_diff(f"mfcc nfft=512 ({cm}x{tm})", make_mfcc, xm, cm * tm)
+
+    # --- cic decimation -----------------------------------------------------
+    # 16x CIC (N=4) over 2x16M — the DDC first stage as one boxcar^4 FIR
+    # (k=61 taps, direct MXU engine) + strided slice.
+    from digital_signal_processsing_tpu.ops import cic as _cic
+
+    cc, tc2 = 2, 16_000_000
+    xcic = jnp.asarray(rng.standard_normal((cc, tc2)), jnp.float32)
+
+    def make_cic(k):
+        @jax.jit
+        def chained(v):
+            def body(i, y):
+                out = _cic.cic_decimate(y, 16, n_stages=4)
+                return y + 0.0 * out.sum()
+
+            return jax.lax.fori_loop(0, k, body, v)
+
+        return chained
+
+    k_diff(f"cic_decimate R=16 N=4 ({cc}x{tc2})", make_cic, xcic, cc * tc2)
+
 
 if __name__ == "__main__":
     main()
