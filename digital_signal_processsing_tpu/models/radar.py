@@ -39,6 +39,7 @@ __all__ = [
     "ca_cfar",
     "detect",
     "detect_batch",
+    "ambiguity",
 ]
 
 
@@ -214,6 +215,55 @@ def ca_cfar(
     alpha = n * (pfa ** (-1.0 / n) - 1.0)
     thresh = alpha * z / n
     return p > thresh, thresh
+
+
+def ambiguity(
+    pulse_i,
+    pulse_q,
+    *,
+    dopplers=None,
+    n_doppler: int = 65,
+):
+    """Normalized power ambiguity surface |chi(tau, nu)|^2 of a pulse.
+
+    The waveform-design side of the radar family: the matched filter's
+    delay-Doppler response. ``chi(tau, nu) = sum_n u[n+tau] u*[n]
+    e^{j 2 pi nu n}`` (power is convention-phase free), peak-normalized so
+    ``|chi(0, 0)|^2 = 1``. Returns ``(delays, dopplers, amb)``: integer
+    delays -(L-1)..(L-1), Doppler grid in cycles/sample (default
+    ``n_doppler`` points spanning +-2/L — two Doppler resolution cells),
+    and the (n_doppler, 2L-1) float32 surface.
+
+    TPU-first: the whole surface is ONE batched planar complex
+    correlation (``ops.correlate.correlate_complex``) of the
+    Doppler-shifted bank u * e^{j 2 pi nu n} against u — no per-delay
+    loops; the Doppler bank rides broadcasting and the correlation rides
+    the complex MXU-DFT engine.
+    """
+    from ..ops.correlate import correlate_complex
+
+    pi_ = np.asarray(pulse_i, np.float32)
+    qi_ = np.asarray(pulse_q, np.float32)
+    if pi_.ndim != 1 or pi_.shape != qi_.shape:
+        raise ValueError(
+            f"pulse must be planar 1-D (i, q), got {pi_.shape}/{qi_.shape}"
+        )
+    length = pi_.shape[0]
+    if dopplers is None:
+        dopplers = np.linspace(-2.0 / length, 2.0 / length, n_doppler)
+    dopplers = np.asarray(dopplers, np.float64)
+    ph = 2.0 * np.pi * np.outer(dopplers, np.arange(length))
+    cr = jnp.asarray(np.cos(ph), jnp.float32)
+    sr = jnp.asarray(np.sin(ph), jnp.float32)
+    ui = jnp.asarray(pi_)
+    uq = jnp.asarray(qi_)
+    ar = cr * ui - sr * uq  # u * e^{j 2 pi nu n}, planar
+    ai = sr * ui + cr * uq
+    rr, ri = correlate_complex(ar, ai, ui, uq, mode="full")
+    energy = float(np.sum(pi_.astype(np.float64) ** 2 + qi_.astype(np.float64) ** 2))
+    amb = (rr * rr + ri * ri) / np.float32(energy**2)
+    delays = np.arange(-(length - 1), length)
+    return delays, dopplers, amb
 
 
 def detect_batch(cfg: RadarConfig, i: jax.Array, q: jax.Array, *, mesh=None):

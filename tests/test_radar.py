@@ -201,3 +201,61 @@ def test_detect_jit_cache_reuse():
     d1, _, _ = radar.detect(cfg, i, q)
     d2, _, _ = radar.detect(cfg, i, q)  # same static cfg: cached trace
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def _ambiguity_oracle(pi, qi, delays, dopplers):
+    """Brute-force |chi|^2, complex128 loops."""
+    u = pi.astype(np.complex128) + 1j * qi.astype(np.complex128)
+    n = np.arange(u.size)
+    energy = float(np.sum(np.abs(u) ** 2))
+    out = np.zeros((dopplers.size, delays.size))
+    for a, fd in enumerate(dopplers):
+        ush = u * np.exp(2j * np.pi * fd * n)
+        for b, tau in enumerate(delays):
+            acc = 0.0 + 0.0j
+            for k in range(u.size):
+                if 0 <= k + tau < u.size:
+                    acc += ush[k + tau] * np.conj(u[k])
+            out[a, b] = np.abs(acc) ** 2 / energy**2
+    return out
+
+
+def test_ambiguity_matches_bruteforce_oracle():
+    rng = np.random.default_rng(3)
+    pi = rng.standard_normal(24).astype(np.float32)
+    qi = rng.standard_normal(24).astype(np.float32)
+    dop = np.linspace(-0.08, 0.08, 5)
+    delays, dops, amb = radar.ambiguity(pi, qi, dopplers=dop)
+    ref = _ambiguity_oracle(pi, qi, delays, dops)
+    np.testing.assert_allclose(np.asarray(amb), ref, rtol=2e-4, atol=2e-6)
+
+
+def test_ambiguity_barker13_zero_doppler_cut():
+    barker = np.array([1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, 1], np.float32)
+    delays, _, amb = radar.ambiguity(barker, np.zeros_like(barker), dopplers=[0.0])
+    cut = np.asarray(amb)[0]
+    center = delays.size // 2
+    np.testing.assert_allclose(cut[center], 1.0, rtol=1e-5)
+    side = np.delete(cut, center)
+    # Barker-13: all autocorrelation sidelobes at amplitude 1/13.
+    np.testing.assert_allclose(side[side > 1e-8], (1 / 13) ** 2, rtol=1e-4)
+
+
+def test_ambiguity_lfm_range_doppler_coupling():
+    cfg = radar.RadarConfig(
+        n_pulses=8, pulse_len=128, n_range=256, bandwidth=0.5
+    )
+    pi, qi = radar.lfm_pulse(cfg)
+    length, bw = cfg.pulse_len, cfg.bandwidth
+    fds = np.array([-2.0 / length, 0.0, 2.0 / length])
+    delays, _, amb = radar.ambiguity(pi, qi, dopplers=fds)
+    amb = np.asarray(amb)
+    for row, fd in zip(amb, fds):
+        peak_delay = delays[int(np.argmax(row))]
+        # LFM ridge: with chi(tau,nu) = sum u[n+tau]u*[n]e^{j2pi nu n}
+        # and an UP-chirp, a Doppler shift fd displaces the correlation
+        # peak by -fd*L/bw (range-Doppler coupling).
+        want = -fd * length / bw
+        assert abs(peak_delay - want) <= 1, (peak_delay, want)
+    # Peak normalization at (0, 0).
+    np.testing.assert_allclose(amb[1].max(), 1.0, rtol=1e-5)
