@@ -2652,17 +2652,23 @@ def sosfilt_tv_fused(
     x: jax.Array,
     *,
     tile_rows: int = 256,
-    row_pass: str = "bcast",
+    row_pass: str | None = None,
 ) -> jax.Array:
     """Fused-cascade spelling of :func:`sosfilt_tv` (same semantics): one
     kernel runs every section per tile. Default for multi-section
     schedules via ``sosfilt_tv(..., method="auto")``.
     ``row_pass='compact'`` relays the row-level composition onto
-    (tile_rows/128, 128) tiles (:func:`_row_pass_compact_tv`)."""
+    (tile_rows/128, 128) tiles (:func:`_row_pass_compact_tv`). Unlike the
+    time-invariant cascade (where broadcast wins — r3_sosfilt_rowpass_ab:
+    4.15 vs 2.65 GS/s), the TV kernel's per-element coefficient planes make
+    the full-tile doubling levels pure overhead, so compact is the measured
+    default here (0.90 vs 0.83 GS/s on chip) whenever tile_rows permits."""
     import functools as _ft
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if row_pass is None:
+        row_pass = "compact" if tile_rows % 128 == 0 else "bcast"
     if row_pass == "compact" and tile_rows % 128 != 0:
         raise ValueError(
             f"row_pass='compact' needs tile_rows % 128 == 0, got {tile_rows}"
