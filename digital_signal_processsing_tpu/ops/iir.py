@@ -676,7 +676,7 @@ def iir_first_order_pallas(
     b: float = 1.0,
     *,
     tile_rows: int = 512,
-    kernel: str = "tile",
+    kernel: str = "scalar",
     row_pass: str = "bcast",
 ) -> jax.Array:
     """y[t] = a*y[t-1] + b*x[t] over the last axis — Pallas block scan.
@@ -689,9 +689,13 @@ def iir_first_order_pallas(
     independent streams, walked by an outer grid axis with a per-stream
     carry reset — one compile for all channels.
 
-    ``kernel='scalar'`` uses the round-3 scalar-A composition kernel
-    (:func:`_iir1_scalar_kernel`); ``row_pass='compact'`` additionally
-    moves its row scan onto a (tile_rows/128, 128) relayout.
+    ``kernel='scalar'`` (the default since the r3 on-chip A/B: 13.9 vs
+    11.6 GS/s at (16, 4M) — `benchmarks/r3_iir1_scalar_ab.py`) composes the
+    data-independent alpha products as traced scalars
+    (:func:`_iir1_scalar_kernel`); ``kernel='tile'`` keeps the round-2
+    full-tile kernel as the A/B anchor. ``row_pass='compact'`` moves the
+    scalar kernel's row scan onto a (tile_rows/128, 128) relayout (measured
+    slower on chip — 11.1 GS/s — kept as an anchor only).
     """
     import functools
     from jax.experimental import pallas as pl
