@@ -226,8 +226,10 @@ def _next_pow2_overlap(k: int) -> int:
 
 
 # measured direct-vs-fused-overlap-save crossover on v5e (see fir_filter
-# docstring and benchmarks/r3_crossover.py)
-FIR_FFT_CROSSOVER = 6000
+# docstring and benchmarks/r3_crossover.py; r3 on-chip rerun: direct wins
+# 21.8 vs 25.5 ms at k=3073, fused wins 26.1 vs 26.4 at k=4097 and
+# 24.3 vs 35.2 at k=6145 — linear cross ~3900)
+FIR_FFT_CROSSOVER = 3900
 
 
 def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Array:
@@ -238,8 +240,11 @@ def fir_filter(x: jax.Array, taps: jax.Array, *, method: str = "auto") -> jax.Ar
     XLA-FFT overlap-save sits flat ~36-64 ms (the rfft+irfft pair is 29 ms
     of it — XLA's TPU FFT lowering is the bottleneck, benchmarks/
     r2_rows.py); the FUSED MXU overlap-save (ops/fft_mxu.py, per-block DFT
-    chains in VMEM) runs 18.7/20.2/24.7/27.6 ms at k=1k/2k/4k/8k, putting
-    the measured crossover at k ~ 6000 (was ~10^4 against the XLA FFT).
+    chains in VMEM) runs 18.7/20.2/24.7/27.6 ms at k=1k/2k/4k/8k. The r3
+    3-factor engine + block tuning moved the measured crossover down to
+    k ~ 3900 (direct 21.8 vs fused 25.5 ms at k=3073; 26.4 vs 26.1 at
+    k=4097; 35.2 vs 24.3 at k=6145 — benchmarks/r3_crossover.py on-chip
+    rerun; was ~6000 in r2 units, ~10^4 against the XLA FFT).
     Traced taps fall back to the XLA-composed MXU DFT (the fused kernel
     bakes the frequency response as a constant).
     """
