@@ -70,11 +70,15 @@ def main() -> None:
     sos_t = jnp.asarray(np.stack([row] * 4, 0), jnp.float32)
 
     def make_tv(method):
+        # sos_t is 384 MB — MUST ride as a jit argument, not a closure
+        # constant (closure constants are embedded in the program and blow
+        # the remote-compile request past HTTP 413).
         def mk(k):
             @jax.jit
-            def chained(v):
+            def chained(arg):
+                v, s = arg
                 def body(i, y):
-                    return iir.sosfilt_tv(sos_t, y, method=method)
+                    return iir.sosfilt_tv(s, y, method=method)
 
                 return jax.lax.fori_loop(0, k, body, v)
 
@@ -83,8 +87,8 @@ def main() -> None:
         return mk
 
     # interleaved A/B: fused cascade (default) vs per-section scan anchor
-    k_diff("sosfilt_tv 4sec fused (16,4M)", make_tv("fused"), x, c * t)
-    k_diff("sosfilt_tv 4sec scan  (16,4M)", make_tv("scan"), x, c * t)
+    k_diff("sosfilt_tv 4sec fused (16,4M)", make_tv("fused"), (x, sos_t), c * t)
+    k_diff("sosfilt_tv 4sec scan  (16,4M)", make_tv("scan"), (x, sos_t), c * t)
 
     # --- lpc_synthesis ---------------------------------------------------
     order, frame, nf, streams = 12, 256, 512, 128  # 16.8M samples total
@@ -147,10 +151,12 @@ def main() -> None:
     rq = jnp.asarray(rng.standard_normal((cfg.n_pulses, cfg.n_range)), jnp.float32)
 
     def make_radar(k):
+        # rq is 256 MB — jit argument, not a closure constant (HTTP 413)
         @jax.jit
-        def chained(v):
+        def chained(arg):
+            v, q = arg
             def body(i, y):
-                det, power, _ = radar.detect(cfg, y, rq)
+                det, power, _ = radar.detect(cfg, y, q)
                 # fold the result back so the loop carries the input shape
                 return y + 0.0 * jnp.pad(
                     power, ((0, 0), (0, cfg.n_range - cfg.n_bins))
@@ -163,7 +169,7 @@ def main() -> None:
     k_diff(
         f"radar detect ({cfg.n_pulses}x{cfg.n_range})",
         make_radar,
-        ri,
+        (ri, rq),
         cfg.n_pulses * cfg.n_range,
     )
 
