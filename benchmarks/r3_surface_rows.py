@@ -29,6 +29,22 @@ import jax.numpy as jnp
 
 K_SMALL, K_BIG = 4, 12
 REPEATS = 3
+CRASHES = 0
+
+
+def row(name, fn, *args):
+    """Per-row crash isolation (reference run_benchmarks.py:93-97): one
+    failing config must not cost the remaining rows — the r3 run lost six
+    rows to a single HTTP 413 (logs/r3_onchip/summary.log)."""
+    global CRASHES
+    import traceback
+
+    try:
+        fn(name, *args)
+    except Exception:
+        CRASHES += 1
+        print(f"CRASH {name}:", flush=True)
+        traceback.print_exc()
 
 
 def k_diff(name, make_fn, arg, work_items):
@@ -63,11 +79,11 @@ def main() -> None:
     x = jnp.asarray(rng.standard_normal((c, t)), jnp.float32)
     r = 0.5 + 0.4 * np.sin(np.linspace(0, 20, t))
     th = 0.3 + 0.2 * np.cos(np.linspace(0, 15, t))
-    row = np.stack(
+    coef_row = np.stack(
         [np.full(t, 0.3), 0.1 * np.sin(np.linspace(0, 5, t)),
          np.full(t, 0.05), np.ones(t), -2 * r * np.cos(th), r * r], -1
     )
-    sos_t = jnp.asarray(np.stack([row] * 4, 0), jnp.float32)
+    sos_t = jnp.asarray(np.stack([coef_row] * 4, 0), jnp.float32)
 
     def make_tv(method):
         # sos_t is 384 MB — MUST ride as a jit argument, not a closure
@@ -87,8 +103,8 @@ def main() -> None:
         return mk
 
     # interleaved A/B: fused cascade (default) vs per-section scan anchor
-    k_diff("sosfilt_tv 4sec fused (16,4M)", make_tv("fused"), (x, sos_t), c * t)
-    k_diff("sosfilt_tv 4sec scan  (16,4M)", make_tv("scan"), (x, sos_t), c * t)
+    row("sosfilt_tv 4sec fused (16,4M)", k_diff, make_tv("fused"), (x, sos_t), c * t)
+    row("sosfilt_tv 4sec scan  (16,4M)", k_diff, make_tv("scan"), (x, sos_t), c * t)
 
     # --- lpc_synthesis ---------------------------------------------------
     order, frame, nf, streams = 12, 256, 512, 128  # 16.8M samples total
@@ -113,8 +129,9 @@ def main() -> None:
 
         return chained
 
-    k_diff(
+    row(
         f"lpc_synthesis p={order} ({streams}x{nf}x{frame})",
+        k_diff,
         make_lpc,
         e,
         streams * nf * frame,
@@ -136,7 +153,7 @@ def main() -> None:
 
         return chained
 
-    k_diff(f"cwt ricker x{len(widths)} (1M)", make_cwt, xc, n * len(widths))
+    row(f"cwt ricker x{len(widths)} (1M)", k_diff, make_cwt, xc, n * len(widths))
 
     # --- radar detect chain ----------------------------------------------
     # One CPI: 64 pulses x 1M range samples (row width kept ~1M — the conv
@@ -166,8 +183,9 @@ def main() -> None:
 
         return chained
 
-    k_diff(
+    row(
         f"radar detect ({cfg.n_pulses}x{cfg.n_range})",
+        k_diff,
         make_radar,
         (ri, rq),
         cfg.n_pulses * cfg.n_range,
@@ -196,7 +214,7 @@ def main() -> None:
 
         return chained
 
-    k_diff(f"mfcc nfft=512 ({cm}x{tm})", make_mfcc, xm, cm * tm)
+    row(f"mfcc nfft=512 ({cm}x{tm})", k_diff, make_mfcc, xm, cm * tm)
 
     # --- cic decimation -----------------------------------------------------
     # 16x CIC (N=4) over 2x16M — the DDC first stage as one boxcar^4 FIR
@@ -217,7 +235,9 @@ def main() -> None:
 
         return chained
 
-    k_diff(f"cic_decimate R=16 N=4 ({cc}x{tc2})", make_cic, xcic, cc * tc2)
+    row(f"cic_decimate R=16 N=4 ({cc}x{tc2})", k_diff, make_cic, xcic, cc * tc2)
+
+    print(f"DONE crashes={CRASHES}", flush=True)
 
 
 if __name__ == "__main__":

@@ -103,25 +103,9 @@ def _fused_pfb_kernel(
     )
 
 
-def fused_branch_dft(
-    u: jax.Array,
-    hq: jax.Array,
-    *,
-    sign: int = 1,
-    dilation: int = 1,
-    tile_rows: int = 512,
-) -> tuple[jax.Array, jax.Array]:
-    """Fused ``branch_fir`` + ``dft_matmul`` (real input): (M, N) -> 2x(M, N).
-
-    Pallas per-tile chain (see the kernel doc); bit-close to the composed
-    pair. ``hq`` must be concrete or traced — it rides VMEM, one compile
-    per (P, N, dilation, tile_rows) structure.
-    """
-    import functools as _ft
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _fused_pfb_prepare(u, hq, *, sign: int, dilation: int, tile_rows: int):
+    """Pre-kernel relayout for :func:`fused_branch_dft` (exposed so the
+    r4 profile can time the relayout and the kernel separately)."""
     from ..utils.layout import overlapping_frames
 
     m, n = u.shape
@@ -141,7 +125,18 @@ def fused_branch_dft(
     qk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
     cos = jnp.asarray(np.cos(qk), jnp.float32)
     sin = jnp.asarray(np.sin(qk) * sign, jnp.float32)
+    return halos, main, cos, sin, (m, n, p, d, rows, nt)
 
+
+def _fused_pfb_run(halos, main, hq, cos, sin, meta):
+    """The pallas_call of :func:`fused_branch_dft` on prepared tiles."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n, p, d, rows, nt = meta
+    halo = d * (p - 1)
     tile = lambda r: pl.BlockSpec(  # noqa: E731
         (1, r, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -166,6 +161,26 @@ def fused_branch_dft(
         interpret=jax.default_backend() != "tpu",
     )(halos, main, hq.astype(jnp.float32), cos, sin)
     return re.reshape(nt * rows, n)[:m], im.reshape(nt * rows, n)[:m]
+
+
+def fused_branch_dft(
+    u: jax.Array,
+    hq: jax.Array,
+    *,
+    sign: int = 1,
+    dilation: int = 1,
+    tile_rows: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused ``branch_fir`` + ``dft_matmul`` (real input): (M, N) -> 2x(M, N).
+
+    Pallas per-tile chain (see the kernel doc); bit-close to the composed
+    pair. ``hq`` must be concrete or traced — it rides VMEM, one compile
+    per (P, N, dilation, tile_rows) structure.
+    """
+    halos, main, cos, sin, meta = _fused_pfb_prepare(
+        u, hq, sign=sign, dilation=dilation, tile_rows=tile_rows
+    )
+    return _fused_pfb_run(halos, main, hq, cos, sin, meta)
 
 
 def design_prototype(

@@ -2671,11 +2671,16 @@ def sosfilt_tv_fused(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # compact relayout requires rows = g*128 with 1 <= g <= 128
+    # (_row_pass_compact_tv); out-of-range tile_rows fall back to bcast
+    # rather than tripping the kernel's internal assertion at trace time
+    compact_ok = tile_rows % 128 == 0 and 128 <= tile_rows <= 16384
     if row_pass is None:
-        row_pass = "compact" if tile_rows % 128 == 0 else "bcast"
-    if row_pass == "compact" and tile_rows % 128 != 0:
+        row_pass = "compact" if compact_ok else "bcast"
+    if row_pass == "compact" and not compact_ok:
         raise ValueError(
-            f"row_pass='compact' needs tile_rows % 128 == 0, got {tile_rows}"
+            "row_pass='compact' needs tile_rows % 128 == 0 and "
+            f"128 <= tile_rows <= 16384, got {tile_rows}"
         )
     y3d, batch, n = _to_planar_tiles(x, tile_rows)
     nch, rtot = y3d.shape[0], y3d.shape[1]

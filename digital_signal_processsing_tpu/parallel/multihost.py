@@ -47,7 +47,9 @@ def topology_summary() -> dict:
 
 
 def assert_same_across_hosts(value: float, name: str = "value") -> None:
-    """Cheap cross-host agreement check: psum(value) == value * devices."""
+    """Cross-host agreement check via pmax/pmin (exact — no reduction
+    rounding; the earlier psum(v) == v*D spelling false-positived at 16
+    devices, where a sequential f32 all-reduce rounds by ~D/2 ulps)."""
     from jax.sharding import Mesh, PartitionSpec as P
 
     if jax.process_count() == 1:
@@ -57,8 +59,14 @@ def assert_same_across_hosts(value: float, name: str = "value") -> None:
     # (addressable by one process) against a mesh spanning all processes
     import numpy as np
 
-    got = jax.shard_map(
-        lambda a: jax.lax.psum(a, "p"), mesh=mesh, in_specs=P(), out_specs=P()
+    hi, lo = jax.shard_map(
+        lambda a: (jax.lax.pmax(a, "p"), jax.lax.pmin(a, "p")),
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=(P(), P()),
     )(np.asarray([float(value)], dtype=np.float32))
-    if abs(float(got[0]) - float(value) * jax.device_count()) > 1e-6:
-        raise RuntimeError(f"{name} differs across hosts")
+    if float(hi[0]) != float(lo[0]):
+        raise RuntimeError(
+            f"{name} differs across hosts: max={float(hi[0])!r} "
+            f"min={float(lo[0])!r}"
+        )

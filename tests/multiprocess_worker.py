@@ -62,6 +62,60 @@ def main() -> None:
     for shard in out.addressable_shards:
         np.testing.assert_array_equal(np.asarray(shard.data), want[shard.index])
 
+    # --- fused-ring windowed averager across processes (round 4): the
+    # in-kernel RDMA halo on a process-spanning 1-named-axis time mesh
+    from digital_signal_processsing_tpu.parallel.mesh import make_time_mesh
+
+    tmesh = make_time_mesh()
+    assert tmesh.devices.size == 4 * nproc
+    w2, c2 = 700, 2
+    x2 = rng.integers(-32768, 32768, size=4 * nproc * (1 << 13), dtype=np.int16)
+    x2d = jax.make_array_from_callback(
+        x2.shape, time_sharding(tmesh), lambda idx: x2[idx]
+    )
+    out_fr = sharded_moving_average(
+        x2d, w2, c2, mesh=tmesh, halo_impl="fused_ring"
+    )
+    want_fr = moving_average_golden(x2, w2, c2)
+    for shard in out_fr.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data), want_fr[shard.index])
+
+    # --- (ch, t)-sharded receiver chain across processes (round 4): the
+    # combined-halo ppermute path under a multi-controller mesh
+    import jax.numpy as jnp
+
+    from digital_signal_processsing_tpu.models import ChainConfig, DspChain
+    from digital_signal_processsing_tpu.parallel.pipeline import sharded_chain
+
+    ccfg = ChainConfig(
+        channels=2, decimation=4, channel_taps=33, audio_taps=17
+    )
+    dsp_chain = DspChain(ccfg)
+    t_chain = 512 * mesh.shape["t"]
+    iq = (
+        rng.normal(size=(ccfg.channels, t_chain))
+        + 1j * rng.normal(size=(ccfg.channels, t_chain))
+    ).astype(np.complex64)
+    want_c = np.asarray(dsp_chain(jnp.asarray(iq)))  # local single-device ref
+    from jax.sharding import PartitionSpec as PS
+
+    iq_sh = jax.make_array_from_callback(
+        iq.shape, NamedSharding(mesh, PS("ch", "t")), lambda idx: iq[idx]
+    )
+    got_c = sharded_chain(dsp_chain, iq_sh, mesh)
+    ramp = (
+        ccfg.channel_taps + 8 * ccfg.decimation
+    ) // ccfg.decimation + ccfg.audio_taps
+    for shard in got_c.addressable_shards:
+        got_np = np.asarray(shard.data)
+        want_np = want_c[shard.index]
+        # skip the per-channel ramp-up region like dryrun_multichip does
+        col0 = shard.index[1].start or 0
+        keep = max(ramp - col0, 0)
+        np.testing.assert_allclose(
+            got_np[:, keep:], want_np[:, keep:], rtol=1e-3, atol=1e-4
+        )
+
     # --- LMS training step with psum-combined grads across processes
     tx = optax.adam(1e-2)
     step = make_sharded_train_step(mesh, tx)

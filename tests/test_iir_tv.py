@@ -152,7 +152,12 @@ def test_fused_compact_row_pass(tile_rows):
     sos_t = np.stack(
         [make_schedule(n, 0), make_schedule(n, 1)], 0
     ).astype(np.float32)
-    want = np.asarray(iir.sosfilt_tv_fused(sos_t, x, tile_rows=tile_rows))
+    # 'want' must be an INDEPENDENT spelling: since round 3 the fused
+    # default at these tile_rows IS compact, so pin bcast explicitly
+    # (otherwise this parity check compares compact against itself)
+    want = np.asarray(
+        iir.sosfilt_tv_fused(sos_t, x, tile_rows=tile_rows, row_pass="bcast")
+    )
     got = np.asarray(
         iir.sosfilt_tv_fused(
             sos_t, x, tile_rows=tile_rows, row_pass="compact"
@@ -162,3 +167,8 @@ def test_fused_compact_row_pass(tile_rows):
     assert np.max(np.abs(got - want)) / scale < 1e-6
     with pytest.raises(ValueError):
         iir.sosfilt_tv_fused(sos_t, x, tile_rows=8, row_pass="compact")
+    with pytest.raises(ValueError):
+        iir.sosfilt_tv_fused(sos_t, x, tile_rows=32768, row_pass="compact")
+    # out-of-range default falls back to bcast instead of asserting
+    big = np.asarray(iir.sosfilt_tv_fused(sos_t, x, tile_rows=64))
+    assert big.shape == x.shape

@@ -56,3 +56,39 @@ def test_two_process_distributed_mesh():
     losses = {line.split("loss=")[1] for out in outs for line in out.splitlines()
               if "MULTIPROC_OK" in line}
     assert len(losses) == 1, losses
+
+
+def test_four_process_distributed_mesh():
+    """Round 4: the 4-process exercise (VERDICT r3 item 6) — same worker,
+    8x2 process-spanning mesh, including the fused-ring RDMA halo and the
+    combined-halo chain paths added this round."""
+    try:
+        port = _free_port()
+    except OSError as e:  # pragma: no cover
+        pytest.skip(f"port allocation failed: {e}")
+    nproc = 4
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(pid), str(nproc), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=str(WORKER.parents[1]),
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:  # pragma: no cover
+        for p in procs:
+            p.kill()
+        pytest.fail("multiprocess workers timed out:\n" + "\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+        assert "MULTIPROC_OK" in out, out[-3000:]
+    losses = {line.split("loss=")[1] for out in outs for line in out.splitlines()
+              if "MULTIPROC_OK" in line}
+    assert len(losses) == 1, losses
