@@ -127,10 +127,15 @@ def main() -> None:
     def composed_b(vv):
         return ch.dft_matmul(vv, None, NCH)
 
+    def fused_raw(v):
+        y = ch.pfb_channelize(v, NCH, proto, method="fused_raw")
+        return jnp.real(y), jnp.imag(y)
+
     row("commutator", lambda: k_diff("commutator (relayout only)", commutator, x, N))
     row("prepare", lambda: k_diff("prepare (pads+framing)", prepare, u, N))
     row("prep+kernel", lambda: k_diff("prepare+kernel", kernel_only, u, N))
     row("full fused", lambda: k_diff("full fused (anchor)", full, x, N))
+    row("fused_raw", lambda: k_diff("fused_raw (r4 candidate)", fused_raw, x, N))
     row("branch_fir", lambda: k_diff("composed branch_fir", composed_a, u, N))
     row("dft_matmul", lambda: k_diff("composed dft_matmul", composed_b, v_pre, N))
 

@@ -183,6 +183,157 @@ def fused_branch_dft(
     return _fused_pfb_run(halos, main, hq, cos, sin, meta)
 
 
+def _fused_pfb_raw_kernel(
+    x_ref, hp_ref, cos_ref, sin_ref, re_ref, im_ref, carry_ref,
+    *, n, p, d, rows, hr
+):
+    """PFB straight from the RAW stream tile — no commutator, no framing.
+
+    The r4 stage profile showed the fused path's cost was the pre-kernel
+    relayouts (commutator + pads + halo arrays), each a full HBM round
+    trip of the 256 MB stream. This kernel reads raw (rows, 128) tiles —
+    B = 128//n blocks per row, full lanes — and folds the commutator's
+    lane reversal into the tap and DFT constants:
+
+      lane l holds block m = row*B + l//n, in-block lane lb = l%n, and is
+      assigned channel-domain index q = (n - lb) % n, so the commutator
+      u[m, q] = x2d[m - (q>0), sigma(q)] becomes a PER-LANE block shift
+      delta(l) = (lb != 0) of the raw tile. The branch ladder then needs
+      only E_s = "raw tile at block offset s" (a lane roll by n per
+      intra-row step + row shifts), and the final select between the
+      delta=0/1 ladders is one more block shift of the ladder OUTPUT
+      (the per-lane taps hp[r, l] depend on lb only, so they commute with
+      block shifts). The channel DFT rides as a block-diagonal (128, 128)
+      matmul with the q-permutation folded in.
+
+    Raw-tile carry across the sequential grid supplies the causal history
+    (zeros at t=0 — the commutator's zero prefix).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _jnp = jnp
+    b = 128 // n
+    t_id = pl.program_id(0)
+
+    @pl.when(t_id == 0)
+    def _seed():
+        carry_ref[:] = _jnp.zeros_like(carry_ref)
+
+    ext = _jnp.concatenate([carry_ref[:], x_ref[:]], axis=0)  # (hr+rows, 128)
+
+    def bshift(y):
+        # out[row, l] = y[row - (l < n), (l - n) % 128]
+        rolled = pltpu.roll(y, n, axis=1)
+        down1 = _jnp.concatenate([rolled[:1] * 0.0, rolled[:-1]], axis=0)
+        lane = jax.lax.broadcasted_iota(_jnp.int32, y.shape, 1)
+        return _jnp.where(lane < n, down1, rolled)
+
+    # intra-row block-shift variants V_j = E_j, j = 0..B-1
+    variants = [ext]
+    for _ in range(b - 1):
+        variants.append(bshift(variants[-1]))
+
+    # ladder S0 over rows [hr-1, hr-1+rows+1): one extra leading row so the
+    # final block shift (S1) has its history
+    w = rows + 1
+    s0 = None
+    for r in range(p):
+        s = d * r
+        v = variants[s % b]
+        r0 = hr - 1 - s // b
+        term = v[r0 : r0 + w, :] * hp_ref[r : r + 1, :]
+        s0 = term if s0 is None else s0 + term
+    s1 = bshift(s0)
+    lane = jax.lax.broadcasted_iota(_jnp.int32, (w, 128), 1)
+    vsel = _jnp.where(lane % n == 0, s0, s1)[1:, :]  # (rows, 128)
+
+    hp_prec = jax.lax.Precision.HIGHEST
+    re_ref[:] = jax.lax.dot_general(
+        vsel, cos_ref[:], (((1,), (0,)), ((), ())), precision=hp_prec,
+        preferred_element_type=_jnp.float32,
+    )
+    im_ref[:] = jax.lax.dot_general(
+        vsel, sin_ref[:], (((1,), (0,)), ((), ())), precision=hp_prec,
+        preferred_element_type=_jnp.float32,
+    )
+    carry_ref[:] = x_ref[rows - hr :, :]
+
+
+def fused_pfb_raw(
+    x: jax.Array,
+    n: int,
+    hq: jax.Array,
+    *,
+    sign: int = 1,
+    dilation: int = 1,
+    tile_rows: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """Raw-stream fused PFB analysis: (T,) float32 -> 2x(M, N) planes.
+
+    Envelope: T % 128 == 0 and n in {32, 64, 128} (blocks-per-row B =
+    128//n, B-1 lane rolls per tile). Callers outside it use the u-tensor
+    ``fused_branch_dft`` path.
+    """
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = x.shape[-1]
+    if t % 128 != 0 or 128 % n != 0 or n not in (32, 64, 128):
+        raise ValueError(
+            f"fused_pfb_raw needs len % 128 == 0 and n in (32, 64, 128); "
+            f"got len={t}, n={n}"
+        )
+    p = int(hq.shape[0])
+    d = int(dilation)
+    b = 128 // n
+    m = t // n
+    r_rows = t // 128
+    hr = (d * (p - 1) + 1) // b + 2
+    rows = min(tile_rows, -(-r_rows // 8) * 8)
+    nt = -(-r_rows // rows)
+
+    x2d = x.astype(jnp.float32).reshape(r_rows, 128)
+
+    lb = np.arange(128) % n
+    qv = (n - lb) % n
+    # per-lane taps (p, 128); hq may be traced — index with jnp (tiny gather)
+    hp = jnp.take(hq.astype(jnp.float32), jnp.asarray(qv), axis=1)
+    blk = np.arange(128) // n
+    k_out = np.arange(128) % n
+    ang = 2.0 * np.pi * np.outer(qv, k_out) / n
+    mask = (blk[:, None] == blk[None, :]).astype(np.float32)
+    cos = jnp.asarray((np.cos(ang) * mask).astype(np.float32))
+    sin = jnp.asarray((np.sin(ang) * sign * mask).astype(np.float32))
+
+    # partial last tile runs with Mosaic OOB semantics (reads garbage only
+    # into dropped outputs — lookback-only windows; writes past r_rows are
+    # dropped): zero-copy, no pad pass (BENCH_NOTES "padding is a full
+    # extra HBM round-trip")
+    tile = pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    re, im = pl.pallas_call(
+        _ft.partial(_fused_pfb_raw_kernel, n=n, p=p, d=d, rows=rows, hr=hr),
+        out_shape=[
+            jax.ShapeDtypeStruct((r_rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((r_rows, 128), jnp.float32),
+        ],
+        grid=(nt,),
+        in_specs=[tile, const(hp), const(cos), const(sin)],
+        out_specs=[tile, tile],
+        scratch_shapes=[pltpu.VMEM((hr, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x2d, hp, cos, sin)
+    return re.reshape(m, n), im.reshape(m, n)
+
+
 def design_prototype(
     n_channels: int, taps_per_phase: int = 8, *, window: str | tuple = "hamming"
 ) -> np.ndarray:
@@ -219,6 +370,22 @@ def pfb_channelize(
     p = -(-k // n)  # taps per phase
     h = jnp.pad(taps.astype(jnp.float32), (0, p * n - k))
 
+    hq = h.reshape(p, n)  # hq[r, q] = h[rN + q]
+    if method == "auto":
+        # auto stays on the u-tensor fused kernel until the raw kernel's
+        # on-chip A/B lands (defaults flip only on same-session
+        # measurements — BENCH_NOTES discipline); fused_raw is the round-4
+        # candidate that skips the commutator + framing relayouts
+        method = (
+            "fused" if jax.default_backend() == "tpu" and p > 1 else "composed"
+        )
+    from ..utils.dispatch import record_choice
+
+    record_choice("pfb_channelize", method)
+    if method == "fused_raw":
+        re, im = fused_pfb_raw(x, n, hq, sign=1)
+        return jax.lax.complex(re, im).T  # (N, M)
+
     m = t // n
     xp = x.astype(jnp.float32).reshape(m, n)
     # reverse-running commutator: u[:, 0] = xp[:, 0]; u[m, q] = xp[m-1, N-q]
@@ -232,14 +399,8 @@ def pfb_channelize(
     )
 
     # per-branch causal FIR + channel transform (both MXU; see helpers).
-    # ``fused`` (auto on TPU, round 3) runs both stages per VMEM tile —
-    # the composed pair round-trips the (M, N) branch tensor through HBM.
-    hq = h.reshape(p, n)  # hq[r, q] = h[rN + q]
-    if method == "auto":
-        method = "fused" if jax.default_backend() == "tpu" and p > 1 else "composed"
-    from ..utils.dispatch import record_choice
-
-    record_choice("pfb_channelize", method)
+    # ``fused`` runs both stages per VMEM tile — the composed pair
+    # round-trips the (M, N) branch tensor through HBM.
     if method == "fused":
         re, im = fused_branch_dft(u, hq, sign=1)
     elif method == "composed":
@@ -247,7 +408,8 @@ def pfb_channelize(
         re, im = dft_matmul(v, None, n)  # Y[m, k] = sum_q v e^{+2πi qk/N}
     else:
         raise ValueError(
-            f"unknown method {method!r}; options ('auto', 'fused', 'composed')"
+            f"unknown method {method!r}; options "
+            "('auto', 'fused_raw', 'fused', 'composed')"
         )
     return jax.lax.complex(re, im).T  # (N, M)
 

@@ -28,19 +28,26 @@ FFT_METHODS = ("auto", "xla", "mxu")
 
 
 def _resolve_fft_method(method: str, nfft: int) -> str:
-    """auto -> mxu on TPU for 128-grid lengths (large ones need the
-    four-step 16384 grid), xla otherwise."""
+    """auto -> mxu on TPU for 128-grid lengths within the single-level
+    factored envelope (nfft <= FACTORED_MAX_N), xla otherwise.
+
+    The large-transform cutoff is MEASURED, not assumed: beyond
+    FACTORED_MAX_N the four-step fft_large engine LOSES to XLA's FFT —
+    3.12 vs 4.10 GS/s at (16, 4M) (logs/r3_onchip/r3_fftlarge_probe.log,
+    best factorization) and 1.55 vs 2.42 GS/s on the hilbert path at
+    (16, 1M) (r3_spectral_rows.log) — so auto routes large transforms to
+    xla. Within the factored envelope the MXU engine wins (overlap-save
+    rows, r2: 29-31 ms vs 35.6-63.9 ms at 16x4M) or ties (stft nfft=1024:
+    1.45 vs 1.44). fft_large stays available via method='mxu' for cases
+    where XLA's full-length lowering cannot compile (single-stream 64M,
+    BENCH_NOTES r1/r2)."""
     if method not in FFT_METHODS:
         raise ValueError(f"unknown method {method!r}; options {FFT_METHODS}")
     if method != "auto":
         return method
     from .fft_mxu import FACTORED_MAX_N
 
-    on_grid = (
-        nfft % 128 == 0
-        if nfft <= FACTORED_MAX_N
-        else nfft % (128 * 128) == 0
-    )
+    on_grid = nfft % 128 == 0 and nfft <= FACTORED_MAX_N
     return "mxu" if (jax.default_backend() == "tpu" and on_grid) else "xla"
 
 

@@ -192,3 +192,31 @@ class TestFusedPfb:
         re1, im1 = fused_branch_dft(jnp.asarray(u), jnp.asarray(hq), dilation=2)
         np.testing.assert_allclose(np.asarray(re1), np.asarray(re0), atol=1e-4)
         np.testing.assert_allclose(np.asarray(im1), np.asarray(im0), atol=1e-4)
+
+    def test_fused_raw_matches_composed(self, rng):
+        # round 4: the raw-stream kernel (commutator + framing folded into
+        # per-lane constants) must match the composed oracle across the
+        # n in {32, 64, 128} envelope, including partial last tiles
+        import jax.numpy as jnp
+
+        from digital_signal_processsing_tpu.ops.channelizer import (
+            design_prototype,
+            pfb_channelize,
+        )
+
+        for n, t in [(64, 128 * 517), (32, 128 * 77), (128, 128 * 33)]:
+            x = rng.normal(size=t).astype(np.float32)
+            proto = jnp.asarray(design_prototype(n, 8))
+            a = np.asarray(pfb_channelize(x, n, proto, method="composed"))
+            b = np.asarray(pfb_channelize(x, n, proto, method="fused_raw"))
+            err = np.max(np.abs(a - b)) / np.max(np.abs(a))
+            assert err < 1e-5, (n, t, err)
+
+    def test_fused_raw_envelope_rejected(self, rng):
+        from digital_signal_processsing_tpu.ops.channelizer import (
+            pfb_channelize,
+        )
+
+        x = rng.normal(size=16 * 100).astype(np.float32)  # t % 128 != 0
+        with pytest.raises(ValueError):
+            pfb_channelize(x, 16, method="fused_raw")
