@@ -436,34 +436,38 @@ def tone_power(x: jax.Array, freqs: jax.Array) -> jax.Array:
     return 2.0 * (re**2 + im**2)
 
 
-# Full-length-FFT hilbert stops being viable somewhere past ~4M on the
-# remote-compile tunnel (minutes of compile, BENCH_NOTES round 1 "deferred");
-# the blocked FIR spelling compiles in seconds at any length.
+# Exactness/speed boundary for auto (below: exact XLA FFT; at/above: the
+# blocked FIR approximation — MEASURED 3x faster than either exact engine
+# at (16, 4M): fir 4.88 vs xla 1.61 vs mxu-large 1.26 GS/s,
+# logs/r4_onchip/r4_fft_dispatch.log).
 HILBERT_BLOCKED_MIN_T = 1 << 22
+# Largest length where jnp.fft's full-length lowering is known to compile
+# sanely through the remote tunnel (6-7 s at 8M; at 64M it never finished,
+# BENCH_NOTES r1/r2) — past this, explicit method='fft' uses the four-step
+# MXU engine, which compiles in seconds at any grid length.
+HILBERT_XLA_MAX_T = 1 << 23
 
 
 def hilbert(x: jax.Array, *, method: str = "auto", num_taps: int = 513) -> jax.Array:
     """Analytic signal of a real input over the last axis.
 
     ``method='fft'``: exact one-shot spectral method (zero the negative
-    frequencies, double the positive ones) — the textbook definition. At
-    production lengths (T on the 16384 grid) it runs through the four-step
-    MXU engine (ops/fft_mxu.fft_large), which compiles in seconds at 64M
-    where jnp.fft's full-length lowering takes minutes; short signals keep
-    the XLA spelling. ``method='fir'``: the blocked approximation — a
-    windowed ideal-Hilbert-kernel FIR on the lane-blocked MXU conv,
-    group-delay aligned; error is the FIR's ripple (~1e-4 mid-band at the
-    default 513 Kaiser taps, worse near DC/Nyquist). ``auto`` picks ``fft``
-    (exact) whenever the length sits on the large-engine grid on TPU,
-    otherwise ``fir`` past HILBERT_BLOCKED_MIN_T.
+    frequencies, double the positive ones) — the textbook definition,
+    via jnp.fft up to HILBERT_XLA_MAX_T (the measured winner at every
+    probed shape: 1.61 vs 1.26 GS/s at 16x4M — r4_fft_dispatch.log) and
+    the four-step MXU engine (ops/fft_mxu.fft_large) beyond, where XLA's
+    full-length lowering cannot compile (64M: minutes vs seconds).
+    ``method='fir'``: the blocked approximation — a windowed
+    ideal-Hilbert-kernel FIR on the lane-blocked MXU conv, group-delay
+    aligned; error is the FIR's ripple (~1e-4 mid-band at the default 513
+    Kaiser taps, worse near DC/Nyquist). ``auto`` picks exact ``fft``
+    below HILBERT_BLOCKED_MIN_T and ``fir`` past it (3x the best exact
+    engine at production lengths; round 3's on-grid exact exception was
+    contradicted by the round-4 measurements and removed).
     """
     t = x.shape[-1]
-    large_ok = t % (128 * 128) == 0 and jax.default_backend() == "tpu"
     if method == "auto":
-        if t < HILBERT_BLOCKED_MIN_T or large_ok:
-            method = "fft"
-        else:
-            method = "fir"
+        method = "fft" if t < HILBERT_BLOCKED_MIN_T else "fir"
     from ..utils.dispatch import record_choice
 
     record_choice("hilbert", method)
@@ -471,7 +475,7 @@ def hilbert(x: jax.Array, *, method: str = "auto", num_taps: int = 513) -> jax.A
         return hilbert_fir(x, num_taps=num_taps)
     if method != "fft":
         raise ValueError(f"unknown method {method!r}; options ('auto','fft','fir')")
-    if t >= HILBERT_BLOCKED_MIN_T and t % (128 * 128) == 0:
+    if t > HILBERT_XLA_MAX_T and t % (128 * 128) == 0:
         return _hilbert_fft_large(x)
     return _hilbert_fft(x)
 
