@@ -51,7 +51,10 @@ def k_diff(name, fn, args, work, klo=2, khi=8, reps=3):
         @jax.jit
         def chained(a, k=k):
             def body(i, acc):
-                out = fn(*jax.tree_util.tree_map(
+                # i-dependent perturbation prevents loop-invariant hoisting;
+                # fn takes ONE pytree arg (never unpack an array as *args —
+                # that iterates it element-wise in Python)
+                out = fn(jax.tree_util.tree_map(
                     lambda v: v + i.astype(v.dtype) * jnp.asarray(1e-12, v.dtype), a
                 ))
                 leaves = jax.tree_util.tree_leaves(out)

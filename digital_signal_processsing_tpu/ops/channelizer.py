@@ -372,13 +372,18 @@ def pfb_channelize(
 
     hq = h.reshape(p, n)  # hq[r, q] = h[rN + q]
     if method == "auto":
-        # auto stays on the u-tensor fused kernel until the raw kernel's
-        # on-chip A/B lands (defaults flip only on same-session
-        # measurements — BENCH_NOTES discipline); fused_raw is the round-4
-        # candidate that skips the commutator + framing relayouts
-        method = (
-            "fused" if jax.default_backend() == "tpu" and p > 1 else "composed"
-        )
+        # round-4 same-session A/B (logs/r4_onchip/r4_channelizer_profile):
+        # fused_raw 13.09 GS/s vs fused 3.26 vs composed ~2.6 at 64ch/64M —
+        # the r4 stage profile showed ~18 of the fused path's 19.7 ms was
+        # the commutator + pad + framing relayouts, which the raw kernel
+        # folds into per-lane constants (on-chip parity <= 1.6e-7 across
+        # n=32/64/128). Outside the raw envelope the u-tensor fused kernel;
+        # off-TPU / single-tap the composed XLA pair.
+        raw_ok = t % 128 == 0 and n in (32, 64, 128)
+        if jax.default_backend() == "tpu" and p > 1:
+            method = "fused_raw" if raw_ok else "fused"
+        else:
+            method = "composed"
     from ..utils.dispatch import record_choice
 
     record_choice("pfb_channelize", method)
