@@ -59,15 +59,55 @@ def _correlate_same_bank(xb: jax.Array, kernels: list) -> jax.Array:
         bank[i, off : off + k.size] = k
     before, after = lmax // 2, (lmax - 1) // 2
     ext = jnp.pad(xb, ((0, 0), (before, after)))
-    out = jax.lax.conv_general_dilated(
-        ext[:, None, None, :],
-        jnp.asarray(bank, jnp.float32)[:, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
+    return _bank_conv_blocked(ext, bank, xb.shape[-1])
+
+
+def _bank_conv_blocked(ext: jax.Array, bank: np.ndarray, n: int) -> jax.Array:
+    """VALID correlation of ``ext`` with every bank row, lane-blocked.
+
+    The feature-stacked NCHW spelling measured 0.078 GS/s on chip at
+    16 widths x 1M (r4_surface_rows): output features = n_widths keeps
+    the MXU at W/128 utilization and a single stream gives batch 1. The
+    fix is the fir.py lane-block mapping with the whole bank stacked as
+    output features: frame the time axis into 128 lanes and fold each
+    (reversed) bank row into a banded (P+1, 128, 128) tap matrix — one
+    dense conv with W*128 output features, full MXU contraction.
+    """
+    w_n, lmax = bank.shape
+    c = ext.shape[0]
+    B = 128
+    P = (lmax + B - 2) // B
+    t_ext = ext.shape[-1]
+    tb = -(-t_ext // B)
+    xf = jnp.pad(ext.astype(jnp.float32), ((0, 0), (0, tb * B - t_ext))).reshape(
+        c, tb, B
     )
-    return out[:, :, 0, :]
+    # convolution-form taps per row: z_w[i] = sum_j rev_w[j] ext[i-j], and
+    # the VALID correlation is out_w[t] = z_w[t + lmax - 1]
+    rev = bank[:, ::-1]  # (W, lmax)
+    idx = (
+        np.arange(B)[None, None, :]
+        - np.arange(B)[None, :, None]
+        + B * (P - np.arange(P + 1))[:, None, None]
+    )  # (P+1, l, p) tap index for q=1
+    valid = (idx >= 0) & (idx < lmax)
+    h = np.where(valid[..., None], rev.T[np.clip(idx, 0, lmax - 1)], 0.0)
+    # h: (P+1, 128, 128, W) -> output features w*128 + p? keep (..., p, w)
+    # ordering consistent: reshape to (P+1, 128, W*128) with p-minor
+    h = np.moveaxis(h, -1, -2)  # (P+1, l, W, p)
+    rhs = jnp.asarray(
+        h.reshape(P + 1, B, w_n * B).astype(np.float32)
+    )
+    z = jax.lax.conv_general_dilated(
+        xf,
+        rhs,
+        window_strides=(1,),
+        padding=((P, 0),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (c, tb, W*B)
+    z = z.reshape(c, tb, w_n, B).transpose(0, 2, 1, 3).reshape(c, w_n, tb * B)
+    return z[:, :, lmax - 1 : lmax - 1 + n]
 
 
 def cwt(
