@@ -88,6 +88,15 @@ def blocked_causal_conv(
         jnp.asarray(taps, jnp.float32)[np.clip(idx, 0, k - 1)],
         0.0,
     )
+    if t % F != 0:
+        # XLA-TPU MISCOMPILE GUARD (round 4): when the tail pad to whole
+        # frames is non-empty, fusing pad+reshape into the conv computes
+        # wrong values under jit on the axon v5e backend (rel err ~1 at
+        # (3, 306)/k=7..257; every multiple-of-128 length exact —
+        # logs/r4_onchip/r4_jitconv_probe.log). The barrier materializes
+        # the framed input and keeps the conv out of the bad fusion;
+        # whole-frame lengths (every benchmark shape) are untouched.
+        xf, h = jax.lax.optimization_barrier((xf, h))
     y = jax.lax.conv_general_dilated(
         xf,
         h,
@@ -134,6 +143,10 @@ def blocked_interp_conv(
         jnp.asarray(taps, jnp.float32)[np.clip(idx, 0, k - 1)],
         0.0,
     )
+    if t % B != 0:
+        # same XLA-TPU ragged-pad fusion miscompile guard as
+        # blocked_causal_conv (r4_jitconv_probe.log)
+        xf, h = jax.lax.optimization_barrier((xf, h))
     y = jax.lax.conv_general_dilated(
         xf,
         h,

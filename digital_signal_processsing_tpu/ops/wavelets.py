@@ -98,6 +98,12 @@ def _bank_conv_blocked(ext: jax.Array, bank: np.ndarray, n: int) -> jax.Array:
     rhs = jnp.asarray(
         h.reshape(P + 1, B, w_n * B).astype(np.float32)
     )
+    if t_ext % B != 0:
+        # XLA-TPU ragged-pad fusion miscompile guard — same failure mode
+        # as ops.fir.blocked_causal_conv (logs/r4_onchip/
+        # r4_jitconv_probe.log): a non-empty tail pad fused into the conv
+        # computes wrong values under jit on the axon backend.
+        xf = jax.lax.optimization_barrier(xf)
     z = jax.lax.conv_general_dilated(
         xf,
         rhs,
