@@ -116,7 +116,10 @@ def synthesize(
 def pulse_compress(cfg: RadarConfig, i: jax.Array, q: jax.Array) -> jax.Array:
     """Fast-time matched filter: valid correlation of every pulse with the
     transmit chirp, all pulses in one batched planar complex correlation
-    (ONE complex MXU-DFT round trip — ops.correlate.correlate_complex).
+    (ops.correlate.correlate_complex — at production shapes its auto picks
+    the lane-blocked banded-MXU direct conv, 5.0x the full-length DFT
+    round trip at (64, 1M)/128 taps; detect end-to-end 0.82 -> 1.31 GS/s,
+    r4_postfix_rows.log).
     A point echo of amplitude a at range bin r peaks at output bin r with
     amplitude a (unit-energy chirp), while noise is spread — the
     sqrt(pulse_len) SNR compression gain."""

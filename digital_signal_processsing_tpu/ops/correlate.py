@@ -17,6 +17,105 @@ import numpy as np
 
 MODES = ("full", "same", "valid")
 
+# Direct-vs-FFT auto crossover for correlate/correlate_complex: the direct
+# path is the lane-blocked banded MXU conv (ops.fir.blocked_causal_conv via
+# fir_direct — the spelling that took the CWT bank 0.078 -> 17.1 GS/s), the
+# FFT path one padded pow2 DFT round trip that processes nfft = 2^ceil(
+# log2(ta+tv-1)) points three times regardless of template length.
+# On-chip A/B, whole-frame rows of record (r4_postfix_rows.log +
+# r4_cc_tails.log; complex valid at (64, 1M)): direct 4.35 vs XLA-FFT
+# 0.87 GS/s at tv=128 (5.0x), 2.13 vs 0.88 at tv=1024 (2.4x), 0.65 vs
+# 0.87 at tv=4096 (FFT wins) -> crossover at the 1024/4096 geometric
+# midpoint; real 'same' at (16, 4M) tv=257: 3.46 vs 0.61 (5.7x,
+# r4_correlate_direct_ab.log — that row padded to a whole frame and is
+# valid; the first A/B's complex rows rode the pre-guard ragged-pad
+# miscompile and are struck, see BENCH_NOTES). Short streams stay on the
+# in-envelope MXU DFT (one factored matmul pass — measured winner r2).
+DIRECT_MAX_TAPS = 2048
+DIRECT_MIN_STREAM = 65536
+
+
+def _resolve_corr_method(
+    method: str, ta: int, tv: int, v_ndim: int
+) -> str:
+    """'direct' | the FFT-engine name to hand to _resolve_fft_method.
+
+    The direct path needs a single (1-D) template — the FFT path also
+    accepts batched templates, which stay on the DFT engines.
+    """
+    if method == "direct":
+        if v_ndim != 1:
+            raise ValueError(
+                f"method='direct' needs a 1-D template, got ndim={v_ndim}"
+            )
+        return "direct"
+    if (
+        method == "auto"
+        and v_ndim == 1
+        and tv <= DIRECT_MAX_TAPS
+        and ta >= DIRECT_MIN_STREAM
+        and ta >= 8 * tv
+    ):
+        return "direct"
+    return method
+
+
+def _direct_full_real(a: jax.Array, v: jax.Array, n: int) -> jax.Array:
+    """Full correlation via the banded-MXU causal conv (real planar).
+
+    Correlation is causal convolution with the reversed template over the
+    tail-padded stream: conv(a_pad, v[::-1])[t] = sum_m v[m] a[t-tv+1+m]
+    — elementwise identical to the FFT path's first ``n`` outputs.
+    """
+    from .fir import fir_direct
+
+    ta = a.shape[-1]
+    batch = a.shape[:-1]
+    # pad to whole 128-lane frames: the blocked conv's whole-frame path is
+    # both the fast HLO and structurally clear of the ragged-pad fusion
+    # miscompile (BENCH_NOTES "ragged-pad conv miscompile")
+    nr = -(-n // 128) * 128
+    xp = jnp.pad(
+        a.astype(jnp.float32).reshape(-1, ta), ((0, 0), (0, nr - ta))
+    )
+    full = fir_direct(xp, jnp.asarray(v, jnp.float32)[::-1])[..., :n]
+    return full.reshape(batch + (n,))
+
+
+def _direct_full_complex(
+    ar: jax.Array, ai: jax.Array, vr: jax.Array, vi: jax.Array, n: int
+) -> tuple[jax.Array, jax.Array]:
+    """Full complex correlation as TWO banded-MXU convs (planar I/Q).
+
+    Template h = reversed conj(v); the I and Q streams stack as channels so
+    each real conv covers both products: yr = ar*hr - ai*hi,
+    yi = ar*hi + ai*hr.
+    """
+    from .fir import fir_direct
+
+    ta = ar.shape[-1]
+    batch = ar.shape[:-1]
+    # whole-frame pad: see _direct_full_real
+    nr = -(-n // 128) * 128
+    x2 = jnp.pad(
+        jnp.concatenate(
+            [
+                ar.astype(jnp.float32).reshape(-1, ta),
+                ai.astype(jnp.float32).reshape(-1, ta),
+            ],
+            0,
+        ),
+        ((0, 0), (0, nr - ta)),
+    )
+    c = x2.shape[0] // 2
+    hr = jnp.asarray(vr, jnp.float32)[::-1]
+    hi = -jnp.asarray(vi, jnp.float32)[::-1]
+    yh_r = fir_direct(x2, hr)[..., :n]  # [ar*hr ; ai*hr]
+    yh_i = fir_direct(x2, hi)[..., :n]  # [ar*hi ; ai*hi]
+    fr = (yh_r[:c] - yh_i[c:]).reshape(batch + (n,))
+    fi = (yh_i[:c] + yh_r[c:]).reshape(batch + (n,))
+    return fr, fi
+
 
 @functools.partial(jax.jit, static_argnames=("mode", "method"))
 def correlate(
@@ -40,7 +139,10 @@ def correlate(
     nfft = 1 << int(np.ceil(np.log2(max(n, 2))))
     from .fft import _mxu_fft_planar, _resolve_fft_method
 
-    if _resolve_fft_method(method, nfft) == "mxu" and nfft >= 128:
+    method = _resolve_corr_method(method, ta, tv, v.ndim)
+    if method == "direct":
+        full = _direct_full_real(a, v, n)
+    elif _resolve_fft_method(method, nfft) == "mxu" and nfft >= 128:
         pa = jnp.pad(a.astype(jnp.float32), [(0, 0)] * (a.ndim - 1) + [(0, nfft - ta)])
         pv = jnp.pad(
             v.astype(jnp.float32)[..., ::-1],
@@ -92,28 +194,32 @@ def correlate_complex(
         raise ValueError(f"valid mode needs len(a) >= len(v), got {ta} < {tv}")
     n = ta + tv - 1
     nfft = 1 << int(np.ceil(np.log2(max(n, 2))))
-    pad_a = [(0, 0)] * (ar.ndim - 1) + [(0, nfft - ta)]
-    pad_v = [(0, 0)] * (vr.ndim - 1) + [(0, nfft - tv)]
-    # correlation = convolution with the reversed conjugated template
-    par = jnp.pad(ar.astype(jnp.float32), pad_a)
-    pai = jnp.pad(ai.astype(jnp.float32), pad_a)
-    pvr = jnp.pad(vr.astype(jnp.float32)[..., ::-1], pad_v)
-    pvi = jnp.pad(-vi.astype(jnp.float32)[..., ::-1], pad_v)
-    from .fft import _mxu_fft_planar, _resolve_fft_method
-
-    if _resolve_fft_method(method, nfft) == "mxu" and nfft >= 128:
-        far, fai = _mxu_fft_planar(par, pai)
-        fvr, fvi = _mxu_fft_planar(pvr, pvi)
-        yr = far * fvr - fai * fvi
-        yi = far * fvi + fai * fvr
-        fr, fi = _mxu_fft_planar(yr, yi, inverse=True)
+    method = _resolve_corr_method(method, ta, tv, vr.ndim)
+    if method == "direct":
+        fr, fi = _direct_full_complex(ar, ai, vr, vi, n)
     else:
-        fa = jnp.fft.fft(jax.lax.complex(par, pai))
-        fv = jnp.fft.fft(jax.lax.complex(pvr, pvi))
-        y = jnp.fft.ifft(fa * fv)
-        fr, fi = jnp.real(y), jnp.imag(y)
-    fr = fr[..., :n]
-    fi = fi[..., :n]
+        pad_a = [(0, 0)] * (ar.ndim - 1) + [(0, nfft - ta)]
+        pad_v = [(0, 0)] * (vr.ndim - 1) + [(0, nfft - tv)]
+        # correlation = convolution with the reversed conjugated template
+        par = jnp.pad(ar.astype(jnp.float32), pad_a)
+        pai = jnp.pad(ai.astype(jnp.float32), pad_a)
+        pvr = jnp.pad(vr.astype(jnp.float32)[..., ::-1], pad_v)
+        pvi = jnp.pad(-vi.astype(jnp.float32)[..., ::-1], pad_v)
+        from .fft import _mxu_fft_planar, _resolve_fft_method
+
+        if _resolve_fft_method(method, nfft) == "mxu" and nfft >= 128:
+            far, fai = _mxu_fft_planar(par, pai)
+            fvr, fvi = _mxu_fft_planar(pvr, pvi)
+            yr = far * fvr - fai * fvi
+            yi = far * fvi + fai * fvr
+            fr, fi = _mxu_fft_planar(yr, yi, inverse=True)
+        else:
+            fa = jnp.fft.fft(jax.lax.complex(par, pai))
+            fv = jnp.fft.fft(jax.lax.complex(pvr, pvi))
+            y = jnp.fft.ifft(fa * fv)
+            fr, fi = jnp.real(y), jnp.imag(y)
+        fr = fr[..., :n]
+        fi = fi[..., :n]
     if mode == "full":
         return fr, fi
     if mode == "same":
