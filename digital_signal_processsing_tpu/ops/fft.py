@@ -62,8 +62,20 @@ def _mxu_fft_planar(x_re, x_im, *, inverse: bool = False):
 
 
 def _mxu_rfft(x: jax.Array) -> jax.Array:
-    """Real input -> complex half spectrum (..., n//2+1) via the MXU engine."""
+    """Real input -> complex half spectrum (..., n//2+1) via the MXU engine.
+
+    Small transforms ride ONE dense (n, h) matmul pair instead of the
+    factored engine: at stft-class sizes the factored spelling degenerates
+    to batched (n/128, 128) stage-B matmuls + per-frame relayouts —
+    17.5 ms of the 17.8 ms mfcc front end at nfft=512/(8, 2M) before the
+    round-4 flip (logs/r4_onchip/r4_mfcc_profile.log, r4_stft_dense_ab).
+    """
+    from .fft_mxu import DENSE_RFFT_MAX_N, rfft_dense
+
     n = x.shape[-1]
+    if n <= DENSE_RFFT_MAX_N:
+        fr, fi = rfft_dense(x)
+        return jax.lax.complex(fr, fi)
     fr, fi = _mxu_fft_planar(x.astype(jnp.float32), None)
     h = n // 2 + 1
     return jax.lax.complex(fr[..., :h], fi[..., :h])
@@ -72,10 +84,16 @@ def _mxu_rfft(x: jax.Array) -> jax.Array:
 def _mxu_irfft(s: jax.Array, nfft: int) -> jax.Array:
     """Complex half spectrum -> real time signal via the MXU engine.
 
-    Mirrors the hermitian half back to the full spectrum (even nfft), runs
-    the planar inverse, keeps the real part.
+    Small transforms: dense (h, n) synthesis matmul pair with the
+    hermitian fold baked into the matrices (see _mxu_rfft). Larger:
+    mirror the hermitian half back to the full spectrum (even nfft), run
+    the planar inverse, keep the real part.
     """
+    from .fft_mxu import DENSE_RFFT_MAX_N, irfft_dense
+
     re, im = jnp.real(s).astype(jnp.float32), jnp.imag(s).astype(jnp.float32)
+    if nfft <= DENSE_RFFT_MAX_N:
+        return irfft_dense(re, im, nfft)
     mid = slice(nfft // 2 - 1, 0, -1)
     full_re = jnp.concatenate([re, re[..., mid]], axis=-1)
     full_im = jnp.concatenate([im, -im[..., mid]], axis=-1)

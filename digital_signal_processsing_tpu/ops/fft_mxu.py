@@ -116,6 +116,78 @@ def dft_factored(
 # stage-B constant, which must stay a sane matmul operand.
 FACTORED_MAX_N = 32768
 
+# Dense real-DFT crossover: up to this length, ONE (n, n//2+1) matmul pair
+# beats the factored engine's batched tiny stage-B contractions +
+# relayouts. Measured on chip at (8, 2M) stft
+# (logs/r4_onchip/r4_stft_dense_ab.log): dense 25.4/28.4/24.2/23.9 GS/s at
+# nfft 512/1024/2048/4096 vs factored 0.92/1.17/1.48/1.68 and XLA
+# 0.89/1.17/1.48/1.67 — 14-24x at every probed size; istft dense 5.39 vs
+# 2.41/2.16. Matrices are (n, h) f32 pairs — 67 MB HBM-resident at 4096;
+# 8192 would need 268 MB, so the factored engine keeps larger sizes.
+DENSE_RFFT_MAX_N = 4096
+
+
+@functools.lru_cache(maxsize=32)
+def _dense_rfft_consts(n: int):
+    """(n, h) planar forward real-DFT matrices, h = n//2 + 1."""
+    k = np.arange(n // 2 + 1)
+    w = np.exp(-2j * np.pi * np.outer(np.arange(n), k) / n)
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _dense_irfft_consts(n: int):
+    """(h, n) planar synthesis matrices with the hermitian fold baked in.
+
+    x[t] = (1/n) sum_k w_k (re_k cos(2 pi k t / n) - im_k sin(...)),
+    w_0 = w_{n/2} = 1, else 2 — so irfft is re @ Ar + im @ Ai, one pair.
+    """
+    h = n // 2 + 1
+    k = np.arange(h)
+    ang = 2.0 * np.pi * np.outer(k, np.arange(n)) / n
+    wk = np.full(h, 2.0)
+    wk[0] = 1.0
+    if n % 2 == 0:
+        wk[-1] = 1.0
+    ar = (wk[:, None] * np.cos(ang) / n).astype(np.float32)
+    ai = (-(wk[:, None]) * np.sin(ang) / n).astype(np.float32)
+    return ar, ai
+
+
+def rfft_dense(
+    x: jax.Array, *, precision=jax.lax.Precision.HIGHEST
+) -> tuple[jax.Array, jax.Array]:
+    """Real (..., n) -> planar (re, im) half spectrum, ONE matmul pair.
+
+    HIGHEST (bf16x6) is the default: on chip it costs ~4% over HIGH at
+    the stft-512 shape (19.4 vs 20.2 GS/s) and tightens parity vs XLA's
+    FFT from 1.1e-5 to 2.8e-7 (logs/r4_onchip/r4_dense_prec.log) — the
+    matmul is small next to the framing traffic, so precision is free.
+    """
+    n = x.shape[-1]
+    cr, ci = _dense_rfft_consts(n)
+    xr = x.astype(jnp.float32)
+    return (
+        jnp.matmul(xr, jnp.asarray(cr), precision=precision),
+        jnp.matmul(xr, jnp.asarray(ci), precision=precision),
+    )
+
+
+def irfft_dense(
+    s_re: jax.Array,
+    s_im: jax.Array,
+    nfft: int,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Planar half spectrum (..., n//2+1) -> real (..., nfft)."""
+    ar, ai = _dense_irfft_consts(nfft)
+    return jnp.matmul(
+        s_re.astype(jnp.float32), jnp.asarray(ar), precision=precision
+    ) + jnp.matmul(
+        s_im.astype(jnp.float32), jnp.asarray(ai), precision=precision
+    )
+
 
 def fft_large(
     x_re: jax.Array,

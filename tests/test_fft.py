@@ -300,3 +300,51 @@ class TestMxuSpectralEngine:
         a = np.asarray(_hilbert_fft_large(x))
         b = np.asarray(_hilbert_fft(x))
         assert np.max(np.abs(a - b)) < 1e-4
+
+
+class TestDenseRfftEngine:
+    """Round-4: the dense (n, n//2+1) matmul rfft/irfft behind _mxu_rfft at
+    small nfft (24x the factored engine at stft shapes on chip —
+    logs/r4_onchip/r4_stft_dense_ab.log) must match both the factored
+    engine and numpy."""
+
+    def test_dense_vs_factored_vs_numpy(self, rng):
+        from digital_signal_processsing_tpu.ops.fft_mxu import (
+            dft_factored,
+            irfft_dense,
+            rfft_dense,
+        )
+
+        x = rng.normal(size=(3, 17, 512)).astype(np.float32)
+        fr, fi = rfft_dense(jnp.asarray(x))
+        ref = np.fft.rfft(x, axis=-1)
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(fr) - ref.real).max() / scale < 1e-5
+        assert np.abs(np.asarray(fi) - ref.imag).max() / scale < 1e-5
+        gr, gi = dft_factored(jnp.asarray(x), None)
+        h = 257
+        assert np.abs(np.asarray(gr[..., :h]) - np.asarray(fr)).max() / scale < 1e-5
+        # inverse closes the loop
+        y = np.asarray(irfft_dense(fr, fi, 512))
+        assert np.abs(y - x).max() < 1e-4
+
+    def test_dense_handles_offgrid_and_odd(self, rng):
+        from digital_signal_processsing_tpu.ops.fft_mxu import (
+            irfft_dense,
+            rfft_dense,
+        )
+
+        for n in (500, 129, 33):
+            x = rng.normal(size=(2, n)).astype(np.float32)
+            fr, fi = rfft_dense(jnp.asarray(x))
+            ref = np.fft.rfft(x, axis=-1)
+            scale = np.abs(ref).max()
+            assert np.abs(np.asarray(fr) - ref.real).max() / scale < 1e-5, n
+            y = np.asarray(irfft_dense(fr, fi, n))
+            assert np.abs(y - x).max() < 1e-4, n
+
+    def test_mxu_rfft_dispatches_dense_then_factored(self):
+        from digital_signal_processsing_tpu.ops import fft_mxu
+
+        # the public stft rides _mxu_rfft; its engine split is the constant
+        assert fft_mxu.DENSE_RFFT_MAX_N == 4096
