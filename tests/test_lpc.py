@@ -161,3 +161,64 @@ def test_ar_psd_matches_analytic_ar2():
     # frame-wise shape
     f2, psd2 = ar_psd(x, 2, nfft=256, frame_len=4096)
     assert np.asarray(psd2).shape == ((1 << 16) // 4096, 129)
+
+
+def test_synthesis_methods_agree():
+    """Round-4: the two-pass Pallas engine vs the scan spelling vs the
+    float64 golden (the pallas path is auto's pick for frame_len % 8 == 0;
+    on-chip A/B in logs/r4_onchip/r4_lpc_ab.log)."""
+    rng = np.random.default_rng(5)
+    F, L, order = 9, 64, 12
+    rows = []
+    for _ in range(F):
+        poles = 0.8 * np.exp(1j * rng.uniform(0, np.pi, order // 2))
+        rows.append(np.poly(np.concatenate([poles, poles.conj()])).real)
+    a = np.stack(rows, 0).astype(np.float32)
+    gain = rng.uniform(0.5, 2.0, F).astype(np.float32)
+    e = rng.standard_normal(F * L).astype(np.float32)
+    ref = lpc.lpc_synthesis_ref(a, gain, e, L)
+    scale = np.max(np.abs(ref))
+    y_scan = np.asarray(lpc.lpc_synthesis(a, gain, e, L, method="scan"))
+    y_pal = np.asarray(lpc.lpc_synthesis(a, gain, e, L, method="pallas"))
+    # f32 frame-parallel vs f64 sequential at 12 resonant poles: the
+    # association divergence envelope is wider than the order-8 golden
+    # test's 1e-3 (measured 1.8e-3 here for BOTH engines)
+    assert np.max(np.abs(y_scan - ref)) / scale < 5e-3
+    assert np.max(np.abs(y_pal - ref)) / scale < 5e-3
+    assert np.max(np.abs(y_pal - y_scan)) / scale < 1e-4
+    # non-multiple-of-8 frame_len: explicit pallas raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of"):
+        lpc.lpc_synthesis(a[:, :], gain, e[: F * 60], 60, method="pallas")
+
+
+def test_refine_beats_compose_at_resonant_poles():
+    """Round-4 accuracy finding: the f32 affine compose behind the
+    scan/pallas entry states loses digits for resonant polynomials (A^L
+    transient-growth cancellation — BENCH_NOTES "LPC compose
+    conditioning"); the refine path propagates states through the actual
+    recurrence and stays at the sequential-f32 floor."""
+    rng = np.random.default_rng(9)
+    F, L, order = 6, 64, 8
+    rows = []
+    for _ in range(F):
+        poles = 0.8 * np.exp(1j * rng.uniform(0.3, 2.8, order // 2))
+        rows.append(np.poly(np.concatenate([poles, poles.conj()])).real)
+    a = np.stack(rows, 0).astype(np.float32)
+    gain = rng.uniform(0.8, 1.2, F).astype(np.float32)
+    e = rng.standard_normal(F * L).astype(np.float32)
+    ref = lpc.lpc_synthesis_ref(a, gain, e, L)
+    scale = np.max(np.abs(ref))
+    err_ref = (
+        np.max(np.abs(np.asarray(lpc.lpc_synthesis(a, gain, e, L, method="refine")) - ref))
+        / scale
+    )
+    err_comp = (
+        np.max(np.abs(np.asarray(lpc.lpc_synthesis(a, gain, e, L, method="pallas")) - ref))
+        / scale
+    )
+    assert err_ref < 1e-4, err_ref
+    # the compose's conditioning loss at this config is the documented
+    # envelope; if this ever IMPROVES past refine the docstring is stale
+    assert err_comp > err_ref
