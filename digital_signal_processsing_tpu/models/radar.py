@@ -192,10 +192,9 @@ def ca_cfar(
     (guard+train) box minus the guard box); the threshold multiplier is
     the exact exponential-noise CA-CFAR alpha = N * (pfa^(-1/N) - 1)
     evaluated with each cell's TRUE training count N (edge cells have
-    fewer), both counts and sums coming from box convolutions.
+    fewer): sums from separable box filters (banded doppler matmul +
+    range boxcar FIR), counts from closed-form 1-D factors.
     """
-    from ..ops.twod import convolve2d
-
     if not 0.0 < pfa < 1.0:
         raise ValueError(f"pfa must be in (0, 1), got {pfa}")
     gd, gr = guard
@@ -203,18 +202,48 @@ def ca_cfar(
     if td < 1 or tr < 1:
         raise ValueError(f"need >= 1 training cell per axis, got {train}")
     p = power.astype(jnp.float32)
-    ones = jnp.ones_like(p)
+    d, r = p.shape
 
+    # A zero-filled 2-D box sum is SEPARABLE: banded (D, D) matmul over
+    # the (small) doppler axis x centered boxcar FIR over the (long)
+    # range axis — and the per-cell training COUNT factors into the
+    # outer product of two closed-form 1-D counts (host constants). The
+    # round-3 spelling ran four dense 2-D convs through a single-feature
+    # conv (533 taps at the default config) — the classic 1/128-MXU
+    # pattern; this one is two matmuls + two banded MXU FIRs
+    # (r4_radar_profile.log: detect 1.31 -> measured there).
     def box_sum(a, hd, hr):
-        k = jnp.ones((2 * hd + 1, 2 * hr + 1), jnp.float32)
-        return convolve2d(a, k, mode="same", boundary="fill")
+        from ..ops.fir import fir_direct
+
+        band = np.zeros((d, d), np.float32)
+        for i in range(d):
+            band[i, max(0, i - hd) : min(d, i + hd + 1)] = 1.0
+        y = jnp.matmul(
+            jnp.asarray(band), a, precision=jax.lax.Precision.HIGHEST
+        )
+        # centered range boxcar: causal k=2hr+1 conv of the right-padded
+        # rows, sliced back by hr
+        yp = jnp.pad(y, ((0, 0), (0, hr)))
+        taps = jnp.ones(2 * hr + 1, jnp.float32)
+        return fir_direct(yp, taps)[:, hr:]
+
+    def count1d(n, h):
+        i = np.arange(n)
+        return (np.minimum(i + h, n - 1) - np.maximum(i - h, 0) + 1).astype(
+            np.float32
+        )
 
     outer_sum = box_sum(p, gd + td, gr + tr)
     inner_sum = box_sum(p, gd, gr)
-    outer_cnt = box_sum(ones, gd + td, gr + tr)
-    inner_cnt = box_sum(ones, gd, gr)
+    # counts stay as FOUR 1-D host constants broadcast on device — an
+    # (D, R) host-side outer product would ride the HLO as a giant
+    # constant (the r3 HTTP-413 trap, BENCH_NOTES)
+    n = jnp.asarray(count1d(d, gd + td))[:, None] * jnp.asarray(
+        count1d(r, gr + tr)
+    )[None, :] - jnp.asarray(count1d(d, gd))[:, None] * jnp.asarray(
+        count1d(r, gr)
+    )[None, :]
     z = outer_sum - inner_sum  # training-cell power sum
-    n = outer_cnt - inner_cnt  # true per-cell training count
     alpha = n * (pfa ** (-1.0 / n) - 1.0)
     thresh = alpha * z / n
     return p > thresh, thresh
@@ -296,6 +325,10 @@ def detect(cfg: RadarConfig, i: jax.Array, q: jax.Array):
 
     Returns (detections, power, threshold): boolean (n_pulses, n_bins)
     range-Doppler detections plus the underlying map and CFAR threshold.
+    (A planar matched-filter -> Doppler hand-off was A/B'd in round 4 and
+    changed nothing — XLA already fuses the lax.complex/real/imag pair
+    away, r4_radar_profile.log — so the chain stays the plain composition
+    of the public stages.)
     """
     rc = pulse_compress(cfg, i, q)
     power = doppler_map(cfg, rc)
