@@ -31,7 +31,8 @@ def chain_full(a, b):
     rr = jnp.dot(cr, xr, precision=hp) - jnp.dot(ci, xi, precision=hp)
     ri2 = jnp.dot(cr, xi, precision=hp) + jnp.dot(ci, xr, precision=hp)
     p = rr * rr + ri2 * ri2
-    return p[:, cfg.pulse_len - 1 : cfg.n_range]
+    nb = a.shape[-1] - cfg.pulse_len + 1
+    return p[:, cfg.pulse_len - 1 : cfg.pulse_len - 1 + nb]
 
 # parity
 pa = np.asarray(chain_valid(ri[:, :65536], rq[:, :65536]))
