@@ -325,12 +325,28 @@ def detect(cfg: RadarConfig, i: jax.Array, q: jax.Array):
 
     Returns (detections, power, threshold): boolean (n_pulses, n_bins)
     range-Doppler detections plus the underlying map and CFAR threshold.
-    (A planar matched-filter -> Doppler hand-off was A/B'd in round 4 and
-    changed nothing — XLA already fuses the lax.complex/real/imag pair
-    away, r4_radar_profile.log — so the chain stays the plain composition
-    of the public stages.)
+
+    Round-4 measured composition facts (r4_radar_align.log): the
+    matched filter's 'valid' slice starts at lane offset pulse_len-1 —
+    a misaligned minor axis that every downstream op pays relayout for
+    (6.7 ms at 64x1M). The chain therefore correlates in 'full' mode
+    (aligned start) and takes the tail slice on the final power map —
+    bit-identical output (parity 0.0 on chip), 1.37x. A planar
+    matched-filter -> Doppler hand-off was also A/B'd and changed
+    nothing (XLA already fuses the complex round trip,
+    r4_radar_profile.log).
     """
-    rc = pulse_compress(cfg, i, q)
-    power = doppler_map(cfg, rc)
+    from ..ops.correlate import correlate_complex
+
+    pr, pi_ = lfm_pulse(cfg)
+    c_re, c_im = correlate_complex(
+        i.astype(jnp.float32),
+        q.astype(jnp.float32),
+        jnp.asarray(pr),
+        jnp.asarray(pi_),
+        mode="full",
+    )
+    rc = jax.lax.complex(c_re, c_im)
+    power = doppler_map(cfg, rc)[:, cfg.pulse_len - 1 : cfg.pulse_len - 1 + cfg.n_bins]
     det, thresh = ca_cfar(power, guard=cfg.guard, train=cfg.train, pfa=cfg.pfa)
     return det, power, thresh
