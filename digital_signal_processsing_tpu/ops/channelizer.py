@@ -292,7 +292,12 @@ def fused_pfb_raw(
     m = t // n
     r_rows = t // 128
     hr = (d * (p - 1) + 1) // b + 2
+    # the carry holds the last hr rows of each tile, so rows >= hr is a hard
+    # kernel requirement; clamp up for short streams (the tile then extends
+    # past r_rows — lookback-only OOB reads feed only dropped outputs, and
+    # with nt == 1 the garbage carry is never consumed).
     rows = min(tile_rows, -(-r_rows // 8) * 8)
+    rows = max(rows, -(-hr // 8) * 8)
     nt = -(-r_rows // rows)
 
     x2d = x.astype(jnp.float32).reshape(r_rows, 128)

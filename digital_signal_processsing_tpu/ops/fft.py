@@ -26,6 +26,12 @@ import numpy as np
 
 FFT_METHODS = ("auto", "xla", "mxu")
 
+# Largest transform where XLA's full-length FFT lowering is known to
+# compile sanely on the TPU backend (6-7 s at 8M; at 64M it never
+# finished — BENCH_NOTES r1/r2). Shared by hilbert (HILBERT_XLA_MAX_T
+# aliases it) and the auto dispatch's large-length fallback to fft_large.
+XLA_FFT_MAX_N = 1 << 23
+
 
 def _resolve_fft_method(method: str, nfft: int) -> str:
     """auto -> mxu on TPU for 128-grid lengths within the single-level
@@ -40,15 +46,23 @@ def _resolve_fft_method(method: str, nfft: int) -> str:
     rows, r2: 29-31 ms vs 35.6-63.9 ms at 16x4M) or ties (stft nfft=1024:
     1.45 vs 1.44). fft_large stays available via method='mxu' for cases
     where XLA's full-length lowering cannot compile (single-stream 64M,
-    BENCH_NOTES r1/r2)."""
+    BENCH_NOTES r1/r2). auto keeps that upper bound too: above
+    XLA_FFT_MAX_N (the measured compile envelope, cf. HILBERT_XLA_MAX_T)
+    lengths on the 16384 grid route back to fft_large rather than hanging
+    at compile."""
     if method not in FFT_METHODS:
         raise ValueError(f"unknown method {method!r}; options {FFT_METHODS}")
     if method != "auto":
         return method
     from .fft_mxu import FACTORED_MAX_N
 
-    on_grid = nfft % 128 == 0 and nfft <= FACTORED_MAX_N
-    return "mxu" if (jax.default_backend() == "tpu" and on_grid) else "xla"
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if nfft % 128 == 0 and nfft <= FACTORED_MAX_N:
+        return "mxu"
+    if nfft > XLA_FFT_MAX_N and nfft % (128 * 128) == 0:
+        return "mxu"  # fft_large: XLA's 64M-class lowering never finishes
+    return "xla"
 
 
 def _mxu_fft_planar(x_re, x_im, *, inverse: bool = False):
@@ -463,11 +477,16 @@ HILBERT_BLOCKED_MIN_T = 1 << 22
 # sanely through the remote tunnel (6-7 s at 8M; at 64M it never finished,
 # BENCH_NOTES r1/r2) — past this, explicit method='fft' uses the four-step
 # MXU engine, which compiles in seconds at any grid length.
-HILBERT_XLA_MAX_T = 1 << 23
+HILBERT_XLA_MAX_T = XLA_FFT_MAX_N
 
 
 def hilbert(x: jax.Array, *, method: str = "auto", num_taps: int = 513) -> jax.Array:
     """Analytic signal of a real input over the last axis.
+
+    AUTO ACCURACY ENVELOPE: for ``t >= HILBERT_BLOCKED_MIN_T`` (2^22)
+    ``auto`` returns the FIR approximation (~1e-4 mid-band ripple, worse
+    near DC/Nyquist) — a measured 3x speed trade. Pin ``method='fft'``
+    if you need exactness at those lengths.
 
     ``method='fft'``: exact one-shot spectral method (zero the negative
     frequencies, double the positive ones) — the textbook definition,

@@ -159,7 +159,9 @@ def lpc_synthesis(
     method: str = "auto",
 ) -> jax.Array:
     """Time-varying all-pole synthesis ``y = gain * e / A(z)`` with
-    frame-wise coefficients and EXACT state carry-over between frames.
+    frame-wise coefficients and state carry-over between frames — exact
+    up to f32 association for damped polynomials (the ACCURACY ENVELOPE
+    below bounds every engine, including ``auto``, near the unit circle).
 
     ``a``: ``(..., F, p+1)``; ``gain``: ``(..., F)``;
     ``excitation``: ``(..., F*frame_len)``. Returns ``(..., F*frame_len)``.
@@ -366,8 +368,10 @@ def lpc_synthesis_refine(
     e_t = to_tiles(e, L)
     s0_t = jnp.zeros((p, r, 128), jnp.float32)
     y_t = None
-    for _ in range(sweeps + 1):
+    for sweep in range(sweeps + 1):
         y_t, z_t = _lpc_synth_pass(a_t, s0_t, e_t, bt=_LPC_BT)
+        if sweep == sweeps:
+            break  # the last sweep's outputs are final; no re-seed needed
         # entry of frame f <- end of frame f-1, zero at each stream's head
         z = from_tiles(z_t, p).reshape(batch + (nf, p))
         s0 = jnp.concatenate(

@@ -204,7 +204,16 @@ class TestFusedPfb:
             pfb_channelize,
         )
 
-        for n, t in [(64, 128 * 517), (32, 128 * 77), (128, 128 * 33)]:
+        # (128, 128*8) is the round-5 ADVICE regression: rows < hr (the
+        # carry history) crashed the kernel for short streams; the tile
+        # row count is now clamped up to hr.
+        for n, t in [
+            (64, 128 * 517),
+            (32, 128 * 77),
+            (128, 128 * 33),
+            (128, 1024),
+            (128, 512),
+        ]:
             x = rng.normal(size=t).astype(np.float32)
             proto = jnp.asarray(design_prototype(n, 8))
             a = np.asarray(pfb_channelize(x, n, proto, method="composed"))
