@@ -29,7 +29,13 @@ sys.path.insert(0, ".")
 
 # --- v5e constants (public) --------------------------------------------------
 BW_ICI = 4.5e10  # one-way per-link ICI, B/s (scaling book, v5e)
-LAT_HOP = 1e-6  # per-hop latency, s (small-message ICI)
+LAT_HOP = 1e-6  # per collective STEP latency, s (software + neighbor link)
+# routed transit for a ppermute that crosses s physical links in one step:
+# ICI is cut-through routed, so extra distance adds propagation/router time,
+# not another software step. 0.1 us/hop is the conservative placeholder the
+# ladder rows use (a 10x error here still keeps the ladder ahead of the
+# (D-1)-step all_gather at D=256).
+LAT_ROUTE = 1e-7
 BW_DCN_PESSIMISTIC = 6.25e9  # B/s per chip if shards cross DCN, not ICI
 
 # --- measured single-chip rates (BENCH_NOTES, samples/s) ---------------------
@@ -89,7 +95,22 @@ def path_models():
             overlapped=True,
             formula=f"same {tail_b} B, started at grid step 0",
         ),
-        # all_gather of (C,) int32 totals (ring: D-1 hops) + k*C int32 tail
+        # round-5 DEFAULT: log-depth ppermute doubling ladder
+        # (parallel/sharded_scan._carry_exclusive, impl='ladder') —
+        # ceil(log2 D) dependent collective steps; round i's ppermute
+        # routes 2^i physical links (cut-through), so distance costs
+        # LAT_ROUTE per link, not another software step. + 1 halo ppermute.
+        "scan_carry_ladder": dict(
+            volume=lambda n_loc, D: (D - 1) * C * 4 + K * C * 4,
+            hops=lambda D: (D - 1).bit_length() + 1,  # ceil(log2 D) + 1
+            route_hops=lambda D: D - 1,
+            rate=R_SCAN,
+            overlapped=False,
+            formula=f"(D-1)*{C}*4 (ladder hop-bytes) + {K}*{C}*4 "
+            "(cumsum tail) B; ceil(log2 D)+1 steps",
+        ),
+        # the r2-r4 spelling, kept as carry_impl='allgather' anchor:
+        # all_gather of (C,) int32 totals (ring: D-1 steps) + k*C tail
         "scan_carry_allgather": dict(
             volume=lambda n_loc, D: D * C * 4 + K * C * 4,
             hops=lambda D: D,  # (D-1) all_gather steps + 1 halo ppermute
@@ -122,6 +143,8 @@ def predict(n_loc: int, D: int, bw: float = BW_ICI) -> list[dict]:
     for name, m in path_models().items():
         t_comp = n_loc / m["rate"]
         t_comm = m["hops"](D) * LAT_HOP + m["volume"](n_loc, D) / bw
+        if "route_hops" in m:
+            t_comm += m["route_hops"](D) * LAT_ROUTE
         if m["overlapped"]:
             # interior tiles (all but the rotated-to-last one) hide the DMA;
             # conservatively assume the last tile is 1/8 of the shard
@@ -200,13 +223,22 @@ def main() -> None:
         for r in out["predictions"]
         if r["path"] == "scan_carry_allgather" and r["devices"] == 256
     )
+    ladder_256_8m = next(
+        r["predicted_efficiency"]
+        for r in out["predictions"]
+        if r["path"] == "scan_carry_ladder"
+        and r["devices"] == 256
+        and r["n_local"] == 8_000_000
+    )
     out["headline"] = (
         f"every DEFAULT sharded path at n_local >= 1M samples predicts "
         f"efficiency >= {floor:.3f} at any tested mesh size (2..256 chips) "
         "on a v5e ICI ring — the >=85% BASELINE >=2-host target holds with "
-        f"margin. The explicit scan-carry anchor degrades to {scan_256:.2f} "
-        "at 256 chips (the (D-1)-hop all_gather latency wall) — which is "
-        "why the carry-free windowed kernel is the dispatch default."
+        "margin. The explicit scan-carry path now defaults to the log-depth "
+        f"ppermute ladder (round 5): {ladder_256_8m:.2f} predicted at 256 "
+        f"chips / 8M local, vs the all_gather anchor's {scan_256:.2f} "
+        "latency wall — and the carry-free windowed kernel remains the "
+        "dispatch default above both."
     )
     print(out["headline"])
     with open("WEAKSCALING_MODEL.json", "w") as f:

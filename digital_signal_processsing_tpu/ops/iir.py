@@ -2351,8 +2351,28 @@ def sosfilt_tv(
     return _from_planar_tiles(y3d, batch, n)
 
 
+def _tv_frames_envelope_ok(frame_len: int, tile_rows: int) -> bool:
+    """Whether the frame-aware kernel can run this (frame_len, tile_rows).
+
+    Needs whole 128-lane rows per frame and frame boundaries resolving at
+    tile granularity (frames per tile integral, or tiles per frame
+    integral); tile_rows bounds come from the compact row pass."""
+    if frame_len % 128 != 0 or tile_rows % 128 != 0:
+        return False
+    if not (128 <= tile_rows <= 16384):
+        return False
+    fl_rows = frame_len // 128
+    return tile_rows % fl_rows == 0 or fl_rows % tile_rows == 0
+
+
 def sosfilt_tv_frames(
-    sos_frames: jax.Array, x: jax.Array, frame_len: int, *, tile_rows: int = 256
+    sos_frames: jax.Array,
+    x: jax.Array,
+    frame_len: int,
+    *,
+    tile_rows: int = 256,
+    method: str = "auto",
+    row_pass: str = "compact",
 ) -> jax.Array:
     """Step-wise time-varying SOS: one coefficient row per FRAME.
 
@@ -2361,6 +2381,17 @@ def sosfilt_tv_frames(
     ``[f*frame_len, (f+1)*frame_len)``. ``x.shape[-1]`` may be at most
     ``n_frames * frame_len`` (a short tail reuses the last frame's rows
     implicitly via truncation of the expanded schedule).
+
+    ``method``: ``"frames"`` = the frame-aware kernel — per-frame rows go
+    to HBM as compact lane blocks and expand to per-sample planes in VMEM
+    (one exact selection matmul per section per tile), cutting the
+    expanded path's dominant coefficient traffic (20 of 28 B/sample,
+    BENCH_NOTES roofline) by ``frame_len/128``x. Needs
+    ``frame_len % 128 == 0`` and frame/tile boundaries to nest
+    (:func:`_tv_frames_envelope_ok`). ``"expand"`` = materialize
+    per-sample planes and run :func:`sosfilt_tv` (any frame_len; the
+    round-4 spelling, kept as the parity anchor). ``"auto"`` = frames
+    when the envelope fits, else expand.
     """
     sos_frames = jnp.asarray(sos_frames, jnp.float32)
     if sos_frames.ndim == 2:
@@ -2371,8 +2402,346 @@ def sosfilt_tv_frames(
         raise ValueError(
             f"{nf} frames x {frame_len} < signal length {n}"
         )
+    if method not in ("auto", "frames", "expand"):
+        raise ValueError(f"unknown method {method!r}")
+    frames_ok = _tv_frames_envelope_ok(frame_len, tile_rows)
+    if method == "frames" and not frames_ok:
+        raise ValueError(
+            f"method='frames' needs frame_len % 128 == 0 and frame/tile "
+            f"nesting; got frame_len={frame_len}, tile_rows={tile_rows}"
+        )
+    if method == "auto":
+        method = "frames" if frames_ok else "expand"
+    from ..utils.dispatch import record_choice
+
+    record_choice("sosfilt_tv_frames", method)
+    if method == "frames":
+        return _sosfilt_tv_frames_pallas(
+            sos_frames, x, frame_len, tile_rows, row_pass
+        )
     expanded = jnp.repeat(sos_frames, frame_len, axis=-2)[..., :n, :]
     return sosfilt_tv(expanded, x, tile_rows=tile_rows)
+
+
+def _tv_frame_coef_lanes(sos_frames: jax.Array, batch, f_need: int):
+    """(S, [batch,] F, 6) per-frame rows -> (C, F_pad, S*640) lane blocks.
+
+    Per frame row, section ``s``'s lane block ``[s*640, (s+1)*640)`` holds
+    the five coefficients ``[b0, b1, b2, a1, a2]`` (a0 normalized away),
+    each broadcast across its own 128 lanes; frames sit on the sublane
+    axis, padded past the schedule with identity-stable rows (b = 0,
+    a1 = a2 = 0 — bounded state, never reaches kept output). This is the
+    compact HBM form the frame-aware kernel expands in VMEM with ONE
+    exact selection matmul per tile (VERDICT r4 item 1: the expanded
+    path's jnp.repeat paid 20 of its 28 B/sample roofline bound on
+    per-sample planes).
+    """
+    sos_frames = jnp.asarray(sos_frames, jnp.float32)
+    if sos_frames.ndim == 2:
+        sos_frames = sos_frames[None]
+    nsec = sos_frames.shape[0]
+    nf = sos_frames.shape[-2]
+    nch = int(np.prod(batch)) if batch else 1
+    mid = sos_frames.shape[1:-2]
+    if mid == ():
+        sos_frames = jnp.broadcast_to(
+            sos_frames[:, None], (nsec, nch, nf, 6)
+        )
+    else:
+        sos_frames = sos_frames.reshape(nsec, -1, nf, 6)
+        if sos_frames.shape[1] != nch:
+            raise ValueError(
+                f"sos_frames batch dims {mid} do not match signal batch"
+            )
+    a0 = sos_frames[..., 3:4]
+    rows5 = (
+        jnp.concatenate([sos_frames[..., 0:3], sos_frames[..., 4:6]], -1)
+        / a0
+    )
+    if f_need > nf:
+        rows5 = jnp.pad(rows5, ((0, 0), (0, 0), (0, f_need - nf), (0, 0)))
+    else:
+        rows5 = rows5[:, :, :f_need]
+    lanes = jnp.broadcast_to(rows5[..., None], rows5.shape + (128,))
+    # (S, C, F, 5, 128) -> (C, F, S, 640) -> (C, F, S*640)
+    lanes = lanes.reshape(nsec, nch, f_need, 5 * 128)
+    lanes = jnp.moveaxis(lanes, 0, 2)  # (C, F, S, 640)
+    return lanes.reshape(nch, f_need, nsec * 640)
+
+
+def _biquad_tv_frames_kernel(
+    *refs, rows: int, n_sections: int, fl_rows: int, fpt: int,
+    seeded: bool, row_pass: str = "compact"
+):
+    """All TV sections over one tile, coefficients fetched PER FRAME.
+
+    Same affine-scan machinery as :func:`_biquad_tv_fused_kernel`, but the
+    coefficient operand is a compact (1, S, fpt, 640) block (fpt frames x
+    5 lane-broadcast coefficient groups) instead of 5 full per-sample
+    planes. Expansion to (rows, 128) planes happens here in VMEM via one
+    exact 0/1 selection matmul per section (HIGHEST precision — value
+    pass-through, the :func:`_compact_to_rows_bcast` trick), so HBM only
+    ever carries one row per frame.
+    """
+    from jax.experimental import pallas as pl
+
+    if seeded:
+        c_ref, s_ref, x_ref, o_ref, so_ref, carry_ref = refs
+    else:
+        c_ref, x_ref, o_ref, carry_ref = refs
+        s_ref = so_ref = None
+
+    ch = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        for s in range(n_sections):
+            if seeded:
+                carry_ref[2 * s : 2 * s + 1, :] = (
+                    jnp.zeros((1, 128), jnp.float32) + s_ref[s, ch, 0]
+                )
+                carry_ref[2 * s + 1 : 2 * s + 2, :] = (
+                    jnp.zeros((1, 128), jnp.float32) + s_ref[s, ch, 1]
+                )
+            else:
+                carry_ref[2 * s : 2 * s + 2, :] = jnp.zeros(
+                    (2, 128), jnp.float32
+                )
+
+    y = x_ref[0].astype(jnp.float32)
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+    def scan_axis(m, axis, size):
+        s = 1
+        while s < size:
+            left = tuple(
+                _roll_fill(v, s, axis, f) for v, f in zip(m, ident)
+            )
+            m = _compose_affine(left, m)
+            s *= 2
+        return m
+
+    cf = c_ref[0]  # (fpt, S*640)
+    if fpt == 1:
+        ex_all = jnp.broadcast_to(cf, (rows, n_sections * 640))
+    else:
+        # ONE exact 0/1 selection matmul expands every section's frame
+        # rows to per-sample lanes (value pass-through at HIGHEST)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, fpt), 0)
+        fidx = jax.lax.broadcasted_iota(jnp.int32, (rows, fpt), 1)
+        esel = jnp.where(ridx // fl_rows == fidx, 1.0, 0.0).astype(
+            jnp.float32
+        )
+        ex_all = jax.lax.dot_general(
+            esel, cf, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    for s in range(n_sections):
+        o = s * 640
+        b0 = ex_all[:, o : o + 128]
+        b1 = ex_all[:, o + 128 : o + 256]
+        b2 = ex_all[:, o + 256 : o + 384]
+        a1 = ex_all[:, o + 384 : o + 512]
+        a2 = ex_all[:, o + 512 : o + 640]
+        m = (
+            -a1,
+            jnp.ones_like(y),
+            -a2,
+            jnp.zeros_like(y),
+            y * (b1 - a1 * b0),
+            y * (b2 - a2 * b0),
+        )
+        m = scan_axis(m, 1, 128)
+        c1 = carry_ref[2 * s : 2 * s + 1, :]
+        c2 = carry_ref[2 * s + 1 : 2 * s + 2, :]
+        if row_pass == "compact":
+            s1_row, s2_row, nc1, nc2 = _row_pass_compact_tv(m, c1, c2, rows)
+            carry_ref[2 * s : 2 * s + 1, :] = nc1
+            carry_ref[2 * s + 1 : 2 * s + 2, :] = nc2
+        else:
+            rowm = tuple(_fill_all_from_tail1(v) for v in m)
+            rowm = scan_axis(rowm, 0, rows)
+            exm = tuple(_roll_fill(v, 1, 0, f) for v, f in zip(rowm, ident))
+            s1_row = exm[0] * c1 + exm[1] * c2 + exm[4]
+            s2_row = exm[2] * c1 + exm[3] * c2 + exm[5]
+            lr = tuple(v[rows - 1 :, :] for v in rowm)
+            carry_ref[2 * s : 2 * s + 1, :] = lr[0] * c1 + lr[1] * c2 + lr[4]
+            carry_ref[2 * s + 1 : 2 * s + 2, :] = lr[2] * c1 + lr[3] * c2 + lr[5]
+        exl = tuple(_roll_fill(v, 1, 1, f) for v, f in zip(m, ident))
+        s1 = exl[0] * s1_row + exl[1] * s2_row + exl[4]
+        y = b0 * y + s1
+
+    o_ref[0] = y
+    if seeded:
+        so_ref[0] = carry_ref[:]
+
+
+def _tv_frames_pallas_call(
+    nch: int, rtot: int, nsec: int, frame_len: int, tile_rows: int,
+    seeded: bool, row_pass: str = "compact",
+):
+    """Shared pallas_call builder for the frame-aware TV kernel."""
+    import functools as _ft
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    fl_rows = frame_len // 128
+    fpt = max(1, tile_rows // fl_rows)
+    if tile_rows % fl_rows == 0:
+        cmap = lambda c, t: (c, t, 0)  # noqa: E731
+    else:
+        tpf = fl_rows // tile_rows
+        cmap = lambda c, t: (c, t // tpf, 0)  # noqa: E731
+
+    in_specs = [
+        pl.BlockSpec((1, fpt, nsec * 640), cmap, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nch, rtot, 128), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, tile_rows, 128), lambda c, t: (c, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if seeded:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((nch, 2 * nsec, 128), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 2 * nsec, 128), lambda c, t: (c, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    in_specs.append(
+        pl.BlockSpec(
+            (1, tile_rows, 128), lambda c, t: (c, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    return pl.pallas_call(
+        _ft.partial(
+            _biquad_tv_frames_kernel,
+            rows=tile_rows,
+            n_sections=nsec,
+            fl_rows=fl_rows,
+            fpt=fpt,
+            seeded=seeded,
+            row_pass=row_pass,
+        ),
+        out_shape=out_shape if seeded else out_shape[0],
+        grid=(nch, rtot // tile_rows),
+        in_specs=in_specs,
+        out_specs=out_specs if seeded else out_specs[0],
+        scratch_shapes=[pltpu.VMEM((2 * nsec, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("frame_len", "tile_rows", "row_pass")
+)
+def _sosfilt_tv_frames_pallas(
+    sos_frames, x, frame_len: int, tile_rows: int, row_pass: str = "compact"
+):
+    y3d, batch, n = _to_planar_tiles(x, tile_rows)
+    nch, rtot = y3d.shape[0], y3d.shape[1]
+    fl_rows = frame_len // 128
+    fpt = max(1, tile_rows // fl_rows)
+    f_need = -(-rtot // fl_rows)
+    f_need = -(-f_need // fpt) * fpt  # whole coefficient blocks
+    sos_frames = jnp.asarray(sos_frames, jnp.float32)
+    if sos_frames.ndim == 2:
+        sos_frames = sos_frames[None]
+    nsec = sos_frames.shape[0]
+    coef = _tv_frame_coef_lanes(sos_frames, batch, f_need)
+    call = _tv_frames_pallas_call(
+        nch, rtot, nsec, frame_len, tile_rows, seeded=False,
+        row_pass=row_pass,
+    )
+    out = call(coef, y3d)
+    return _from_planar_tiles(out, batch, n)
+
+
+def sosfilt_tv_frames_chunk(
+    state: jax.Array,
+    sos_frames: jax.Array,
+    x: jax.Array,
+    frame_len: int,
+    *,
+    tile_rows: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming frame-wise TV SOS chunk (state contract of
+    :func:`sosfilt_chunk`: ``(S, *batch, 2)`` DF2T sections).
+
+    Chunks must start on frame boundaries: ``sos_frames`` covers THIS
+    chunk from its first sample (the vocoder contract — callers feed
+    whole frames). The tile-aligned head runs the seeded frame-aware
+    kernel; a sub-tile tail runs the seeded XLA sample scan on the
+    expanded tail rows, keeping the hand-off exact.
+    """
+    sos_frames = jnp.asarray(sos_frames, jnp.float32)
+    if sos_frames.ndim == 2:
+        sos_frames = sos_frames[None]
+    n = x.shape[-1]
+    nf = sos_frames.shape[-2]
+    if nf * frame_len < n:
+        raise ValueError(f"{nf} frames x {frame_len} < chunk length {n}")
+    if not _tv_frames_envelope_ok(frame_len, tile_rows):
+        expanded = jnp.repeat(sos_frames, frame_len, axis=-2)[..., :n, :]
+        return sosfilt_tv_chunk(state, expanded, x, tile_rows=tile_rows)
+    tile = tile_rows * 128
+    main = (n // tile) * tile
+    if main == 0:
+        expanded = jnp.repeat(sos_frames, frame_len, axis=-2)[..., :n, :]
+        return _sosfilt_tv_chunk_xla(state, expanded, x)
+    st1, y_main = _sosfilt_tv_frames_chunk_aligned(
+        state, sos_frames, x[..., :main], frame_len, tile_rows
+    )
+    if main == n:
+        return st1, y_main
+    f_lo = main // frame_len
+    tail_rows = jnp.repeat(
+        sos_frames[..., f_lo:, :], frame_len, axis=-2
+    )[..., main - f_lo * frame_len : n - f_lo * frame_len, :]
+    st2, y_tail = _sosfilt_tv_chunk_xla(st1, tail_rows, x[..., main:])
+    return st2, jnp.concatenate([y_main, y_tail], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_len", "tile_rows"))
+def _sosfilt_tv_frames_chunk_aligned(
+    state, sos_frames, x, frame_len: int, tile_rows: int
+):
+    y3d, batch, n = _to_planar_tiles(x, tile_rows)
+    nch, rtot = y3d.shape[0], y3d.shape[1]
+    fl_rows = frame_len // 128
+    fpt = max(1, tile_rows // fl_rows)
+    f_need = -(-rtot // fl_rows)
+    f_need = -(-f_need // fpt) * fpt
+    sos_frames = jnp.asarray(sos_frames, jnp.float32)
+    if sos_frames.ndim == 2:
+        sos_frames = sos_frames[None]
+    nsec = sos_frames.shape[0]
+    coef = _tv_frame_coef_lanes(sos_frames, batch, f_need)
+    st = jnp.asarray(state, jnp.float32).reshape(nsec, nch, 2)
+    call = _tv_frames_pallas_call(
+        nch, rtot, nsec, frame_len, tile_rows, seeded=True
+    )
+    out, so = call(coef, st, y3d)
+    new_st = jnp.stack(
+        [so[:, 0::2, 0], so[:, 1::2, 0]], axis=-1
+    )  # (C, S, 2)
+    new_st = jnp.moveaxis(new_st, 0, 1).reshape(jnp.asarray(state).shape)
+    return new_st, _from_planar_tiles(out, batch, n)
 
 
 def sosfilt_tv_chunk(

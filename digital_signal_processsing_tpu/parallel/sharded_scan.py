@@ -7,9 +7,11 @@ chips the same decomposition needs exactly ONE collective round:
 
   1. each device scans its contiguous time block locally (the fused Pallas
      kernel or the XLA anchor — both per-channel segmented, int32 modular);
-  2. per-channel block totals are all-gathered over the time axis and each
-     device adds the exclusive prefix of its predecessors — the cross-chip
-     ``uniform_add``;
+  2. per-channel block totals combine into each device's exclusive prefix
+     — the cross-chip ``uniform_add``. Default since round 5: a log2(D)
+     ppermute doubling ladder (:func:`_carry_exclusive`), the reference's
+     recursive carry tree lifted onto the device axis; the one-round
+     ``all_gather`` spelling stays as ``carry_impl='allgather'``;
   3. the windowed difference needs ``cum[i - k*C]`` which may live on the
      left neighbor: one ``ppermute`` pushes each device's cumsum tail one
      step right (device 0 receives the zeros ppermute defines — the
@@ -52,6 +54,46 @@ def _local_cumsum(xs: jax.Array, channels: int, use_pallas: bool) -> jax.Array:
     ).reshape(-1)
 
 
+def _carry_exclusive(
+    totals: jax.Array, axis: str, impl: str = "ladder"
+) -> jax.Array:
+    """Exclusive per-channel prefix of per-device block totals.
+
+    ``impl='ladder'`` (default, round 5): a log2(D) ppermute doubling
+    ladder — the reference's recursive carry tree
+    (hillis_steele_averager.cu:69-84) lifted onto the device axis. Each
+    round shifts partial sums right by doubling strides (missing sources
+    deliver ppermute's zeros), giving the INCLUSIVE prefix in ceil(log2 D)
+    dependent collective steps; subtracting the local total makes it
+    exclusive (int32 modular arithmetic — exact). The round-4 comm model
+    showed the (D-1)-step ``all_gather`` spelling collapsing to 0.07-0.55
+    predicted efficiency at 256 chips on latency alone; the ladder's
+    critical path is log-depth (WEAKSCALING_MODEL.json scan_carry rows).
+
+    ``impl='allgather'``: the r2-r4 one-round spelling, kept as the
+    parity anchor.
+    """
+    if impl == "allgather":
+        gathered = jax.lax.all_gather(totals, axis)  # (D, C)
+        my = jax.lax.axis_index(axis)
+        dev_ids = jnp.arange(jax.lax.axis_size(axis))[:, None]
+        return jnp.sum(jnp.where(dev_ids < my, gathered, 0), axis=0)
+    if impl != "ladder":
+        raise ValueError(
+            f"unknown carry_impl {impl!r}; options ('ladder', 'allgather')"
+        )
+    ndev = jax.lax.axis_size(axis)
+    acc = totals
+    shift = 1
+    while shift < ndev:
+        recv = jax.lax.ppermute(
+            acc, axis, perm=[(d, d + shift) for d in range(ndev - shift)]
+        )
+        acc = acc + recv
+        shift *= 2
+    return acc - totals  # inclusive -> exclusive
+
+
 def _shard_body(
     xs: jax.Array,
     *,
@@ -60,6 +102,7 @@ def _shard_body(
     axis: str,
     use_pallas: bool,
     halo_impl: str = "ppermute",
+    carry_impl: str = "ladder",
 ) -> jax.Array:
     n_loc = xs.shape[0]
     halo = window * channels
@@ -67,11 +110,8 @@ def _shard_body(
 
     # cross-chip uniform_add: exclusive prefix of per-device channel totals
     totals = cum[n_loc - channels :]  # (C,) last frame's per-channel cumsum
-    gathered = jax.lax.all_gather(totals, axis)  # (D, C)
-    my = jax.lax.axis_index(axis)
     ndev = jax.lax.axis_size(axis)
-    dev_ids = jnp.arange(ndev)[:, None]
-    carry = jnp.sum(jnp.where(dev_ids < my, gathered, 0), axis=0)  # (C,)
+    carry = _carry_exclusive(totals, axis, carry_impl)  # (C,)
     cum = (cum.reshape(-1, channels) + carry[None, :]).reshape(-1)
 
     # halo exchange: last `halo` cumsum values -> right neighbor
@@ -140,6 +180,7 @@ def _shard_body_windowed_packed(
         "use_pallas",
         "halo_impl",
         "method",
+        "carry_impl",
     ),
 )
 def sharded_moving_average(
@@ -151,6 +192,7 @@ def sharded_moving_average(
     use_pallas: bool = True,
     halo_impl: str = "ppermute",
     method: str = "windowed",
+    carry_impl: str = "ladder",
 ) -> jax.Array:
     """Causal moving average of a time-block-sharded interleaved stream.
 
@@ -238,6 +280,7 @@ def sharded_moving_average(
             axis=TIME_AXIS,
             use_pallas=use_pallas,
             halo_impl=halo_impl,
+            carry_impl=carry_impl,
         ),
         mesh=mesh,
         in_specs=spec,
@@ -293,9 +336,16 @@ def _sharded_moving_average_packed(
     )(x32)
 
 
-@functools.partial(jax.jit, static_argnames=("channels", "mesh", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("channels", "mesh", "use_pallas", "carry_impl")
+)
 def sharded_cumsum(
-    x: jax.Array, channels: int = 1, *, mesh: Mesh, use_pallas: bool = True
+    x: jax.Array,
+    channels: int = 1,
+    *,
+    mesh: Mesh,
+    use_pallas: bool = True,
+    carry_impl: str = "ladder",
 ) -> jax.Array:
     """Per-channel int32 modular cumsum of a time-block-sharded stream."""
 
@@ -303,10 +353,7 @@ def sharded_cumsum(
         n_loc = xs.shape[0]
         cum = _local_cumsum(xs, channels, use_pallas)
         totals = cum[n_loc - channels :]
-        gathered = jax.lax.all_gather(totals, TIME_AXIS)
-        my = jax.lax.axis_index(TIME_AXIS)
-        dev_ids = jnp.arange(jax.lax.axis_size(TIME_AXIS))[:, None]
-        carry = jnp.sum(jnp.where(dev_ids < my, gathered, 0), axis=0)
+        carry = _carry_exclusive(totals, TIME_AXIS, carry_impl)
         return (cum.reshape(-1, channels) + carry[None, :]).reshape(-1)
 
     spec = P(TIME_AXIS)

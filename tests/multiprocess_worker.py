@@ -62,6 +62,14 @@ def main() -> None:
     for shard in out.addressable_shards:
         np.testing.assert_array_equal(np.asarray(shard.data), want[shard.index])
 
+    # --- explicit scan-carry path with the round-5 log-depth ppermute
+    # ladder across processes, still bit-exact vs golden
+    out_sc = sharded_moving_average(
+        xd, w, c, mesh=mesh, method="scan", carry_impl="ladder"
+    )
+    for shard in out_sc.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data), want[shard.index])
+
     # --- fused-ring windowed averager across processes (round 4): the
     # in-kernel RDMA halo on a process-spanning 1-named-axis time mesh
     from digital_signal_processsing_tpu.parallel.mesh import make_time_mesh

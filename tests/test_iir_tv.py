@@ -120,6 +120,128 @@ def test_frames_expansion(swept):
     assert err < 1e-5, err
 
 
+def frame_schedule(n_frames, seed):
+    """Stable per-frame biquad rows (a0 != 1)."""
+    f = np.linspace(0, 3, n_frames)
+    r = 0.5 + 0.4 * np.sin(f + seed)
+    th = 0.3 + 0.2 * np.cos(2 * f + seed)
+    return np.stack(
+        [
+            np.full(n_frames, 0.3),
+            0.1 * np.sin(5 * f),
+            np.full(n_frames, 0.05),
+            np.full(n_frames, 1.0 + 0.1 * seed),
+            -2 * r * np.cos(th),
+            r**2,
+        ],
+        -1,
+    ).astype(np.float32)
+
+
+class TestFramesKernel:
+    """Round 5: the frame-aware kernel (compact per-frame coefficient
+    fetch, VERDICT r4 item 1) against the expanded per-sample path."""
+
+    def _parity(self, n, frame_len, tile_rows, nsec=2, batch=None, seed=0):
+        rng = np.random.default_rng(seed)
+        shape = (n,) if batch is None else (batch, n)
+        x = rng.standard_normal(shape).astype(np.float32)
+        nf = -(-n // frame_len)
+        sos_fr = np.stack(
+            [frame_schedule(nf, s) for s in range(nsec)], 0
+        )
+        from digital_signal_processsing_tpu.ops.iir import (
+            _tv_frames_envelope_ok,
+        )
+
+        assert _tv_frames_envelope_ok(frame_len, tile_rows)
+        want = np.asarray(
+            iir.sosfilt_tv_frames(
+                sos_fr, x, frame_len, tile_rows=tile_rows, method="expand"
+            )
+        )
+        got = np.asarray(
+            iir.sosfilt_tv_frames(
+                sos_fr, x, frame_len, tile_rows=tile_rows, method="frames"
+            )
+        )
+        scale = np.max(np.abs(want)) + 1e-9
+        err = np.max(np.abs(got - want)) / scale
+        assert err < 1e-5, (n, frame_len, tile_rows, err)
+
+    def test_frames_per_tile(self):
+        # case A: several frames per tile (fpt = 64)
+        self._parity(128 * 128 * 2 + 777, 256, 128)
+
+    def test_tiles_per_frame(self):
+        # case B: one frame spans several tiles (tpf = 2)
+        self._parity(128 * 128 * 5 + 99, 128 * 256, 128)
+
+    def test_frame_equals_tile(self):
+        self._parity(128 * 128 * 3, 128 * 128, 128)
+
+    def test_batched_channels(self):
+        self._parity(128 * 128 * 2, 512, 128, batch=3, seed=4)
+
+    def test_single_section(self):
+        self._parity(128 * 128 * 2 + 17, 1024, 128, nsec=1, seed=9)
+
+    def test_auto_routes_frames(self):
+        from digital_signal_processsing_tpu.utils import dispatch
+
+        n, fl = 128 * 128 * 2, 256
+        x = np.random.default_rng(1).standard_normal(n).astype(np.float32)
+        sos_fr = frame_schedule(n // fl, 0)[None]
+        iir.sosfilt_tv_frames(sos_fr, x, fl, tile_rows=128)
+        assert dispatch.last_choice("sosfilt_tv_frames") == "frames"
+        sos_100 = frame_schedule(-(-n // 100), 0)[None]
+        iir.sosfilt_tv_frames(sos_100, x, 100)
+        assert dispatch.last_choice("sosfilt_tv_frames") == "expand"
+        with pytest.raises(ValueError):
+            iir.sosfilt_tv_frames(sos_fr, x, 100, method="frames")
+
+    def _chunked(self, x, sos_fr, fl, tr, step):
+        st = jnp.zeros((sos_fr.shape[0], 2))
+        parts = []
+        n = x.shape[-1]
+        for lo in range(0, n, step):
+            hi = min(n, lo + step)
+            st, yp = iir.sosfilt_tv_frames_chunk(
+                st,
+                jnp.asarray(sos_fr[:, lo // fl : -(-hi // fl)]),
+                jnp.asarray(x[lo:hi]),
+                fl,
+                tile_rows=tr,
+            )
+            parts.append(np.asarray(yp))
+        return np.concatenate(parts)
+
+    def test_chunk_handoff(self):
+        n, fl, tr = 128 * 128 * 4, 512, 128
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal(n).astype(np.float32)
+        sos_fr = np.stack(
+            [frame_schedule(n // fl, s) for s in range(2)], 0
+        )
+        one = np.asarray(
+            iir.sosfilt_tv_frames(sos_fr, x, fl, tile_rows=tr)
+        )
+        # tile-aligned chunks run ONLY the seeded kernel — same math as
+        # the one-shot kernel, but a separately-jitted graph: XLA's
+        # fusion-boundary FMA contraction may differ by ulps (verified:
+        # the 1-ulp diffs appear even at zero state on identical inputs),
+        # so assert at 10-ulp scale rather than bitwise
+        aligned = self._chunked(x, sos_fr, fl, tr, step=n // 2)
+        scale = np.max(np.abs(one)) + 1e-9
+        assert np.max(np.abs(aligned - one)) / scale < 1e-6
+        # frame-aligned but sub-tile chunks hand the tail to the XLA
+        # sample scan (different f32 association): the sosfilt_tv_chunk
+        # contract, 1e-5
+        mixed = self._chunked(x, sos_fr, fl, tr, step=n // 2 + fl)
+        scale = np.max(np.abs(one)) + 1e-9
+        assert np.max(np.abs(mixed - one)) / scale < 1e-5
+
+
 def test_frames_too_short_raises(swept):
     x, sos_t = swept
     with pytest.raises(ValueError):

@@ -76,6 +76,33 @@ def test_sharded_cumsum_parity(rng, mesh8):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("carry_impl", ["ladder", "allgather"])
+def test_carry_impls_bit_exact(rng, mesh8, carry_impl):
+    # round 5: the log-depth ppermute carry ladder (new default) and the
+    # all_gather anchor must BOTH be bit-exact vs the golden model
+    x = make_interleaved(rng, 40960, 2)
+    want = moving_average_golden(x, 257, 2)
+    got = np.asarray(
+        sharded_moving_average(
+            x, 257, 2, mesh=mesh8, method="scan", carry_impl=carry_impl
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+    cs = np.asarray(
+        sharded_cumsum(x, 2, mesh=mesh8, use_pallas=False, carry_impl=carry_impl)
+    )
+    want_cs = (
+        np.cumsum(x.reshape(-1, 2).astype(np.int64), axis=0)
+        .astype(np.int32)
+        .reshape(-1)
+    )
+    np.testing.assert_array_equal(cs, want_cs)
+    with pytest.raises(ValueError, match="carry_impl"):
+        sharded_moving_average(
+            x, 257, 2, mesh=mesh8, method="scan", carry_impl="tree?"
+        )
+
+
 def test_sharded_halo_too_big_rejected(rng, mesh8):
     x = make_interleaved(rng, 4096, 2)
     with pytest.raises(ValueError, match="halo|shard"):
