@@ -216,17 +216,23 @@ def tracker_step(
     q = jnp.asarray(q_np)
     r = jnp.asarray(r_np)
     eye = jnp.eye(2, dtype=jnp.float32)
+    # every contraction here is 2x2-class Kalman algebra: force full-f32
+    # MXU passes. The default (bf16, 8 mantissa bits) drifted covariances
+    # enough over a 16-CPI stream to pull a confirmed track ~3 bins off
+    # its CPU-exact position (round-5 family-row anchor; the measurement
+    # stream itself was bit-identical across platforms).
+    hp = jax.lax.Precision.HIGHEST
 
     # Predict (batched over slots; inactive slots carry garbage, masked out
     # of the cost below).
-    x = state.x @ f.T
-    cov = jnp.einsum("ij,tjk,lk->til", f, state.cov, f) + q
+    x = jnp.matmul(state.x, f.T, precision=hp)
+    cov = jnp.einsum("ij,tjk,lk->til", f, state.cov, f, precision=hp) + q
 
     # Gated Mahalanobis cost, (T, M). H = I so S = P + R.
     s = cov + r
     s_inv = _inv2(s)
     y = z[None, :, :] - x[:, None, :]  # (T, M, 2)
-    d2 = jnp.einsum("tmi,tij,tmj->tm", y, s_inv, y)
+    d2 = jnp.einsum("tmi,tij,tmj->tm", y, s_inv, y, precision=hp)
     feasible = state.active[:, None] & valid[None, :] & (d2 <= cfg.gate)
     cost = jnp.where(feasible, d2, _INF)
 
@@ -237,11 +243,11 @@ def tracker_step(
     onehot = (
         (assign[:, None] == jnp.arange(cfg.max_meas)[None, :]) & assigned[:, None]
     ).astype(jnp.float32)
-    zz = onehot @ z  # (T, 2); zero rows for unassigned
+    zz = jnp.matmul(onehot, z, precision=hp)  # (T, 2); zeros if unassigned
     innov = zz - x
-    gain = jnp.einsum("tij,tjk->tik", cov, s_inv)
-    x_upd = x + jnp.einsum("tij,tj->ti", gain, innov)
-    cov_upd = jnp.einsum("tij,tjk->tik", eye[None] - gain, cov)
+    gain = jnp.einsum("tij,tjk->tik", cov, s_inv, precision=hp)
+    x_upd = x + jnp.einsum("tij,tj->ti", gain, innov, precision=hp)
+    cov_upd = jnp.einsum("tij,tjk->tik", eye[None] - gain, cov, precision=hp)
     x = jnp.where(assigned[:, None], x_upd, x)
     cov = jnp.where(assigned[:, None, None], cov_upd, cov)
 
@@ -264,7 +270,7 @@ def tracker_step(
         & (free_rank[:, None] == meas_rank[None, :])
     )
     spawned = match.any(axis=1)
-    z_new = match.astype(jnp.float32) @ z
+    z_new = jnp.matmul(match.astype(jnp.float32), z, precision=jax.lax.Precision.HIGHEST)
     p_new = jnp.diag(
         jnp.asarray([cfg.init_pos_var, cfg.init_vel_var], jnp.float32)
     )

@@ -43,12 +43,12 @@ def _resolve_corr_method(
     The direct path needs a single (1-D) template — the FFT path also
     accepts batched templates, which stay on the DFT engines.
     """
-    if method == "direct":
+    if method in ("direct", "direct_gauss"):
         if v_ndim != 1:
             raise ValueError(
-                f"method='direct' needs a 1-D template, got ndim={v_ndim}"
+                f"method={method!r} needs a 1-D template, got ndim={v_ndim}"
             )
-        return "direct"
+        return method
     if (
         method == "auto"
         and v_ndim == 1
@@ -71,13 +71,21 @@ def _direct_full_real(a: jax.Array, v: jax.Array, n: int) -> jax.Array:
 
     ta = a.shape[-1]
     batch = a.shape[:-1]
-    # pad to whole 128-lane frames: the blocked conv's whole-frame path is
-    # both the fast HLO and structurally clear of the ragged-pad fusion
-    # miscompile (BENCH_NOTES "ragged-pad conv miscompile")
+    # pad to whole 128-lane frames — then FENCE the pad from the conv.
+    # Whole-frame input alone is NOT structurally clear of the XLA-TPU
+    # ragged-pad fusion miscompile: round 5 caught the modem preamble
+    # correlation computing NaNs in the last ~2 tail frames whenever a
+    # downstream equalizer graph changed the fusion context (NaN count 226
+    # at ta=65634, first at valid position 65345; r5 modem bisect,
+    # logs/r5_onchip/r5_family_rows.log) while the same subgraph isolated
+    # was exact. Materializing the padded operand keeps the conv clean;
+    # whole-length inputs (nr == ta) skip the barrier.
     nr = -(-n // 128) * 128
     xp = jnp.pad(
         a.astype(jnp.float32).reshape(-1, ta), ((0, 0), (0, nr - ta))
     )
+    if nr != ta:
+        xp = jax.lax.optimization_barrier(xp)
     full = fir_direct(xp, jnp.asarray(v, jnp.float32)[::-1])[..., :n]
     return full.reshape(batch + (n,))
 
@@ -95,7 +103,7 @@ def _direct_full_complex(
 
     ta = ar.shape[-1]
     batch = ar.shape[:-1]
-    # whole-frame pad: see _direct_full_real
+    # whole-frame pad + fusion fence: see _direct_full_real
     nr = -(-n // 128) * 128
     x2 = jnp.pad(
         jnp.concatenate(
@@ -107,6 +115,8 @@ def _direct_full_complex(
         ),
         ((0, 0), (0, nr - ta)),
     )
+    if nr != ta:
+        x2 = jax.lax.optimization_barrier(x2)
     c = x2.shape[0] // 2
     hr = jnp.asarray(vr, jnp.float32)[::-1]
     hi = -jnp.asarray(vi, jnp.float32)[::-1]
@@ -114,6 +124,44 @@ def _direct_full_complex(
     yh_i = fir_direct(x2, hi)[..., :n]  # [ar*hi ; ai*hi]
     fr = (yh_r[:c] - yh_i[c:]).reshape(batch + (n,))
     fi = (yh_i[:c] + yh_r[c:]).reshape(batch + (n,))
+    return fr, fi
+
+
+def _direct_full_complex_gauss(
+    ar: jax.Array, ai: jax.Array, vr: jax.Array, vi: jax.Array, n: int
+) -> tuple[jax.Array, jax.Array]:
+    """Complex correlation via Gauss's 3-multiplication identity.
+
+    With h = reversed conj(v): m1 = ar*hr, m2 = ai*hi,
+    m3 = (ar+ai)*(hr+hi); yr = m1 - m2, yi = m3 - m1 - m2 — THREE banded
+    convs of c rows each vs :func:`_direct_full_complex`'s four
+    conv-channel products (25% of the MXU MACs saved on the radar matched
+    filter's ~10.5 ms bound, VERDICT r4 item 6). The recombination is f32
+    adds of ~2x-magnitude intermediates, so the last-ulp rounding can
+    differ from the 4-conv spelling — A/B'd on chip before any default
+    flip (logs/r5_onchip/r5_radar_gauss_ab.log).
+    """
+    from .fir import fir_direct
+
+    ta = ar.shape[-1]
+    batch = ar.shape[:-1]
+    nr = -(-n // 128) * 128  # whole-frame pad + fence: see _direct_full_real
+    ar2 = ar.astype(jnp.float32).reshape(-1, ta)
+    ai2 = ai.astype(jnp.float32).reshape(-1, ta)
+
+    def padded(x):
+        xp = jnp.pad(x, ((0, 0), (0, nr - ta)))
+        if nr != ta:
+            xp = jax.lax.optimization_barrier(xp)
+        return xp
+
+    hr = jnp.asarray(vr, jnp.float32)[::-1]
+    hi = -jnp.asarray(vi, jnp.float32)[::-1]
+    m1 = fir_direct(padded(ar2), hr)[..., :n]
+    m2 = fir_direct(padded(ai2), hi)[..., :n]
+    m3 = fir_direct(padded(ar2 + ai2), hr + hi)[..., :n]
+    fr = (m1 - m2).reshape(batch + (n,))
+    fi = (m3 - m1 - m2).reshape(batch + (n,))
     return fr, fi
 
 
@@ -140,6 +188,11 @@ def correlate(
     from .fft import _mxu_fft_planar, _resolve_fft_method
 
     method = _resolve_corr_method(method, ta, tv, v.ndim)
+    if method == "direct_gauss":
+        raise ValueError(
+            "method='direct_gauss' is the complex 3-multiplication "
+            "identity — real correlate has no cross products; use 'direct'"
+        )
     if method == "direct":
         full = _direct_full_real(a, v, n)
     elif _resolve_fft_method(method, nfft) == "mxu" and nfft >= 128:
@@ -197,6 +250,8 @@ def correlate_complex(
     method = _resolve_corr_method(method, ta, tv, vr.ndim)
     if method == "direct":
         fr, fi = _direct_full_complex(ar, ai, vr, vi, n)
+    elif method == "direct_gauss":
+        fr, fi = _direct_full_complex_gauss(ar, ai, vr, vi, n)
     else:
         pad_a = [(0, 0)] * (ar.ndim - 1) + [(0, nfft - ta)]
         pad_v = [(0, 0)] * (vr.ndim - 1) + [(0, nfft - tv)]

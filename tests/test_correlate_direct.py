@@ -94,3 +94,33 @@ def test_auto_long_stream_parity(rng):
     want = np.correlate(a.astype(np.float64), v.astype(np.float64), "valid")
     err = np.abs(got - want).max() / (np.abs(want).max() + 1e-12)
     assert err < 5e-6
+
+
+def test_gauss_matches_direct(rng):
+    # the 3-multiplication complex identity (method='direct_gauss') must
+    # match the 4-conv direct spelling within f32 recombination rounding
+    ar = rng.standard_normal((4, 3000)).astype(np.float32)
+    ai = rng.standard_normal((4, 3000)).astype(np.float32)
+    vr = rng.standard_normal(128).astype(np.float32)
+    vi = rng.standard_normal(128).astype(np.float32)
+    for mode in ("full", "valid"):
+        r4, i4 = C.correlate_complex(
+            jnp.asarray(ar), jnp.asarray(ai), jnp.asarray(vr),
+            jnp.asarray(vi), mode, method="direct",
+        )
+        r3, i3 = C.correlate_complex(
+            jnp.asarray(ar), jnp.asarray(ai), jnp.asarray(vr),
+            jnp.asarray(vi), mode, method="direct_gauss",
+        )
+        scale = float(np.max(np.abs(np.asarray(r4))))
+        assert float(np.max(np.abs(np.asarray(r3 - r4)))) / scale < 1e-5
+        assert float(np.max(np.abs(np.asarray(i3 - i4)))) / scale < 1e-5
+
+
+def test_gauss_rejects_real_correlate(rng):
+    with pytest.raises(ValueError):
+        C.correlate(
+            jnp.asarray(rng.standard_normal(512).astype(np.float32)),
+            jnp.asarray(rng.standard_normal(16).astype(np.float32)),
+            method="direct_gauss",
+        )
