@@ -179,6 +179,73 @@ def doppler_map(cfg: RadarConfig, rc: jax.Array) -> jax.Array:
     return jnp.abs(rd) ** 2
 
 
+def _box_sum(a: jax.Array, hd: int, hr: int) -> jax.Array:
+    """Zero-filled centered 2-D box sum, separable: banded (D, D) matmul
+    over the (small) doppler axis x centered boxcar FIR over the (long)
+    range axis. The round-3 spelling ran four dense 2-D convs through a
+    single-feature conv (533 taps at the default config) — the classic
+    1/128-MXU pattern; this one is two matmuls + two banded MXU FIRs
+    (r4_radar_profile.log)."""
+    from ..ops.fir import fir_direct
+
+    d = a.shape[0]
+    band = np.zeros((d, d), np.float32)
+    for i in range(d):
+        band[i, max(0, i - hd) : min(d, i + hd + 1)] = 1.0
+    y = jnp.matmul(jnp.asarray(band), a, precision=jax.lax.Precision.HIGHEST)
+    # centered range boxcar: causal k=2hr+1 conv of the right-padded
+    # rows, sliced back by hr
+    yp = jnp.pad(y, ((0, 0), (0, hr)))
+    taps = jnp.ones(2 * hr + 1, jnp.float32)
+    return fir_direct(yp, taps)[:, hr:]
+
+
+def _count1d(n: int, h: int) -> np.ndarray:
+    i = np.arange(n)
+    return (np.minimum(i + h, n - 1) - np.maximum(i - h, 0) + 1).astype(
+        np.float32
+    )
+
+
+def _count1d_window(n_full: int, lo: int, nb: int, h: int) -> np.ndarray:
+    """Per-cell 1-D training count CLIPPED TO THE VALID WINDOW [lo, lo+nb):
+    the count _count1d(nb, h) would produce on the sliced axis, evaluated
+    at full-width positions (1.0 outside the window — masked downstream)."""
+    i = np.arange(n_full)
+    j = np.clip(i - lo, 0, max(nb - 1, 0))
+    c = np.minimum(j + h, nb - 1) - np.maximum(j - h, 0) + 1
+    return np.where(
+        (i >= lo) & (i < lo + nb), c.astype(np.float32), np.float32(1.0)
+    )
+
+
+def _cfar_core(
+    p: jax.Array,
+    guard: tuple[int, int],
+    train: tuple[int, int],
+    pfa: float,
+    count_d: tuple[np.ndarray, np.ndarray],
+    count_r: tuple[np.ndarray, np.ndarray],
+) -> tuple[jax.Array, jax.Array]:
+    """CA-CFAR sums + exact per-cell-count alpha, with the 1-D count
+    factors supplied by the caller (array bounds for the public ca_cfar;
+    valid-window bounds for detect's full-width fused chain)."""
+    gd, gr = guard
+    td, tr = train
+    outer_sum = _box_sum(p, gd + td, gr + tr)
+    inner_sum = _box_sum(p, gd, gr)
+    # counts stay as FOUR 1-D host constants broadcast on device — an
+    # (D, R) host-side outer product would ride the HLO as a giant
+    # constant (the r3 HTTP-413 trap, BENCH_NOTES)
+    n = jnp.asarray(count_d[0])[:, None] * jnp.asarray(count_r[0])[None, :] - (
+        jnp.asarray(count_d[1])[:, None] * jnp.asarray(count_r[1])[None, :]
+    )
+    z = outer_sum - inner_sum  # training-cell power sum
+    alpha = n * (pfa ** (-1.0 / n) - 1.0)
+    thresh = alpha * z / n
+    return p > thresh, thresh
+
+
 def ca_cfar(
     power: jax.Array,
     *,
@@ -203,50 +270,14 @@ def ca_cfar(
         raise ValueError(f"need >= 1 training cell per axis, got {train}")
     p = power.astype(jnp.float32)
     d, r = p.shape
-
-    # A zero-filled 2-D box sum is SEPARABLE: banded (D, D) matmul over
-    # the (small) doppler axis x centered boxcar FIR over the (long)
-    # range axis — and the per-cell training COUNT factors into the
-    # outer product of two closed-form 1-D counts (host constants). The
-    # round-3 spelling ran four dense 2-D convs through a single-feature
-    # conv (533 taps at the default config) — the classic 1/128-MXU
-    # pattern; this one is two matmuls + two banded MXU FIRs
-    # (r4_radar_profile.log: detect 1.31 -> measured there).
-    def box_sum(a, hd, hr):
-        from ..ops.fir import fir_direct
-
-        band = np.zeros((d, d), np.float32)
-        for i in range(d):
-            band[i, max(0, i - hd) : min(d, i + hd + 1)] = 1.0
-        y = jnp.matmul(
-            jnp.asarray(band), a, precision=jax.lax.Precision.HIGHEST
-        )
-        # centered range boxcar: causal k=2hr+1 conv of the right-padded
-        # rows, sliced back by hr
-        yp = jnp.pad(y, ((0, 0), (0, hr)))
-        taps = jnp.ones(2 * hr + 1, jnp.float32)
-        return fir_direct(yp, taps)[:, hr:]
-
-    def count1d(n, h):
-        i = np.arange(n)
-        return (np.minimum(i + h, n - 1) - np.maximum(i - h, 0) + 1).astype(
-            np.float32
-        )
-
-    outer_sum = box_sum(p, gd + td, gr + tr)
-    inner_sum = box_sum(p, gd, gr)
-    # counts stay as FOUR 1-D host constants broadcast on device — an
-    # (D, R) host-side outer product would ride the HLO as a giant
-    # constant (the r3 HTTP-413 trap, BENCH_NOTES)
-    n = jnp.asarray(count1d(d, gd + td))[:, None] * jnp.asarray(
-        count1d(r, gr + tr)
-    )[None, :] - jnp.asarray(count1d(d, gd))[:, None] * jnp.asarray(
-        count1d(r, gr)
-    )[None, :]
-    z = outer_sum - inner_sum  # training-cell power sum
-    alpha = n * (pfa ** (-1.0 / n) - 1.0)
-    thresh = alpha * z / n
-    return p > thresh, thresh
+    return _cfar_core(
+        p,
+        guard,
+        train,
+        pfa,
+        (_count1d(d, gd + td), _count1d(d, gd)),
+        (_count1d(r, gr + tr), _count1d(r, gr)),
+    )
 
 
 def ambiguity(
@@ -339,14 +370,43 @@ def detect(cfg: RadarConfig, i: jax.Array, q: jax.Array):
     from ..ops.correlate import correlate_complex
 
     pr, pi_ = lfm_pulse(cfg)
+    # round-5: Gauss 3-multiplication matched filter — 3 banded convs
+    # instead of 4 (17.8 vs 20.1 ms/detect at 64x1M, detections EXACT,
+    # 0 flips vs 'direct'; logs/r5_onchip/r5_radar_ab.log)
     c_re, c_im = correlate_complex(
         i.astype(jnp.float32),
         q.astype(jnp.float32),
         jnp.asarray(pr),
         jnp.asarray(pi_),
         mode="full",
+        method="direct_gauss",
     )
     rc = jax.lax.complex(c_re, c_im)
-    power = doppler_map(cfg, rc)[:, cfg.pulse_len - 1 : cfg.pulse_len - 1 + cfg.n_bins]
-    det, thresh = ca_cfar(power, guard=cfg.guard, train=cfg.train, pfa=cfg.pfa)
-    return det, power, thresh
+    full = doppler_map(cfg, rc)  # (n_pulses, ta + pulse_len - 1), aligned
+    lo, nb = cfg.pulse_len - 1, cfg.n_bins
+    # Round-5 composition fix: the whole CFAR runs at ALIGNED full width
+    # and the misaligned valid slice moves to the very END (one read each
+    # of det/power/thresh instead of every CFAR pass paying the offset-127
+    # relayout — the r4 aligned-slice doctrine applied to the last stage).
+    # Exactness: out-of-valid columns are MASKED TO ZERO (an iota select
+    # fused into the power epilogue), which reproduces _box_sum's
+    # zero-fill edge semantics exactly, and the range count factors come
+    # from _count1d_window so every alpha matches the sliced-map CFAR's in
+    # exact arithmetic; the range boxcar's f32 accumulation ORDER shifts
+    # with the lane offset, so thresholds agree to the ulp (power and
+    # detections pinned equal by test_detect_fullwidth_cfar_bitexact).
+    col = jnp.arange(full.shape[-1])
+    p_masked = jnp.where((col >= lo) & (col < lo + nb), full, 0.0)
+    gd, gr = cfg.guard
+    td, tr = cfg.train
+    w = full.shape[-1]
+    det_f, thresh_f = _cfar_core(
+        p_masked,
+        cfg.guard,
+        cfg.train,
+        cfg.pfa,
+        (_count1d(cfg.n_pulses, gd + td), _count1d(cfg.n_pulses, gd)),
+        (_count1d_window(w, lo, nb, gr + tr), _count1d_window(w, lo, nb, gr)),
+    )
+    sl = slice(lo, lo + nb)
+    return det_f[:, sl], full[:, sl], thresh_f[:, sl]

@@ -259,3 +259,49 @@ def test_ambiguity_lfm_range_doppler_coupling():
         assert abs(peak_delay - want) <= 1, (peak_delay, want)
     # Peak normalization at (0, 0).
     np.testing.assert_allclose(amb[1].max(), 1.0, rtol=1e-5)
+
+
+def test_detect_fullwidth_cfar_bitexact():
+    """detect()'s round-5 full-width masked CFAR (the aligned-slice
+    doctrine applied to the last stage) must be BIT-identical to the
+    round-4 spelling: full-mode correlate -> doppler -> power slice ->
+    sliced-map ca_cfar."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from digital_signal_processsing_tpu.ops.correlate import correlate_complex
+
+    cfg = _cfg(n_range=1024, guard=(2, 4), train=(4, 16))
+    i, q = radar.synthesize(
+        cfg, [(300, 0.1, 3.0), (700, -0.2, 2.5)], noise_power=0.1, seed=3
+    )
+    i, q = jnp.asarray(i), jnp.asarray(q)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def detect_r4(cfg, i, q):
+        pr, pi_ = radar.lfm_pulse(cfg)
+        c_re, c_im = correlate_complex(
+            i.astype(jnp.float32), q.astype(jnp.float32),
+            jnp.asarray(pr), jnp.asarray(pi_), mode="full",
+        )
+        rc = jax.lax.complex(c_re, c_im)
+        lo = cfg.pulse_len - 1
+        power = radar.doppler_map(cfg, rc)[:, lo : lo + cfg.n_bins]
+        det, thresh = radar.ca_cfar(
+            power, guard=cfg.guard, train=cfg.train, pfa=cfg.pfa
+        )
+        return det, power, thresh
+
+    det, power, thresh = radar.detect(cfg, i, q)
+    det_p, p_p, thr_p = detect_r4(cfg, i, q)
+    assert bool(jnp.all(det == det_p))
+    # detect's round-5 Gauss matched filter recombines in f32 (m3-m1-m2),
+    # and the range boxcar's f32 accumulation order shifts with the lane
+    # offset — power/thresh agree to the ulp class, detections exactly
+    scale = float(jnp.max(jnp.abs(p_p)))
+    assert float(jnp.max(jnp.abs(power - p_p))) / scale < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(thresh), np.asarray(thr_p), rtol=1e-4, atol=scale * 1e-6
+    )
