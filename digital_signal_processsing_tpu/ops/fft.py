@@ -184,6 +184,23 @@ def stft(
     xp = x if x.ndim == 2 else x[None, :]
     c, t = xp.shape
     nframes = max(0, (t - nfft) // hop + 1)
+    from .fft_mxu import DENSE_RFFT_MAX_N, rfft_dense_framed
+
+    if (
+        _resolve_fft_method(method, nfft) == "mxu"
+        and nfft <= DENSE_RFFT_MAX_N
+        and nfft % hop == 0
+        and hop % 128 == 0
+        and nframes > 0
+    ):
+        # framing + window folded into the dense-DFT matmuls — the
+        # (frames, nfft) tensor is never materialized (rfft_dense_framed)
+        fr, fi = rfft_dense_framed(
+            xp, nframes, hop, nfft,
+            spectral_window(window, nfft), detrend=detrend_segments,
+        )
+        out = jax.lax.complex(fr, fi)
+        return out if x.ndim == 2 else out[0]
     from ..utils.layout import overlapping_frames
 
     segs = overlapping_frames(xp.astype(jnp.float32), nframes, hop, nfft)

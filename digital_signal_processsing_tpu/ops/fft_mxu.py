@@ -155,14 +155,18 @@ def _dense_irfft_consts(n: int):
 
 
 def rfft_dense(
-    x: jax.Array, *, precision=jax.lax.Precision.HIGHEST
+    x: jax.Array, *, precision=jax.lax.Precision.HIGH
 ) -> tuple[jax.Array, jax.Array]:
     """Real (..., n) -> planar (re, im) half spectrum, ONE matmul pair.
 
-    HIGHEST (bf16x6) is the default: on chip it costs ~4% over HIGH at
-    the stft-512 shape (19.4 vs 20.2 GS/s) and tightens parity vs XLA's
-    FFT from 1.1e-5 to 2.8e-7 (logs/r4_onchip/r4_dense_prec.log) — the
-    matmul is small next to the framing traffic, so precision is free.
+    HIGH (bf16x3) is the round-5 default: the round-4 "HIGHEST costs ~4%"
+    reading came from an A/B whose loop carry folded only out[..., :4],
+    letting XLA slice the DFT rhs — with the FULL spectrum forced the op
+    is MXU-precision-bound and HIGH is ~1.5x HIGHEST at stft shapes
+    (15.5 vs 8.3 GS/s at nfft=512/(8, 2M); framed 13.9 vs 9.7 —
+    logs/r5_onchip/r5_stft_prec_ab.log). Parity vs XLA's FFT: HIGH
+    1.3e-5, HIGHEST 3.3e-7 (same log) — both far inside the hann
+    window's -31 dB sidelobe floor; pass ``precision`` to pin HIGHEST.
     """
     n = x.shape[-1]
     cr, ci = _dense_rfft_consts(n)
@@ -178,15 +182,78 @@ def irfft_dense(
     s_im: jax.Array,
     nfft: int,
     *,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=jax.lax.Precision.HIGH,
 ) -> jax.Array:
-    """Planar half spectrum (..., n//2+1) -> real (..., nfft)."""
+    """Planar half spectrum (..., n//2+1) -> real (..., nfft).
+
+    HIGH default for the same measured reason as :func:`rfft_dense`."""
     ar, ai = _dense_irfft_consts(nfft)
     return jnp.matmul(
         s_re.astype(jnp.float32), jnp.asarray(ar), precision=precision
     ) + jnp.matmul(
         s_im.astype(jnp.float32), jnp.asarray(ai), precision=precision
     )
+
+
+def rfft_dense_framed(
+    x: jax.Array,
+    num_frames: int,
+    hop: int,
+    nfft: int,
+    window: np.ndarray,
+    *,
+    detrend: bool = False,
+    precision=jax.lax.Precision.HIGH,
+) -> tuple[jax.Array, jax.Array]:
+    """Windowed framed real DFT with the framing folded into banded matmuls.
+
+    out[..., i, k] = sum_t w[t] x[..., i*hop + t] W[t, k]. When hop divides
+    nfft, frame i is rows i..i+J-1 of the (nb, hop) reshape (J = nfft/hop):
+
+        out = sum_j x2[..., j : j + num_frames, :] @ (w ⊙ W)[j*hop:(j+1)*hop]
+
+    — J shifted CONTIGUOUS views of the same reshape, so the (frames, nfft)
+    tensor is never materialized. The round-4 stft measured 25.4 GS/s at
+    nfft=512 against its own ~41 GS/s framing floor (BENCH_NOTES): the gap
+    was overlapping_frames' concat + windowed-segment materialization,
+    which this removes (the ARCHITECTURE §10 relayout doctrine applied to
+    framing). ``detrend`` reproduces per-segment mean removal analytically:
+    DFT(w*(x - m)) = DFT(w*x) - m*DFT(w), with the per-frame means from the
+    same shifted row sums.
+
+    Returns planar (re, im), each (..., num_frames, nfft//2 + 1).
+    """
+    if nfft % hop or hop % 128:
+        raise ValueError(f"need hop | nfft and 128 | hop, got {nfft=} {hop=}")
+    j_max = nfft // hop
+    nb = num_frames + j_max - 1
+    need = nb * hop
+    if x.shape[-1] < need:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, need - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    x2 = x[..., :need].astype(jnp.float32).reshape(*x.shape[:-1], nb, hop)
+    cr, ci = _dense_rfft_consts(nfft)
+    w = np.asarray(window, np.float32).reshape(nfft, 1)
+    out_r = out_i = None
+    for j in range(j_max):
+        seg = x2[..., j : j + num_frames, :]
+        band = slice(j * hop, (j + 1) * hop)
+        r = jnp.matmul(seg, jnp.asarray(w[band] * cr[band]), precision=precision)
+        im = jnp.matmul(seg, jnp.asarray(w[band] * ci[band]), precision=precision)
+        out_r = r if out_r is None else out_r + r
+        out_i = im if out_i is None else out_i + im
+    if detrend:
+        rows = jnp.sum(x2, axis=-1)  # (..., nb)
+        m = rows[..., 0:num_frames]
+        for j in range(1, j_max):
+            m = m + rows[..., j : j + num_frames]
+        m = m * jnp.float32(1.0 / nfft)
+        wd = np.asarray(window, np.float64)
+        dr = jnp.asarray((wd @ cr.astype(np.float64)).astype(np.float32))
+        di = jnp.asarray((wd @ ci.astype(np.float64)).astype(np.float32))
+        out_r = out_r - m[..., None] * dr
+        out_i = out_i - m[..., None] * di
+    return out_r, out_i
 
 
 def fft_large(

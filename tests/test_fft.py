@@ -348,3 +348,38 @@ class TestDenseRfftEngine:
 
         # the public stft rides _mxu_rfft; its engine split is the constant
         assert fft_mxu.DENSE_RFFT_MAX_N == 4096
+
+
+def test_stft_framed_dense_matches_xla(rng):
+    # the framed dense engine (framing + window folded into banded
+    # matmuls, fft_mxu.rfft_dense_framed) must match the XLA rfft path at
+    # every gated (nfft, hop, window, detrend) combination
+    for c, t, nfft, hop, win, det in [
+        (3, 40000, 512, 256, "hann", False),
+        (2, 30000, 1024, 256, "hann", True),
+        (1, 9999, 512, 128, "hamming", False),
+        (2, 20000, 2048, 512, "sqrt_hann", True),
+    ]:
+        x = rng.normal(size=(c, t)).astype(np.float32)
+        a = np.asarray(
+            stft(jnp.asarray(x), nfft=nfft, hop=hop, window=win,
+                 method="mxu", detrend_segments=det)
+        )
+        b = np.asarray(
+            stft(jnp.asarray(x), nfft=nfft, hop=hop, window=win,
+                 method="xla", detrend_segments=det)
+        )
+        scale = np.max(np.abs(b))
+        # HIGH-precision dense default: ~1.3e-5 vs XLA on chip
+        # (logs/r5_onchip/r5_stft_prec_ab.log)
+        assert np.max(np.abs(a - b)) / scale < 5e-5, (nfft, hop, win, det)
+
+
+def test_stft_framed_gate_falls_back(rng):
+    # hop not dividing nfft / hop off the 128 grid must take the
+    # overlapping_frames path and still be correct
+    x = rng.normal(size=4000).astype(np.float32)
+    s = np.asarray(stft(x, nfft=256, hop=100, window="rect", method="mxu"))
+    for i in (0, 7, 37):
+        want = np.fft.rfft(x[i * 100 : i * 100 + 256])
+        np.testing.assert_allclose(s[i], want, rtol=1e-4, atol=1e-2)
