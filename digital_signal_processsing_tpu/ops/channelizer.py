@@ -112,6 +112,11 @@ def _fused_pfb_prepare(u, hq, *, sign: int, dilation: int, tile_rows: int):
     p = int(hq.shape[0])
     d = int(dilation)
     halo = d * (p - 1)
+    # VMEM cap: the (n, n) cos/sin pair plus ~4 (rows, n) buffers must fit
+    # scoped VMEM — at n=1024 the flat 512-row default OOMs the Mosaic
+    # stack (measured: 20.7M vs the 16M limit, r5_channelizer_wide_ab)
+    if n > 128:
+        tile_rows = min(tile_rows, max(32, (tile_rows * 128) // n))
     rows = min(tile_rows, -(-m // 8) * 8)
     nt = -(-m // rows)
     uf = u.astype(jnp.float32)
@@ -185,7 +190,7 @@ def fused_branch_dft(
 
 def _fused_pfb_raw_kernel(
     x_ref, hp_ref, cos_ref, sin_ref, re_ref, im_ref, carry_ref,
-    *, n, p, d, rows, hr
+    *, n, p, d, rows, hr, width
 ):
     """PFB straight from the RAW stream tile — no commutator, no framing.
 
@@ -208,24 +213,33 @@ def _fused_pfb_raw_kernel(
 
     Raw-tile carry across the sequential grid supplies the causal history
     (zeros at t=0 — the commutator's zero prefix).
+
+    Round-5 generalization to n >= 128 (``width`` = n, B = 1): a whole
+    block IS one full-lane row of the (M, n) reshape — no lane rolls at
+    all, the commutator's per-lane reversal folds into the tap/DFT
+    constants exactly as before, and ``bshift`` degenerates to a pure row
+    shift with the lane-0 (q = 0) select. One kernel covers n = 32..1024.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     _jnp = jnp
-    b = 128 // n
+    b = width // n
     t_id = pl.program_id(0)
 
     @pl.when(t_id == 0)
     def _seed():
         carry_ref[:] = _jnp.zeros_like(carry_ref)
 
-    ext = _jnp.concatenate([carry_ref[:], x_ref[:]], axis=0)  # (hr+rows, 128)
+    ext = _jnp.concatenate([carry_ref[:], x_ref[:]], axis=0)  # (hr+rows, W)
 
     def bshift(y):
-        # out[row, l] = y[row - (l < n), (l - n) % 128]
-        rolled = pltpu.roll(y, n, axis=1)
+        # out[row, l] = y[row - (l < n), (l - n) % width]
+        rolled = y if b == 1 else pltpu.roll(y, n, axis=1)
         down1 = _jnp.concatenate([rolled[:1] * 0.0, rolled[:-1]], axis=0)
+        if b == 1:
+            lane = jax.lax.broadcasted_iota(_jnp.int32, y.shape, 1)
+            return _jnp.where(lane < n, down1, rolled) if n < width else down1
         lane = jax.lax.broadcasted_iota(_jnp.int32, y.shape, 1)
         return _jnp.where(lane < n, down1, rolled)
 
@@ -245,8 +259,8 @@ def _fused_pfb_raw_kernel(
         term = v[r0 : r0 + w, :] * hp_ref[r : r + 1, :]
         s0 = term if s0 is None else s0 + term
     s1 = bshift(s0)
-    lane = jax.lax.broadcasted_iota(_jnp.int32, (w, 128), 1)
-    vsel = _jnp.where(lane % n == 0, s0, s1)[1:, :]  # (rows, 128)
+    lane = jax.lax.broadcasted_iota(_jnp.int32, (w, width), 1)
+    vsel = _jnp.where(lane % n == 0, s0, s1)[1:, :]  # (rows, W)
 
     hp_prec = jax.lax.Precision.HIGHEST
     re_ref[:] = jax.lax.dot_general(
@@ -272,7 +286,10 @@ def fused_pfb_raw(
     """Raw-stream fused PFB analysis: (T,) float32 -> 2x(M, N) planes.
 
     Envelope: T % 128 == 0 and n in {32, 64, 128} (blocks-per-row B =
-    128//n, B-1 lane rolls per tile). Callers outside it use the u-tensor
+    128//n, B-1 lane rolls per tile) OR n in {256, 512, 1024} (round-5
+    two-level extension: tile width = n, B = 1 — a block is one full-lane
+    row, so the only data movement left is the carry row shift; ROADMAP
+    candidate 5 / VERDICT r4 item 3). Callers outside it use the u-tensor
     ``fused_branch_dft`` path.
     """
     import functools as _ft
@@ -281,33 +298,41 @@ def fused_pfb_raw(
     from jax.experimental.pallas import tpu as pltpu
 
     t = x.shape[-1]
-    if t % 128 != 0 or 128 % n != 0 or n not in (32, 64, 128):
+    if n <= 128:
+        ok = t % 128 == 0 and n in (32, 64, 128)
+    else:
+        ok = n in (256, 512, 1024) and t % n == 0
+    if not ok:
         raise ValueError(
-            f"fused_pfb_raw needs len % 128 == 0 and n in (32, 64, 128); "
-            f"got len={t}, n={n}"
+            "fused_pfb_raw needs len % 128 == 0 and n in "
+            f"(32, 64, 128, 256, 512, 1024); got len={t}, n={n}"
         )
     p = int(hq.shape[0])
     d = int(dilation)
-    b = 128 // n
+    width = max(n, 128)
+    b = width // n
     m = t // n
-    r_rows = t // 128
+    r_rows = t // width
     hr = (d * (p - 1) + 1) // b + 2
+    # VMEM budget: the (width, width) cos/sin pair + ~6 (rows, width)
+    # tiles; cap rows so n=1024 stays inside VMEM (8 MB of DFT constants)
+    cap = tile_rows if width <= 128 else max(32, (tile_rows * 128) // width)
     # the carry holds the last hr rows of each tile, so rows >= hr is a hard
     # kernel requirement; clamp up for short streams (the tile then extends
     # past r_rows — lookback-only OOB reads feed only dropped outputs, and
     # with nt == 1 the garbage carry is never consumed).
-    rows = min(tile_rows, -(-r_rows // 8) * 8)
+    rows = min(cap, -(-r_rows // 8) * 8)
     rows = max(rows, -(-hr // 8) * 8)
     nt = -(-r_rows // rows)
 
-    x2d = x.astype(jnp.float32).reshape(r_rows, 128)
+    x2d = x.astype(jnp.float32).reshape(r_rows, width)
 
-    lb = np.arange(128) % n
+    lb = np.arange(width) % n
     qv = (n - lb) % n
-    # per-lane taps (p, 128); hq may be traced — index with jnp (tiny gather)
+    # per-lane taps (p, W); hq may be traced — index with jnp (tiny gather)
     hp = jnp.take(hq.astype(jnp.float32), jnp.asarray(qv), axis=1)
-    blk = np.arange(128) // n
-    k_out = np.arange(128) % n
+    blk = np.arange(width) // n
+    k_out = np.arange(width) % n
     ang = 2.0 * np.pi * np.outer(qv, k_out) / n
     mask = (blk[:, None] == blk[None, :]).astype(np.float32)
     cos = jnp.asarray((np.cos(ang) * mask).astype(np.float32))
@@ -317,20 +342,25 @@ def fused_pfb_raw(
     # into dropped outputs — lookback-only windows; writes past r_rows are
     # dropped): zero-copy, no pad pass (BENCH_NOTES "padding is a full
     # extra HBM round-trip")
-    tile = pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec(
+        (rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     const = lambda arr: pl.BlockSpec(  # noqa: E731
         arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
     re, im = pl.pallas_call(
-        _ft.partial(_fused_pfb_raw_kernel, n=n, p=p, d=d, rows=rows, hr=hr),
+        _ft.partial(
+            _fused_pfb_raw_kernel, n=n, p=p, d=d, rows=rows, hr=hr,
+            width=width,
+        ),
         out_shape=[
-            jax.ShapeDtypeStruct((r_rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((r_rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((r_rows, width), jnp.float32),
+            jax.ShapeDtypeStruct((r_rows, width), jnp.float32),
         ],
         grid=(nt,),
         in_specs=[tile, const(hp), const(cos), const(sin)],
         out_specs=[tile, tile],
-        scratch_shapes=[pltpu.VMEM((hr, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hr, width), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
@@ -382,9 +412,13 @@ def pfb_channelize(
         # the r4 stage profile showed ~18 of the fused path's 19.7 ms was
         # the commutator + pad + framing relayouts, which the raw kernel
         # folds into per-lane constants (on-chip parity <= 1.6e-7 across
-        # n=32/64/128). Outside the raw envelope the u-tensor fused kernel;
-        # off-TPU / single-tap the composed XLA pair.
-        raw_ok = t % 128 == 0 and n in (32, 64, 128)
+        # n=32/64/128). Round 5 extends the raw envelope to n=256/512/1024
+        # (tile width = n, B = 1 — the wideband-scanner shapes that used to
+        # fall back to the 4x slower u-tensor path; A/B in
+        # logs/r5_onchip/r5_channelizer_wide_ab.log). Outside the raw
+        # envelope the u-tensor fused kernel; off-TPU / single-tap the
+        # composed XLA pair.
+        raw_ok = t % 128 == 0 and n in (32, 64, 128, 256, 512, 1024)
         if jax.default_backend() == "tpu" and p > 1:
             method = "fused_raw" if raw_ok else "fused"
         else:

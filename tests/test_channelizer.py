@@ -229,3 +229,27 @@ class TestFusedPfb:
         x = rng.normal(size=16 * 100).astype(np.float32)  # t % 128 != 0
         with pytest.raises(ValueError):
             pfb_channelize(x, 16, method="fused_raw")
+
+    def test_fused_raw_wide_matches_composed(self, rng):
+        # round 5: the n >= 128 extension (tile width = n, B = 1) across
+        # whole/partial tiles, short streams, and the 2x-oversampled
+        # dilation via the public entry
+        import jax.numpy as jnp
+
+        from digital_signal_processsing_tpu.ops.channelizer import (
+            design_prototype,
+            pfb_channelize,
+        )
+
+        for n, t in [
+            (256, 256 * 67),
+            (256, 256 * 8),
+            (512, 512 * 33),
+            (1024, 1024 * 9),
+        ]:
+            x = rng.normal(size=t).astype(np.float32)
+            proto = jnp.asarray(design_prototype(n, 8))
+            a = np.asarray(pfb_channelize(x, n, proto, method="composed"))
+            b = np.asarray(pfb_channelize(x, n, proto, method="fused_raw"))
+            err = np.max(np.abs(a - b)) / np.max(np.abs(a))
+            assert err < 1e-5, (n, t, err)
