@@ -149,7 +149,6 @@ def _matrix_power(m: jax.Array, n: int) -> jax.Array:
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("frame_len", "method"))
 def lpc_synthesis(
     a: jax.Array,
     gain: jax.Array,
@@ -174,8 +173,12 @@ def lpc_synthesis(
     r4_lpc_ab.log); ``"pallas"`` = the same kernel with the affine
     compose for entry states (:func:`lpc_synthesis_pallas`, bit-class-
     compatible with scan); ``"scan"`` = the lax.scan + zero-input-basis
-    spelling (``p`` floats per sample of basis traffic); ``"auto"`` =
-    refine whenever ``frame_len % 8 == 0``, else scan.
+    spelling (``p`` floats per sample of basis traffic); ``"factored"``
+    = :func:`lpc_synthesis_factored` (host root factoring -> biquad
+    cascade — the near-unit-circle engine; see its transition contract);
+    ``"auto"`` = factored for concrete frame-CONSTANT sets with max pole
+    radius >= 0.95, else refine whenever ``frame_len % 8 == 0``, else
+    scan.
 
     ACCURACY ENVELOPE (measured round 4, logs in BENCH_NOTES "LPC
     compose conditioning"): the frame-entry states of the ``scan`` and
@@ -186,12 +189,50 @@ def lpc_synthesis(
     from :func:`levinson` on real signals sit well inside the envelope
     (codec practice adds bandwidth expansion precisely to keep them
     there), and ``method="refine"`` is both faster and more accurate
-    for that damped case. For poles hugging the unit circle no f32
-    frame-parallel spelling is exact — filter sequentially
-    (``ops.iir.sosfilt`` on factored sections) if that is your regime.
+    for that damped case. For poles hugging the unit circle the
+    direct-form frame-parallel spellings all degrade —
+    ``method="factored"`` is the engine for that regime (round 5):
+    measured 2e-6 -> 6e-5 rel err at radius 0.95 -> 0.999 where refine
+    reads 3e-3 -> 0.56 (tests/test_lpc.py::test_factored_resonant_sweep),
+    with the cascade transition contract documented on
+    :func:`lpc_synthesis_factored`.
     """
-    if method not in ("auto", "scan", "pallas", "refine"):
+    if method not in ("auto", "scan", "pallas", "refine", "factored"):
         raise ValueError(f"unknown method {method!r}")
+    if method == "factored":
+        return lpc_synthesis_factored(a, gain, excitation, frame_len)
+    if method == "auto" and not isinstance(a, jax.core.Tracer):
+        # round-5: concrete FRAME-CONSTANT coefficient sets get an exact
+        # host radius check (one factoring); resonant ones route to the
+        # factored-sections engine — the regime where every f32
+        # frame-parallel spelling of the order-p recurrence degrades
+        # (ACCURACY ENVELOPE below), and where cascade-state carry equals
+        # the direct form exactly (constant coefficients). Frame-VARYING
+        # resonant sets are NOT silently re-routed: the cascade's state
+        # carry is a different realization at coefficient jumps (measured
+        # 0.76 rel err on random per-frame polynomials) — pick
+        # method='factored' explicitly if its transition contract fits.
+        # Traced coefficients (this wrapper is NOT jitted precisely so
+        # eager callers stay concrete) keep refine + the envelope.
+        a_np = np.asarray(a)
+        row = _constant_frame_row(a_np)
+        if row is not None and lpc_to_sections(row)[1] >= 0.95:
+            from ..utils.dispatch import record_choice
+
+            record_choice("lpc_synthesis", "factored")
+            return lpc_synthesis_factored(a, gain, excitation, frame_len)
+    return _lpc_synthesis_core(a, gain, excitation, frame_len, method=method)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_len", "method"))
+def _lpc_synthesis_core(
+    a: jax.Array,
+    gain: jax.Array,
+    excitation: jax.Array,
+    frame_len: int,
+    *,
+    method: str,
+) -> jax.Array:
     if frame_len % _LPC_BT == 0:
         # auto rides refine: for every polynomial the compose handles
         # accurately (the damped envelope above) refine matches or beats
@@ -464,6 +505,130 @@ def lpc_synthesis_ref(a, gain, excitation, frame_len):
             hist = np.concatenate([[v], hist[:-1]])
             y[idx] = v
     return y
+
+
+def _constant_frame_row(a: np.ndarray) -> np.ndarray | None:
+    """``(..., F, p+1)`` -> the shared ``(..., 1, p+1)`` row if every frame
+    carries the same coefficients, else None. The auto router only
+    re-routes frame-CONSTANT resonant sets to the factored engine, where
+    the cascade-state carry is exactly the direct form (a Frobenius
+    power-bound radius estimate was tried and rejected: it overestimated
+    0.85-radius order-8 sets past 0.95 — non-normal companion growth)."""
+    row = a[..., :1, :]
+    return row if bool(np.all(a == row)) else None
+
+
+def lpc_to_sections(a: np.ndarray) -> tuple[np.ndarray, float]:
+    """Host-side root factoring: AR polynomials -> biquad cascade rows.
+
+    ``a``: ``(..., F, p+1)`` real, concrete (numpy-able). Returns
+    ``(sos, max_radius)`` with ``sos`` of shape ``(S, ..., F, 6)`` in
+    scipy layout (all-pole: b = [1, 0, 0]), S = ceil(p/2), and
+    ``max_radius`` the largest pole magnitude found (the auto router's
+    conditioning signal). Factoring runs in float64 via one batched
+    eigendecomposition of the companion matrices; complex roots pair with
+    their conjugates into (1, -2 Re r, |r|^2) sections, real roots pair
+    consecutively by magnitude, an odd leftover becomes a first-order
+    section. The monic section product reconstructs A(z) exactly up to
+    factoring precision.
+    """
+    a = np.asarray(a, np.float64)
+    p = a.shape[-1] - 1
+    batch = a.shape[:-1]  # (..., F)
+    an = a / a[..., :1]
+    # batched companion eigenvalues
+    comp = np.zeros(batch + (p, p))
+    comp[..., 0, :] = -an[..., 1:]
+    idx = np.arange(p - 1)
+    comp[..., idx + 1, idx] = 1.0
+    roots = np.linalg.eigvals(comp)  # (..., F, p) complex
+    n_sec = -(-p // 2)
+    flat = roots.reshape(-1, p)
+    sos = np.zeros((flat.shape[0], n_sec, 6))
+    sos[..., 0] = 1.0  # b0
+    sos[..., 3] = 1.0  # a0
+    tol = 1e-9
+    for i, r in enumerate(flat):
+        cplx = r[np.abs(r.imag) > tol * np.maximum(1.0, np.abs(r))]
+        cplx = cplx[cplx.imag > 0]
+        real = np.sort(r[np.abs(r.imag) <= tol * np.maximum(1.0, np.abs(r))].real)
+        s = 0
+        for rt in cplx:
+            sos[i, s, 4] = -2.0 * rt.real
+            sos[i, s, 5] = abs(rt) ** 2
+            s += 1
+        j = 0
+        while j + 1 < real.size:
+            sos[i, s, 4] = -(real[j] + real[j + 1])
+            sos[i, s, 5] = real[j] * real[j + 1]
+            s += 1
+            j += 2
+        if j < real.size:
+            sos[i, s, 4] = -real[j]
+            s += 1
+        assert s == n_sec or (s == n_sec - 1 and real.size == 0 and p % 2), (
+            s, n_sec, r,
+        )
+    sos = sos.reshape(batch + (n_sec, 6))
+    # (..., F, S, 6) -> (S, ..., F, 6)
+    sos = np.moveaxis(sos, -2, 0)
+    return sos.astype(np.float32), float(np.max(np.abs(roots)))
+
+
+def lpc_synthesis_factored(
+    a,
+    gain: jax.Array,
+    excitation: jax.Array,
+    frame_len: int,
+) -> jax.Array:
+    """All-pole synthesis through host-factored biquad sections — the
+    near-unit-circle engine (round-5 VERDICT item 7 / ROADMAP candidate 2).
+
+    Where every f32 frame-parallel spelling of the ORDER-P recurrence
+    loses accuracy as poles approach the unit circle (``lpc_synthesis``
+    ACCURACY ENVELOPE: A^L products ill-conditioned; refine's sweeps stop
+    contracting at |pole|^L ~ 1), each factored biquad's recurrence is
+    well-conditioned individually, so the cascade tracks the sequential
+    float64 model within the sequential-f32 floor even at radius 0.999
+    (tests/test_lpc.py::test_factored_resonant_sweep). Runs on the
+    measured :func:`ops.iir.sosfilt_tv_frames` kernel path.
+
+    ``a`` must be CONCRETE (host-factorable), not a jit tracer.
+
+    TRANSITION CONTRACT: frame transitions carry the cascade's PER-SECTION
+    states (the standard vocoder cascade realization). For frame-constant
+    coefficients this is exactly the direct form; for coefficients that
+    CHANGE across frames the two realizations differ transiently at every
+    jump (measured 0.76 max rel err vs the direct-form golden on random
+    independent per-frame polynomials; small for slowly-varying
+    envelopes). ``auto`` therefore only routes frame-constant resonant
+    sets here — choose this method explicitly if the cascade contract
+    fits your varying-envelope use.
+    """
+    from .iir import sosfilt_tv_frames
+
+    if isinstance(a, jax.core.Tracer):
+        raise TypeError(
+            "lpc_synthesis_factored factors coefficients on the host — "
+            "pass concrete a (outside jit), or use method='refine'"
+        )
+    a_np = np.asarray(a)
+    row = _constant_frame_row(a_np)
+    if row is not None:
+        # factor one row, broadcast across frames (free view)
+        sos_row, _ = lpc_to_sections(row)
+        sos = np.broadcast_to(
+            sos_row, sos_row.shape[:-2] + (a_np.shape[-2], 6)
+        )
+    else:
+        sos, _ = lpc_to_sections(a_np)
+    batch = np.shape(a)[:-2]
+    nf = np.shape(a)[-2]
+    e = jnp.asarray(excitation, jnp.float32).reshape(batch + (nf, frame_len))
+    e = (e * jnp.asarray(gain, jnp.float32)[..., None]).reshape(
+        batch + (nf * frame_len,)
+    )
+    return sosfilt_tv_frames(jnp.asarray(sos), e, frame_len)
 
 
 def lpc_vocoder(

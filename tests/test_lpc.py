@@ -222,3 +222,98 @@ def test_refine_beats_compose_at_resonant_poles():
     # the compose's conditioning loss at this config is the documented
     # envelope; if this ever IMPROVES past refine the docstring is stale
     assert err_comp > err_ref
+
+
+def test_factored_resonant_sweep():
+    """Round-5 VERDICT item 7: the factored-sections engine must track the
+    float64 sequential model within the sequential-f32 floor at pole radii
+    0.95-0.999 — the regime where every f32 frame-parallel spelling of the
+    order-p recurrence degrades (lpc_synthesis ACCURACY ENVELOPE)."""
+    rng = np.random.default_rng(9)
+    order, L, F = 6, 128, 8
+
+    def seq_f32(a, gain, e, frame_len):
+        a = np.asarray(a, np.float32)
+        g = np.asarray(gain, np.float32)
+        e = np.asarray(e, np.float32)
+        p = a.shape[-1] - 1
+        y = np.zeros(a.shape[0] * frame_len, np.float32)
+        hist = np.zeros(p, np.float32)
+        for f in range(a.shape[0]):
+            for t in range(frame_len):
+                i = f * frame_len + t
+                v = np.float32(g[f] * e[i] - np.dot(a[f, 1:], hist))
+                hist = np.concatenate([[v], hist[:-1]]).astype(np.float32)
+                y[i] = v
+        return y
+
+    for radius in (0.95, 0.98, 0.995, 0.999):
+        # frame-constant resonant poles (the regime contract: cascade state
+        # carry == direct-form for constant coefficients)
+        poles = radius * np.exp(1j * np.array([0.4, 1.3, 2.2]))
+        row = np.poly(np.concatenate([poles, poles.conj()])).real
+        a = np.tile(row, (F, 1)).astype(np.float32)
+        gain = np.ones(F, np.float32)
+        e = rng.standard_normal(F * L).astype(np.float32)
+        ref = lpc.lpc_synthesis_ref(a, gain, e, L)
+        scale = np.max(np.abs(ref))
+        err_fact = (
+            np.max(np.abs(np.asarray(
+                lpc.lpc_synthesis(a, gain, e, L, method="factored")
+            ) - ref)) / scale
+        )
+        err_seq32 = np.max(np.abs(seq_f32(a, gain, e, L) - ref)) / scale
+        # the cascade's f32 association sits within ~50x of the sequential
+        # direct-form f32 floor across the sweep (measured 2e-6 at 0.95 ->
+        # 6e-5 at 0.999) while refine collapses to 3e-3 -> 0.56 there
+        assert err_fact < max(err_seq32 * 64, 1e-5), (radius, err_fact, err_seq32)
+        err_refine = (
+            np.max(np.abs(np.asarray(
+                lpc.lpc_synthesis(a, gain, e, L, method="refine")
+            ) - ref)) / scale
+        )
+        if radius >= 0.98:
+            # the regime gap the engine exists for
+            assert err_fact < err_refine / 100, (radius, err_fact, err_refine)
+
+
+def test_factored_auto_routing():
+    rng = np.random.default_rng(3)
+    L, F = 128, 4
+    # frame-constant resonant: auto must route to factored and match the
+    # float64 sequential golden (refine's compose would degrade here)
+    poles = 0.995 * np.exp(1j * np.array([0.5, 1.9]))
+    row = np.poly(np.concatenate([poles, poles.conj()])).real
+    a_res = np.tile(row, (F, 1)).astype(np.float32)
+    assert lpc._constant_frame_row(a_res) is not None
+    _, maxr = lpc.lpc_to_sections(a_res[:1])
+    assert maxr == pytest.approx(0.995, abs=1e-6)
+
+    gain = np.ones(F, np.float32)
+    e = rng.standard_normal(F * L).astype(np.float32)
+    y = lpc.lpc_synthesis(a_res, gain, e, L, method="auto")
+    ref = lpc.lpc_synthesis_ref(a_res, gain, e, L)
+    assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-4
+
+    # frame-VARYING resonant coefficients must NOT be silently re-routed
+    # (the cascade transition contract differs from the direct form)
+    a_var = a_res.copy()
+    a_var[1, 1] *= 0.999
+    assert lpc._constant_frame_row(a_var) is None
+
+
+def test_factored_rejects_traced_coefficients():
+    import jax
+
+    rng = np.random.default_rng(1)
+    a = np.tile(np.poly([0.5, -0.3]), (4, 1)).astype(np.float32)
+    e = rng.standard_normal(4 * 128).astype(np.float32)
+
+    @jax.jit
+    def inner(a):
+        return lpc.lpc_synthesis(
+            a, np.ones(4, np.float32), e, 128, method="factored"
+        )
+
+    with pytest.raises(TypeError):
+        inner(jnp.asarray(a))
