@@ -62,6 +62,7 @@ class ModemConfig:
     eq_taps: int = 9  # symbol-spaced, odd (centered reference tap)
     eq_ridge: float = 1e-4
     dd_block: int = 32  # decision-directed phase-tracking block (symbols)
+    dd_unroll: int = 1  # scan unroll for the tracking loop (bit-identical)
 
     def __post_init__(self):
         if self.bits_per_symbol not in (1, 2, 4, 6):
@@ -302,6 +303,7 @@ def _dd_phase_track(
     known_mask: jax.Array,
     bits_per_symbol: int,
     block: int,
+    unroll: int = 1,
 ) -> jax.Array:
     """Blockwise decision-directed carrier phase tracking.
 
@@ -338,7 +340,12 @@ def _dd_phase_track(
         ce, se = jnp.cos(e), jnp.sin(e)
         return phi + e, (r1 * ce + i1 * se, i1 * ce - r1 * se)
 
-    _, (out_r, out_i) = jax.lax.scan(body, jnp.float32(0.0), (yr, yi, kr, ki, km))
+    # unroll: same op sequence (bit-identical output), fewer loop-machinery
+    # iterations — the scan is latency-bound at (block,) shapes (BENCH_NOTES
+    # round-5 family rows: the modem row is scan-bound)
+    _, (out_r, out_i) = jax.lax.scan(
+        body, jnp.float32(0.0), (yr, yi, kr, ki, km), unroll=unroll
+    )
     return jax.lax.complex(out_r.reshape(-1)[:n], out_i.reshape(-1)[:n])
 
 
@@ -426,7 +433,13 @@ def receive(
     known_i = jnp.pad(jnp.imag(pre_c), (0, n_payload))
     known_mask = jnp.arange(seg_len) < p_len
     tracked = _dd_phase_track(
-        eq, known_r, known_i, known_mask, cfg.bits_per_symbol, cfg.dd_block
+        eq,
+        known_r,
+        known_i,
+        known_mask,
+        cfg.bits_per_symbol,
+        cfg.dd_block,
+        cfg.dd_unroll,
     )
     bits = demap_symbols(
         jnp.real(tracked[p_len:]), jnp.imag(tracked[p_len:]), cfg.bits_per_symbol
