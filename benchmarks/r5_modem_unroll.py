@@ -88,24 +88,36 @@ def main() -> None:
     sym_i = rng2.integers(0, 4, seg_len) * 2 - 3
     sym_q = rng2.integers(0, 4, seg_len) * 2 - 3
     drift = np.exp(1j * 2 * np.pi * 2.4e-4 * np.arange(seg_len))
-    eqv = jnp.asarray(((sym_i + 1j * sym_q) / np.sqrt(10) * drift).astype(np.complex64))
-    kr = jnp.zeros(seg_len, jnp.float32)
-    ki = jnp.zeros(seg_len, jnp.float32)
-    km = jnp.arange(seg_len) < p_len
+    eq_c = ((sym_i + 1j * sym_q) / np.sqrt(10) * drift).astype(np.complex64)
+    # planar transfer: complex64 host<->device is unimplemented on the axon
+    # tunnel (the repo-wide caveat) — form the complex value inside jit
+    eq_r = jnp.asarray(eq_c.real.astype(np.float32))
+    eq_i = jnp.asarray(eq_c.imag.astype(np.float32))
+    # HOST numpy constants: closed-over device arrays need a device->host
+    # copy at trace time (mlir.ir_constant), which the axon tunnel reports
+    # Unimplemented for; host arrays embed directly
+    kr = np.zeros(seg_len, np.float32)
+    ki = np.zeros(seg_len, np.float32)
+    km = np.arange(seg_len) < p_len
 
     for u in UNROLLS:
         def mk_trk(k, u=u):
             @jax.jit
-            def chained(y):
-                def body(_, c):
-                    t = modem._dd_phase_track(c, kr, ki, km, 4, cfg.dd_block, u)
-                    return c + 0.0 * t
+            def chained(arg):
+                yr, yi = arg
 
-                return jax.lax.fori_loop(0, k, body, y)
+                def body(_, cc):
+                    vr, vi = cc
+                    t = modem._dd_phase_track(
+                        jax.lax.complex(vr, vi), kr, ki, km, 4, cfg.dd_block, u
+                    )
+                    return vr + 0.0 * jnp.real(t), vi
+
+                return jax.lax.fori_loop(0, k, body, (yr, yi))
 
             return chained
 
-        k_diff(f"tracker unroll={u}", mk_trk, eqv, seg_len)
+        k_diff(f"tracker unroll={u}", mk_trk, (eq_r, eq_i), seg_len)
 
     # ---- end-to-end receive at each unroll --------------------------------
     for u in UNROLLS:

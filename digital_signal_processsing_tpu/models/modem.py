@@ -62,7 +62,11 @@ class ModemConfig:
     eq_taps: int = 9  # symbol-spaced, odd (centered reference tap)
     eq_ridge: float = 1e-4
     dd_block: int = 32  # decision-directed phase-tracking block (symbols)
-    dd_unroll: int = 1  # scan unroll for the tracking loop (bit-identical)
+    # scan unroll for the tracking loop. Bit-identical at any value (same op
+    # sequence, fewer loop-machinery iterations); 4 measured best on chip —
+    # tracker standalone 2.32 vs 4.27 ms at unroll 1, and 8/16 regress
+    # (logs/r5_onchip/r5_modem_unroll.log)
+    dd_unroll: int = 4
 
     def __post_init__(self):
         if self.bits_per_symbol not in (1, 2, 4, 6):
