@@ -67,6 +67,14 @@ class ModemConfig:
     # tracker standalone 2.32 vs 4.27 ms at unroll 1, and 8/16 regress
     # (logs/r5_onchip/r5_modem_unroll.log)
     dd_unroll: int = 4
+    # phase tracker engine: "dd" = serial decision-directed scan,
+    # "vv" = parallel smoothed power-m + unwrap + parallel DD refine
+    # (_vv_phase_track — no serial loop). Engines differ in cycle-slip
+    # statistics at the waterfall bottom; the default follows the measured
+    # waterfall A/B (benchmarks/r5_modem_vv.py).
+    tracker: str = "dd"
+    vv_smooth: int = 5  # blocks averaged per coarse power-m estimate
+    vv_refine: int = 2  # parallel decision-directed refine rounds
 
     def __post_init__(self):
         if self.bits_per_symbol not in (1, 2, 4, 6):
@@ -75,6 +83,8 @@ class ModemConfig:
             )
         if self.eq_taps % 2 == 0:
             raise ValueError(f"eq_taps must be odd, got {self.eq_taps}")
+        if self.tracker not in ("dd", "vv"):
+            raise ValueError(f"tracker must be 'dd' or 'vv', got {self.tracker}")
 
     @property
     def rrc_num_taps(self) -> int:
@@ -353,6 +363,102 @@ def _dd_phase_track(
     return jax.lax.complex(out_r.reshape(-1)[:n], out_i.reshape(-1)[:n])
 
 
+def _vv_phase_track(
+    eq: jax.Array,
+    known_r: jax.Array,
+    known_i: jax.Array,
+    known_mask: jax.Array,
+    bits_per_symbol: int,
+    block: int,
+    smooth: int = 5,
+    refine: int = 2,
+) -> jax.Array:
+    """Parallel blockwise phase tracking (no serial loop at all).
+
+    The DD scan (:func:`_dd_phase_track`) is latency-bound: ~2 us/block of
+    loop-step launch cost x n/block sequential steps is 90% of the whole
+    receive path (BENCH_NOTES round-5 modem tracker section). This engine
+    replaces the serial dependency with four batched passes:
+
+    1. **Coarse, decision-free per-block phase**: the power-m estimator
+       (m=2 BPSK, m=4 QAM — arg E[s^4] is real-negative for square QAM, so
+       arg(sum y^4) ~ 4*phi + pi), block sums smoothed over ``smooth``
+       neighbor blocks (one tiny 1-D conv) to average the 4th-power noise
+       down before differencing.
+    2. **Unwrap**: block-to-block diffs wrapped into (-pi/m, pi/m], then a
+       parallel cumsum — the only cross-block coupling, log-depth instead
+       of 2050 serial steps.
+    3. **Anchor**: the data-aided preamble phase resolves the power-m
+       branch (2pi/m grid) exactly once.
+    4. **Parallel DD refine**: ``refine`` rounds of per-block decisions +
+       one conj-product reduction, all blocks at once — the same math as
+       one DD-scan body, vmapped over blocks instead of chained.
+
+    Same signature/output contract as the DD scan. The engines differ in
+    lock behavior at the waterfall's bottom (cycle-slip statistics), so the
+    default router keeps DD unless measurement shows parity — see
+    ModemConfig.tracker and benchmarks/r5_modem_vv.py.
+    """
+    n = eq.shape[-1]
+    nb = -(-n // block)
+    pad = nb * block - n
+    yr = jnp.pad(jnp.real(eq), (0, pad)).reshape(nb, block)
+    yi = jnp.pad(jnp.imag(eq), (0, pad)).reshape(nb, block)
+    kr = jnp.pad(known_r, (0, pad)).reshape(nb, block)
+    ki = jnp.pad(known_i, (0, pad)).reshape(nb, block)
+    km = jnp.pad(known_mask, (0, pad)).reshape(nb, block)
+    vm = (jnp.arange(nb * block) < n).reshape(nb, block)
+
+    m = 2 if bits_per_symbol == 1 else 4
+    # y^m via repeated complex squaring (planar)
+    zr, zi = yr, yi
+    for _ in range(1 if m == 2 else 2):
+        zr, zi = zr * zr - zi * zi, 2.0 * zr * zi
+    zr = jnp.where(vm, zr, 0.0)
+    zi = jnp.where(vm, zi, 0.0)
+    br = jnp.sum(zr, axis=1)
+    bi = jnp.sum(zi, axis=1)
+    if smooth > 1:
+        win = jnp.ones(smooth, jnp.float32)
+        br = jnp.convolve(br, win, mode="same")
+        bi = jnp.convolve(bi, win, mode="same")
+    offset = float(np.pi) if m == 4 else 0.0
+    theta = (jnp.arctan2(bi, br) - offset) / m  # phi mod 2pi/m, per block
+
+    two_pi_m = 2.0 * float(np.pi) / m
+    d = jnp.diff(theta)
+    d = d - two_pi_m * jnp.round(d / two_pi_m)  # wrapped diffs
+    unwr = theta[0] + jnp.concatenate(
+        [jnp.zeros(1, theta.dtype), jnp.cumsum(d)]
+    )
+
+    # data-aided anchor over the (known & valid) preamble symbols
+    use = (km & vm).astype(yr.dtype)
+    da_re = jnp.sum((yr * kr + yi * ki) * use)
+    da_im = jnp.sum((yi * kr - yr * ki) * use)
+    phi_da = jnp.arctan2(da_im, da_re)
+    branch = two_pi_m * jnp.round((phi_da - unwr[0]) / two_pi_m)
+    phi = unwr + branch  # (nb,)
+
+    for _ in range(refine):
+        c = jnp.cos(phi)[:, None]
+        s = jnp.sin(phi)[:, None]
+        r1 = yr * c + yi * s
+        i1 = yi * c - yr * s
+        dr, di = _decide(r1, i1, bits_per_symbol)
+        rr = jnp.where(km, kr, dr) * vm.astype(yr.dtype)
+        ri = jnp.where(km, ki, di) * vm.astype(yr.dtype)
+        e_re = jnp.sum(r1 * rr + i1 * ri, axis=1)
+        e_im = jnp.sum(i1 * rr - r1 * ri, axis=1)
+        phi = phi + jnp.arctan2(e_im, e_re)
+
+    c = jnp.cos(phi)[:, None]
+    s = jnp.sin(phi)[:, None]
+    out_r = yr * c + yi * s
+    out_i = yi * c - yr * s
+    return jax.lax.complex(out_r.reshape(-1)[:n], out_i.reshape(-1)[:n])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_payload"))
 def receive(
     cfg: ModemConfig, i: jax.Array, q: jax.Array, n_payload: int
@@ -436,15 +542,27 @@ def receive(
     known_r = jnp.pad(jnp.real(pre_c), (0, n_payload))
     known_i = jnp.pad(jnp.imag(pre_c), (0, n_payload))
     known_mask = jnp.arange(seg_len) < p_len
-    tracked = _dd_phase_track(
-        eq,
-        known_r,
-        known_i,
-        known_mask,
-        cfg.bits_per_symbol,
-        cfg.dd_block,
-        cfg.dd_unroll,
-    )
+    if cfg.tracker == "vv":
+        tracked = _vv_phase_track(
+            eq,
+            known_r,
+            known_i,
+            known_mask,
+            cfg.bits_per_symbol,
+            cfg.dd_block,
+            cfg.vv_smooth,
+            cfg.vv_refine,
+        )
+    else:
+        tracked = _dd_phase_track(
+            eq,
+            known_r,
+            known_i,
+            known_mask,
+            cfg.bits_per_symbol,
+            cfg.dd_block,
+            cfg.dd_unroll,
+        )
     bits = demap_symbols(
         jnp.real(tracked[p_len:]), jnp.imag(tracked[p_len:]), cfg.bits_per_symbol
     )
